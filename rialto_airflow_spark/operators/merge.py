@@ -1,0 +1,108 @@
+"""MERGE-shaped operators — SURVEY.md §2.10 (M1-M5).
+
+The reference upserts row-at-a-time through Postgres
+(`INSERT … ON CONFLICT (doi) DO UPDATE`, e.g.
+rialto_airflow/harvest_incremental/openalex.py:86-114). Here the same
+semantics are one set-based plan: a full-outer join on the natural key
+with column-wise precedence, which Spark executes as a single shuffle
+(or broadcast when the batch is small — the common incremental case).
+
+Key semantics preserved from the reference:
+  * null-key batch rows ALWAYS insert (Postgres unique indexes ignore
+    NULLs — schema/rialto.py:60);
+  * on match, only the batch's own columns are updated, everything
+    else keeps the existing value (per-source column sets, M2);
+  * `updated_at` refreshes only when a match actually updates — this
+    timestamp drives incremental predicates and dedup survivor
+    selection downstream (schema/rialto.py:82-84).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_on_key(
+    existing: DataFrame,
+    batch: DataFrame,
+    key: str,
+    update_cols: Sequence[str] | None = None,
+    updated_at_col: str | None = None,
+    now: Column | None = None,
+    broadcast_batch: bool = False,
+) -> DataFrame:
+    """MERGE ``batch`` into ``existing`` on ``key`` (M2 shape).
+
+    update_cols: columns the batch is allowed to overwrite on match
+        (defaults to every shared non-key column). Columns present only
+        in ``existing`` survive untouched; columns present only in
+        ``batch`` are carried for inserts and null for old rows.
+    updated_at_col: if set, matched-and-updated rows and inserts get
+        ``now`` in this column; untouched rows keep their value.
+    """
+    e_cols = existing.columns
+    b_cols = batch.columns
+    if update_cols is None:
+        update_cols = [c for c in b_cols if c != key and c in e_cols]
+    now = now if now is not None else F.current_timestamp()
+
+    # Null keys never match anything: route them straight to insert.
+    batch_keyed = batch.where(F.col(key).isNotNull())
+    batch_nullkey = batch.where(F.col(key).isNull())
+
+    e = existing.alias("e")
+    b = (F.broadcast(batch_keyed) if broadcast_batch else batch_keyed).alias("b")
+    joined = e.join(b, F.col(f"e.{key}") == F.col(f"b.{key}"), "full_outer")
+
+    matched = F.col(f"e.{key}").isNotNull() & F.col(f"b.{key}").isNotNull()
+    inserted = F.col(f"e.{key}").isNull()
+
+    out_cols: list[Column] = [
+        F.coalesce(F.col(f"e.{key}"), F.col(f"b.{key}")).alias(key)
+    ]
+    all_cols = list(dict.fromkeys([*e_cols, *b_cols]))
+    for c in all_cols:
+        if c == key:
+            continue
+        if updated_at_col and c == updated_at_col:
+            continue
+        in_e, in_b = c in e_cols, c in b_cols
+        if in_e and in_b and c in update_cols:
+            expr = (
+                F.when(matched | inserted, F.col(f"b.{c}"))
+                .otherwise(F.col(f"e.{c}"))
+            )
+        elif in_e and in_b:
+            expr = F.when(inserted, F.col(f"b.{c}")).otherwise(F.col(f"e.{c}"))
+        elif in_e:
+            expr = F.col(f"e.{c}")
+        else:
+            expr = F.when(matched | inserted, F.col(f"b.{c}"))
+        out_cols.append(expr.alias(c))
+
+    if updated_at_col:
+        out_cols.append(
+            F.when(matched | inserted, now)
+            .otherwise(F.col(f"e.{updated_at_col}"))
+            .alias(updated_at_col)
+        )
+
+    merged = joined.select(*out_cols)
+
+    if updated_at_col and updated_at_col not in batch_nullkey.columns:
+        batch_nullkey = batch_nullkey.withColumn(updated_at_col, now)
+    missing = [c for c in merged.columns if c not in batch_nullkey.columns]
+    for c in missing:
+        batch_nullkey = batch_nullkey.withColumn(
+            c, F.lit(None).cast(merged.schema[c].dataType)
+        )
+    return merged.unionByName(batch_nullkey.select(*merged.columns))
+
+
+def upsert_edges(existing: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """M4 — `ON CONFLICT DO NOTHING` on association tables
+    (openalex.py:110-114): union + dedupe on the composite key."""
+    return existing.unionByName(new_edges).dropDuplicates(existing.columns)

@@ -95,6 +95,483 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q02_mn_join_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           r.r_name AS region,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY n.n_name, r.r_name
+    """,
+    headline=True,
+)
+def q02_mn_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-shaped M:N join chain (pub⋈assoc⋈author analog —
+    publish/publication.py:143). Fact⋈fact shuffles on the key;
+    nation/region dims are explicitly broadcast (S10-S15 analog)."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation", "region")
+    return (
+        t["orders"]
+        .join(
+            t["customer"].where(F.col("c_mktsegment") == "BUILDING"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q03_left_outer_counts",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_name,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q03_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2-shaped left-outer join (pub ⟕ funder —
+    publish/publication.py:79) preserving unmatched left rows."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
+    "q04_anti_orphans",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def q04_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — orphan detection as a left-anti join (the reference's
+    DELETE-orphan-publications NOT EXISTS,
+    harvest_incremental/deduplicate.py:220-232). The price predicate
+    keeps the result non-empty at every test scale factor."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return t["customer"].join(
+        t["orders"].where(F.col("o_totalprice") > 300000),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q05_semi_join",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, p.p_brand
+    FROM part p
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45
+    )
+    """,
+)
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3-shaped semi join (author lookup by id-list,
+    sul_pub.py:68-87): EXISTS without multiplying rows."""
+    t = load_tables(spark, sf_dir, "part", "lineitem")
+    return t["part"].join(
+        t["lineitem"].where(F.col("l_quantity") > 45),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@register(
+    "q06_dup_detect",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING count(*) > 1
+    """,
+)
+def q06_dup_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — duplicate detection: GROUP BY key HAVING count>1
+    (deduplicate.py:38-184's five platform-id variants)."""
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+@register(
+    "q07_survivor_dedup",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, round(value, 2) AS value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    headline=True,
+)
+def q07_survivor_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A6 — survivor selection: newest row per group wins
+    (merge_pubs newest-updated_at survivor, deduplicate.py:187-217;
+    latest-record-per-orcid, mais.py:140-147). Ranking window, one
+    shuffle on the group key."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+@register(
+    "q08_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(coalesce(CAST(json_extract_string(props, '$.k') AS INTEGER), -1)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q08_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 rule-cascade shape: JSON path extraction with a coalesce
+    fallback (JsonPathRule + first(), distiller/utils.py:54-132) —
+    expressed with get_json_object, no jsonpath UDF needed."""
+    t = load_tables(spark, sf_dir, "events")
+    k = F.coalesce(
+        F.get_json_object("props", "$.k").cast("int"), F.lit(-1)
+    )
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg(k), 4).alias("avg_k"))
+    )
+
+
+@register(
+    "q09_any_agg",
+    oracle="""
+    SELECT l_orderkey,
+           bool_or(l_returnflag = 'R') AS any_returned,
+           bool_and(l_linestatus = 'F') AS all_finished
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q09_any_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A9 — any()/all() over a group (federally_funded's
+    jsonb_agg_strict + any(), publish/publication.py:52-58,108;
+    academic_council_authored, distill.py:72-86)."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.bool_or(F.col("l_returnflag") == "R").alias("any_returned"),
+            F.bool_and(F.col("l_linestatus") == "F").alias("all_finished"),
+        )
+    )
+
+
+@register(
+    "q10_greatest",
+    oracle="""
+    SELECT l_orderkey,
+           round(max(greatest(l_quantity, l_discount * 100, l_tax * 100)), 2) AS max_signal
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q10_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8 — greatest across columns (max citation count across
+    sources, distiller/citation_count.py:4-21; last_harvested,
+    schema/rialto.py:102-114)."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    sig = F.greatest(
+        F.col("l_quantity"), F.col("l_discount") * 100, F.col("l_tax") * 100
+    )
+    return (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.round(F.max(sig), 2).alias("max_signal"))
+    )
+
+
+@register(
+    "q11_piped_set",
+    oracle="""
+    SELECT o.o_orderkey,
+           string_agg(DISTINCT l.l_returnflag, '|' ORDER BY l.l_returnflag) AS flags
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def q11_piped_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/O3/N5 — distinct-sort-pipe-join of grouped values (ISSN and
+    ORCID unions, distiller/journal_issn.py:5-48; piped(),
+    utils.py:172-182)."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    return (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("l_returnflag")), "|"
+            ).alias("flags")
+        )
+    )
+
+
+@register(
+    "q12_normalize_doi",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'https://doi.org/10.1234/' || doc_id
+               WHEN 1 THEN 'DOI: 10.5678/ ' || doc_id
+               WHEN 2 THEN 'arXiv:2202.0' || doc_id
+               WHEN 3 THEN '10.1562/"' || doc_id
+               ELSE 'no-doi-here-' || doc_id
+             END AS raw_doi
+      FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id, raw_doi,
+             regexp_extract(
+               regexp_replace(
+                 regexp_replace(lower(raw_doi), '[ \\\\]', '', 'g'),
+                 '^arxiv:', '10.48550/arxiv.'),
+               '(10\\..+)', 1) AS extracted
+      FROM raw
+    )
+    SELECT doc_id,
+           CASE
+             WHEN raw_doi IS NULL OR trim(raw_doi) = '' THEN NULL
+             WHEN strpos(raw_doi, '"') > 0 THEN NULL
+             WHEN extracted = '' THEN NULL
+             ELSE extracted
+           END AS doi
+    FROM cleaned
+    """,
+)
+def q12_normalize_doi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 — normalize_doi as a Column expression chain
+    (utils.py:88-119), exercised over synthesized DOI-ish strings."""
+    from rialto_airflow_spark.functions.normalize import normalize_doi
+
+    t = load_tables(spark, sf_dir, "documents")
+    raw = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("https://doi.org/10.1234/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("DOI: 10.5678/ "), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("arXiv:2202.0"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit('10.1562/"'), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("no-doi-here-"), F.col("doc_id")))
+    )
+    return t["documents"].select(
+        "doc_id", normalize_doi(raw).alias("doi")
+    )
+
+
+@register(
+    "q13_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q13_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 — global top-k with deterministic tie-break
+    (ORDER BY … LIMIT, schema/rialto.py:229-239). Spark executes as
+    TakeOrderedAndProject — no full sort."""
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+    )
+
+
+@register(
+    "q14_window_rank",
+    oracle="""
+    SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS c_acctbal, rnk
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
+             ) AS rnk
+      FROM customer
+    )
+    WHERE rnk <= 3
+    """,
+)
+def q14_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — ranking window, top-N per group (the window the Spark
+    build uses for A3/A6 survivor selection)."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        t["customer"]
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "rnk"
+        )
+    )
+
+
+@register(
+    "q15_merge_upsert",
+    oracle="""
+    WITH existing AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    batch AS (
+      SELECT o_orderkey, round(o_totalprice + 1000.0, 2) AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    )
+    SELECT coalesce(e.o_orderkey, b.o_orderkey) AS o_orderkey,
+           round(coalesce(b.o_totalprice, e.o_totalprice), 2) AS o_totalprice,
+           coalesce(b.o_orderstatus, e.o_orderstatus) AS o_orderstatus
+    FROM existing e FULL OUTER JOIN batch b ON e.o_orderkey = b.o_orderkey
+    """,
+)
+def q15_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — MERGE on natural key: matched rows take the batch's
+    columns, unmatched batch rows insert, untouched rows survive
+    (INSERT … ON CONFLICT (doi) DO UPDATE, openalex.py:86-114)."""
+    from rialto_airflow_spark.operators.merge import merge_on_key
+
+    t = load_tables(spark, sf_dir, "orders")
+    orders = t["orders"]
+    existing = orders.where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+    batch = orders.where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    merged = merge_on_key(existing, batch, "o_orderkey")
+    return merged.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+@register(
+    "q16_watermark_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15' AND event_type IN ('purchase', 'signup')
+    """,
+)
+def q16_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P5 — incremental watermark predicate (updated_at >=
+    harvest.created_at, openalex.py:161-173): a plain pushed-down
+    filter; .explain shows it in PushedFilters at the parquet scan."""
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .where(
+            (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+            & F.col("event_type").isin("purchase", "signup")
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@register(
+    "q17_array_distill",
+    oracle="""
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list_sort(list_distinct(
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> len(x) >= 6))), '|'), '') AS long_words,
+           len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS n_distinct_words
+    FROM documents
+    """,
+)
+def q17_array_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-U3/O3 — array union→distinct→sort→pipe-join over
+    higher-order functions (journal_issn/author_orcids distillers)."""
+    t = load_tables(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    return t["documents"].select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.filter(words, lambda x: F.length(x) >= 6))
+            ),
+            "|",
+        ).alias("long_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -74,7 +75,18 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
         )
     out = {}
     for name in names:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            # events.ts is a parquet TIMESTAMP(NANOS) column, which the
+            # Spark vectorized reader rejects; read nanos as long and
+            # truncate to microseconds (same truncation DuckDB applies).
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.expr("timestamp_micros(ts div 1000)")
+                )
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
