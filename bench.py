@@ -14,8 +14,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from rialto_airflow_spark.plans.queries import REGISTRY  # noqa: E402
+from rialto_airflow_spark.plans.queries import REGISTRY, queries  # noqa: E402
 from rialto_airflow_spark.session import get_spark  # noqa: E402
+
+queries()  # load extension registries
 
 
 def main() -> None:

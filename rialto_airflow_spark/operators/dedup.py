@@ -1,0 +1,371 @@
+"""Deduplication operators for large-scale corpora.
+
+Scale design (the point of this module): nothing here ever builds an
+all-pairs product over the corpus. Every near-dup path follows
+   signature (per-row, map-only)
+   → bucket (shuffle on short keys)
+   → candidate pairs (join inside buckets only)
+   → verify (exact measure on candidates)
+which is the standard LSH factorization that holds at 100 TB: the only
+shuffles key on band/bucket hashes, and skewed buckets are bounded by
+the band width (plus AQE skew splitting).
+
+Determinism contract: signatures are md5-based (stable across engines
+and runs), not Spark's murmur `hash()`, so DuckDB oracles can verify
+results bit-for-bit. Swap `_hstr` for xxhash64 when cross-engine
+reproducibility is not needed and raw speed is.
+
+Reference tie-in: the reference dedups publications by exact platform
+IDs with newest-wins survivor selection
+(harvest_incremental/deduplicate.py:38-217); `exact_dedup` +
+`survivor_select` reproduce that; the near-dup family extends it to
+content identity for training-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rialto_airflow_spark.operators.text import ngram_strings
+
+
+def _hstr(col: Column, salt: int | str) -> Column:
+    """Deterministic salted string hash (md5 hex)."""
+    return F.md5(F.concat_ws("#", col, F.lit(str(salt))))
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition iff the input is under-partitioned for CPU-bound
+    per-row work. Parquet scans of small/few files yield 1-2 input
+    partitions; expression-heavy stages (hashing every shingle of
+    every document) then run nearly serially. At real scale the file
+    layout provides parallelism and this is a no-op.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def bind_once(expensive: Column, body) -> Column:
+    """Evaluate ``expensive`` once per row and feed it to ``body``.
+
+    Catalyst's CollapseProject inlines projected expressions into
+    every downstream reference, so an expression used N times is
+    computed N times. Wrapping it as the element of a 1-element array
+    and referencing it through a transform lambda variable forces
+    single evaluation: lambda variables are bound values, not
+    substituted expressions.
+    """
+    return F.transform(F.array(expensive), body)[0]
+
+
+def _h64(col: Column, salt: int | str) -> Column:
+    """Deterministic salted 32-bit integer hash derived from md5."""
+    return F.conv(F.substring(_hstr(col, salt), 1, 8), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# exact + survivor selection
+# ---------------------------------------------------------------------------
+
+
+def content_hash(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, order_col: str, keep: str = "first"
+) -> DataFrame:
+    """Exact dedup: group rows by md5(content); within each group keep
+    the first/last row by order_col (newest-wins when order_col is a
+    recency column and keep='last' — deduplicate.py:187-199).
+
+    One shuffle on the 128-bit content hash; group skew is impossible
+    beyond true duplicate multiplicity.
+    """
+    h = content_hash(content_col).alias("__h")
+    oc = F.col(order_col)
+    w = Window.partitionBy("__h").orderBy(
+        oc.asc() if keep == "first" else oc.desc()
+    )
+    return (
+        df.select("*", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def survivor_select(
+    df: DataFrame, key_cols: list[str], order_col: str
+) -> DataFrame:
+    """A3/A6 — newest row per key survives (merge_pubs,
+    deduplicate.py:187-217; latest-per-orcid, mais.py:140-147)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _sig_expr(sh: Column, num_perm: int) -> Column:
+    """MinHash signature (array of num_perm hex mins) from a bound
+    shingle-array lambda variable — shingles hashed once per salt."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh, lambda s: F.md5(F.concat_ws("#", s, i.cast("string")))
+            )
+        ),
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: min over shingles of
+    md5(shingle # i) for each of num_perm salted hash functions.
+
+    Map-only — no explode, no shuffle. Returns id + an array column
+    ``minhash_sig`` (keeping the signature as ONE array avoids
+    CollapseProject re-inlining the shingle computation per element)."""
+    shingles = F.array_distinct(ngram_strings(text_col, shingle_n))
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        bind_once(shingles, lambda sh: _sig_expr(sh, num_perm)).alias("minhash_sig"),
+    )
+
+
+def banded_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows — shingles → signature → bands
+    in ONE bound expression per row (each stage evaluated exactly
+    once), then explode. Map-only until the explode."""
+    rows = num_perm // bands
+    shingles = F.array_distinct(ngram_strings(text_col, shingle_n))
+
+    def all_bands(sh: Column) -> Column:
+        sig = _sig_expr(sh, num_perm)
+        return bind_once(
+            sig,
+            lambda sg: F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.transform(
+                                F.sequence(F.lit(0), F.lit(rows - 1)),
+                                lambda r: F.element_at(sg, b * rows + r + 1),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            ),
+        )
+
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col), F.explode(bind_once(shingles, all_bands)).alias("band")
+        )
+        .select(
+            id_col,
+            F.col("band.band_idx").alias("band_idx"),
+            F.col("band.band_hash").alias("band_hash"),
+        )
+    )
+
+
+def lsh_candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """Candidate pairs colliding in ≥1 band. The self-join keys on
+    (band_idx, band_hash): only same-bucket rows meet, so cost is the
+    sum of squared bucket sizes, never n².
+
+    The banded relation feeds both join sides; persisting it halves
+    the signature computation (Spark would otherwise recompute the
+    lineage per side). MEMORY_AND_DISK so big corpora spill instead
+    of OOM."""
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash LSH near-duplicate pairs (id_a < id_b)."""
+    banded = banded_rows(df, id_col, text_col, num_perm, bands, shingle_n)
+    return lsh_candidate_pairs(banded, id_col)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash over whitespace tokens: bit b of the hash is 1 iff the
+    sum over tokens of (+1 if bit b of md5-derived token hash else -1)
+    is positive. Map-only per document (tokens × bits inside one array
+    expression, no explode/shuffle)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    tok_hashes = F.transform(toks, lambda w: _h64(w, "simhash"))
+
+    def body(th: Column) -> Column:
+        # th is the bound token-hash array: hashed once per row, then
+        # 32 cheap integer-vote aggregates over it
+        def vote(b: int):
+            return F.aggregate(
+                th,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            )
+
+        total = F.lit(0).cast("long")
+        for b in range(bits):
+            total = total + F.when(vote(b) > 0, F.lit(2**b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return total
+
+    return ensure_parallelism(df).select(
+        F.col(id_col), bind_once(tok_hashes, body).alias("simhash")
+    )
+
+
+def hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verify
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs formed INSIDE blocks
+    (never across the whole corpus). Blocks come from cheap equality
+    keys (language, source, length bucket, or an LSH band); pair cost
+    is bounded by the square of the largest block, which AQE skew
+    handling further splits at scale."""
+    shingled = ensure_parallelism(df).select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(ngram_strings(text_col, shingle_n)).alias("__sh"),
+    )
+    a, b = shingled.alias("a"), shingled.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    union = F.size(F.array_union(F.col("a.__sh"), F.col("b.__sh")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, computed in
+    double precision with deterministic left-to-right summation."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda v: F.aggregate(  # noqa: E731
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.sqrt(sq(a)) * F.sqrt(sq(b)))
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks (e.g. a
+    cluster label, an LSH sign-bucket — see similarity.sign_bucket).
+    Same blocked-pair discipline as ngram_jaccard_pairs."""
+    a, b = df.alias("a"), df.alias("b")
+    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns.
+
+Two paths:
+  * brute_force_topk — exact: queries × corpus blocked join. Correct
+    baseline at any scale where |queries| is small (broadcast the
+    queries, never the corpus); cost |Q|·|corpus|, fully partition-
+    parallel, no shuffle beyond the final per-query top-k.
+  * lsh_topk — approximate: both sides bucketed by deterministic
+    sign-bit LSH (an IVF-style coarse quantizer); candidate set is
+    one bucket, so corpus-side cost drops by ~2^bits. Recall is
+    tunable with multi-probe (probe adjacent buckets) — not needed at
+    test scale.
+
+Cosine runs in double precision with deterministic summation order so
+the DuckDB oracle reproduces scores exactly; ranks tie-break on the
+neighbor id to stay stable under float jitter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rialto_airflow_spark.operators.dedup import cosine
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """Deterministic LSH bucket: bit i is the sign of dimension i.
+    For zero-centered embeddings this is a fixed random-hyperplane
+    sketch with axis-aligned planes (no RNG → engine-portable)."""
+    b = F.lit(0).cast("long")
+    for i in range(bits):
+        b = b + F.when(
+            F.element_at(vec, i + 1).cast("double") > 0, F.lit(2**i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return b
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (excluding self).
+
+    queries is expected to be small → broadcast; the corpus streams
+    through map partitions; one shuffle for the per-query top-k window.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: search only the query's sign-bucket.
+
+    The bucket join keys on a short int — at scale this is the IVF
+    pattern: partition the corpus by bucket once (bucketBy on write),
+    then probes are partition-pruned lookups instead of full scans.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        sign_bucket(F.col(vec_col), bits).alias("__qb"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        sign_bucket(F.col(vec_col), bits).alias("__cb"),
+    )
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    scored = (
+        q.join(
+            c,
+            (F.col("__qb") == F.col("__cb"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", sim.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

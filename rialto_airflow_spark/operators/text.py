@@ -1,0 +1,140 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no
+Python UDFs — so they scale linearly with partitions: every operator
+here is embarrassingly parallel per-row, no shuffle at all.
+
+Determinism contract: anything hash-based uses md5 over explicit
+string encodings so results are reproducible across engines (the
+DuckDB oracles compute the identical values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny embedded stopword list — enough for ratio features; a real
+# deployment would broadcast a bigger lexicon
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "it", "for", "on")
+
+# deterministic marker-token table for the n-gram language heuristic;
+# the classifier is argmax of marker hits with first-marker tie-break
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "das"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "des"),
+    "zh": ("de", "shi", "bu"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish sub-token count: letter runs, single digits, and single
+    punctuation marks each count as one token (a cheap proxy for a BPE
+    vocab's behavior on ASCII text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"), F.lit(0))
+    )
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    toks = tokens(col)
+    stop = F.filter(
+        toks, lambda x: F.lower(x).isin(*STOPWORDS)
+    )
+    return F.when(F.size(toks) > 0, F.size(stop) / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1]: rewards
+    mid-length documents and typical stopword density, penalizes
+    punctuation soup. Deterministic, branch-free, vectorized."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(c) * 10.0)
+    return (len_score * 0.4 + stop_score * 0.4 + punct_pen * 0.2)
+
+
+def lang_id(col: Column | str) -> Column:
+    """N-gram-heuristic language ID: count marker-token hits per
+    language over the whitespace tokens; argmax wins, ties broken by
+    the LANG_MARKERS declaration order; zero hits → 'und'."""
+    toks_lower = F.transform(tokens(col), F.lower)
+
+    def marker_hits(markers: tuple[str, ...]):
+        # factory keeps the filter lambda strictly 1-arg (2-arg HOF
+        # lambdas receive the element index as the second parameter)
+        return F.size(F.filter(toks_lower, lambda x: x.isin(*markers)))
+
+    scores = [
+        (lang, marker_hits(markers)) for lang, markers in LANG_MARKERS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, s in reversed(scores):
+        expr = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def ngram_strings(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams as space-joined strings (shingles)."""
+    toks = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def fingerprint(col: Column | str, n: int = 3, k: int = 4) -> Column:
+    """Document fingerprint: the k lexicographically-smallest md5s of
+    the word n-gram set, pipe-joined (a MinHash-style content sketch;
+    stable under small edits, cheap to compare with equality)."""
+    hashes = F.array_sort(
+        F.array_distinct(F.transform(ngram_strings(col, n), F.md5))
+    )
+    return F.array_join(F.slice(hashes, 1, k), "|")
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document profile: token counts, ratios, quality,
+    language guess, fingerprint. No shuffle; scales with partitions."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        F.round(stopword_ratio(text_col), 4).alias("stop_ratio"),
+        F.round(punct_ratio(text_col), 4).alias("punct_ratio"),
+        F.round(quality_score(text_col), 4).alias("quality"),
+        lang_id(text_col).alias("lang_guess"),
+        fingerprint(text_col).alias("fp"),
+    )

@@ -1,0 +1,389 @@
+"""LLM-training-data pipeline queries: dedup (exact / MinHash-LSH /
+SimHash / n-gram Jaccard / embedding-cosine), similarity search
+(brute-force + LSH-bucketed ANN), and text analysis — each with a
+DuckDB oracle computing the identical deterministic result.
+
+Near-dup queries synthesize duplicates on the fly (the driver corpus
+has none): exact dups copy every 10th doc verbatim; near dups append
+one token to every 10th doc. Both corpora are deterministic, so the
+oracles rebuild them with plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rialto_airflow_spark.operators import dedup as D
+from rialto_airflow_spark.operators import similarity as S
+from rialto_airflow_spark.operators import text as T
+from rialto_airflow_spark.plans.queries import register
+from rialto_airflow_spark.session import load_tables
+
+# shared SQL fragments -------------------------------------------------------
+
+# exact-dup corpus: every 10th doc duplicated verbatim under a new id
+SQL_DUP_CORPUS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+# near-dup corpus: every 10th doc re-appended with one extra token
+SQL_NEAR_CORPUS = """
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz near dup token pad' AS text,
+         lang, source
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+# word 3-gram shingles of column t, as a distinct list of strings
+SQL_SHINGLES = """
+  list_distinct(
+    list_transform(
+      range(1, greatest(len(regexp_split_to_array(trim({t}), '\\s+')) - 2, 0) + 1),
+      i -> array_to_string(regexp_split_to_array(trim({t}), '\\s+')[i:i+2], ' ')
+    )
+  )
+"""
+
+
+def _spark_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    extra = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(extra)
+
+
+def _spark_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    extra = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz near dup token pad")).alias("text"),
+        "lang",
+        "source",
+    )
+    return docs.select("doc_id", "text", "lang", "source").unionByName(extra)
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({SQL_DUP_CORPUS})
+    SELECT doc_id, md5(text) AS content_hash
+    FROM (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM corpus
+    ) WHERE rn = 1
+    """,
+    headline=True,
+)
+def q20_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy survivor selection (operators.dedup.
+    exact_dedup) — smallest id per content hash survives."""
+    corpus = _spark_dup_corpus(spark, sf_dir)
+    return D.exact_dedup(corpus, "text", "doc_id", keep="first").select(
+        "doc_id", D.content_hash("text").alias("content_hash")
+    )
+
+
+NUM_PERM, BANDS = 12, 4
+_ROWS = NUM_PERM // BANDS
+
+
+def _minhash_oracle() -> str:
+    sh = SQL_SHINGLES.format(t="text")
+    mins = ",\n           ".join(
+        f"list_aggregate(list_transform(sh, s -> md5(s || '#{i}')), 'min') AS mh{i}"
+        for i in range(NUM_PERM)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * _ROWS + r}" for r in range(_ROWS)),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH corpus AS ({SQL_NEAR_CORPUS}),
+    shingled AS (SELECT doc_id, {sh} AS sh FROM corpus),
+    sig AS (SELECT doc_id,
+           {mins}
+           FROM shingled),
+    bands AS (
+{band_rows}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
+
+
+@register("q21_minhash_lsh", oracle=_minhash_oracle(), headline=True)
+def q21_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs (operators.dedup.
+    minhash_near_dups): 12 salted md5 min-hashes, 4 bands × 3 rows."""
+    corpus = _spark_near_corpus(spark, sf_dir)
+    return D.minhash_near_dups(
+        corpus, "doc_id", "text", num_perm=NUM_PERM, bands=BANDS, shingle_n=3
+    )
+
+
+@register(
+    "q22_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w || '#simhash'), 1, 8) AS BIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b.b AS b,
+             sum(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash content sketch, 32 bits (operators.dedup.simhash)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = D.simhash(docs, "doc_id", "text", bits=32)
+    return out.select("doc_id", F.col("simhash").cast("decimal(20,0)").alias("simhash"))
+
+
+@register(
+    "q23_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({SQL_NEAR_CORPUS}),
+    shingled AS (
+      SELECT doc_id, lang, source, {SQL_SHINGLES.format(t="text")} AS sh
+      FROM corpus
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(
+             len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM shingled a JOIN shingled b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+)
+def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked on (lang, source)
+    (operators.dedup.ngram_jaccard_pairs)."""
+    corpus = _spark_near_corpus(spark, sf_dir)
+    return D.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", ["lang", "source"], shingle_n=3, threshold=0.5
+    )
+
+
+_COS = """
+      sum(qv[d.i]::DOUBLE * cv[d.i]::DOUBLE)
+      / (sqrt(sum(qv[d.i]::DOUBLE * qv[d.i]::DOUBLE))
+         * sqrt(sum(cv[d.i]::DOUBLE * cv[d.i]::DOUBLE)))
+"""
+
+
+@register(
+    "q24_embed_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, round({_COS}, 6) AS score
+      FROM q JOIN c ON query_id != neighbor_id
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+      GROUP BY query_id, neighbor_id, qv, cv
+    )
+    SELECT query_id, rank, neighbor_id, score FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    headline=True,
+)
+def q24_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search
+    (operators.similarity.brute_force_topk): queries broadcast,
+    corpus streamed, per-query top-k window."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return S.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 8), "vec_id", "embedding", k=5
+    )
+
+
+_BUCKET = """
+      (CASE WHEN {v}[1]  > 0 THEN 1   ELSE 0 END +
+       CASE WHEN {v}[2]  > 0 THEN 2   ELSE 0 END +
+       CASE WHEN {v}[3]  > 0 THEN 4   ELSE 0 END +
+       CASE WHEN {v}[4]  > 0 THEN 8   ELSE 0 END +
+       CASE WHEN {v}[5]  > 0 THEN 16  ELSE 0 END +
+       CASE WHEN {v}[6]  > 0 THEN 32  ELSE 0 END +
+       CASE WHEN {v}[7]  > 0 THEN 64  ELSE 0 END +
+       CASE WHEN {v}[8]  > 0 THEN 128 ELSE 0 END)
+"""
+
+
+@register(
+    "q25_ann_lsh",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                      {_BUCKET.format(v="embedding")} AS qb
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                 {_BUCKET.format(v="embedding")} AS cb
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, round({_COS}, 6) AS score
+      FROM q JOIN c ON qb = cb AND query_id != neighbor_id
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+      GROUP BY query_id, neighbor_id, qv, cv
+    )
+    SELECT query_id, rank, neighbor_id, score FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q25_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors
+    (operators.similarity.lsh_topk): sign-bit coarse quantizer (IVF
+    pattern), search only the query's bucket."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return S.lsh_topk(
+        emb, emb.where(F.col("vec_id") < 50), "vec_id", "embedding", k=3, bits=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: f"len(list_filter(toks, x -> list_contains({list(m)}, x)))"
+        for lang, m in T.LANG_MARKERS.items()
+    }
+    selects = ",\n             ".join(f"{sql} AS s_{lang}" for lang, sql in score.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in T.LANG_MARKERS) + ")"
+    case = "\n             ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in T.LANG_MARKERS
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, {selects}
+      FROM tok
+    )
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+             {case}
+             ELSE 'und' END AS lang_guess
+    FROM (SELECT *, {best} AS best FROM scored)
+    """
+
+
+@register("q26_lang_id", oracle=_lang_oracle())
+def q26_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (operators.text.lang_id)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", T.lang_id("text").alias("lang_guess"))
+
+
+@register(
+    "q27_quality_score",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 x -> list_contains(['the','a','of','and','in','to','is','it','for','on'], lower(x))))::DOUBLE
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS stop_r,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+               / length(text) AS punct_r,
+             length(text) AS n_chars2
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(stop_r, 4) AS stop_ratio,
+           round(punct_r, 4) AS punct_ratio,
+           round(least(n_chars2 / 500.0, 1.0) * 0.4
+                 + least(stop_r * 5.0, 1.0) * 0.4
+                 + greatest(0.0, 1.0 - punct_r * 10.0) * 0.2, 4) AS quality
+    FROM feat
+    """,
+)
+def q27_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (operators.text.quality_score):
+    length / stopword / punctuation features, composite in [0,1]."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.round(T.stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(T.punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(T.quality_score("text"), 4).alias("quality"),
+    )
+
+
+@register(
+    "q28_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q28_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex sub-tokens
+    (operators.text.token_count / bpe_ish_token_count)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "q29_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(
+             list_sort(list_distinct(
+               list_transform({SQL_SHINGLES.format(t="text")}, s -> md5(s))
+             ))[1:4], '|') AS fp
+    FROM documents
+    """,
+)
+def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: k-smallest shingle hashes
+    (operators.text.fingerprint)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", T.fingerprint("text", n=3, k=4).alias("fp"))

@@ -572,13 +572,21 @@ def q17_array_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _load_extensions() -> None:
+    """Pull in the other registry modules (they self-register)."""
+    from rialto_airflow_spark.plans import llm_queries  # noqa: F401
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
 
 
 def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {n: s.fn for n, s in REGISTRY.items() if s.headline}

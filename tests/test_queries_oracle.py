@@ -5,9 +5,10 @@ from __future__ import annotations
 
 import pytest
 
-from rialto_airflow_spark.plans.queries import REGISTRY
+from rialto_airflow_spark.plans.queries import REGISTRY, queries
 from tests.oracle_util import compare
 
+queries()  # load extension registries
 NAMES = sorted(REGISTRY)
 
 
