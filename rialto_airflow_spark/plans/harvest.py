@@ -1,0 +1,278 @@
+"""Harvest post-processing plans: per-source MERGE, platform-ID
+dedup with edge re-pointing, orphan removal, funder linking, and the
+author-derived flags (SURVEY.md §2.10, §2.4 A2/A3/A9, §2.3 J4/J5/J9).
+
+The reference walks duplicate groups row-by-row in Python
+(harvest_incremental/deduplicate.py, funders/linker.py); here each
+pass is one window/join plan. Sequential pass order (openalex → dim →
+sulpub → wos_id → pubmed_id — deduplicate.py:14-35) is preserved
+because each merge changes the survivor set for the next key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rialto_airflow_spark.functions.normalize import normalize_funder_name
+from rialto_airflow_spark.operators.merge import merge_on_key
+
+# the five platform-identity keys, in reference pass order
+# (deduplicate.py:38-184)
+PLATFORM_KEYS: tuple[tuple[str, str], ...] = (
+    ("openalex", "get_json_object(openalex_json, '$.id')"),
+    ("dim", "get_json_object(dim_json, '$.id')"),
+    ("sulpub", "get_json_object(sulpub_json, '$.sulpubid')"),
+    ("wos_id", "wos_id"),
+    ("pubmed_id", "pubmed_id"),
+)
+
+
+def upsert_source_batch(
+    pubs: DataFrame, batch: DataFrame, source: str, now: Column | None = None
+) -> DataFrame:
+    """M2 — per-source publication upsert by DOI (openalex.py:86-106
+    and siblings): on DOI match only that source's columns update;
+    null-DOI rows always insert; updated_at refreshes on touch."""
+    update_cols = [c for c in batch.columns if c != "doi"]
+    return merge_on_key(
+        pubs,
+        batch,
+        "doi",
+        update_cols=update_cols,
+        updated_at_col="updated_at",
+        now=now,
+        broadcast_batch=False,
+    )
+
+
+def dedup_pass(
+    pubs: DataFrame,
+    author_edges: DataFrame,
+    funder_edges: DataFrame,
+    key_expr: str,
+    id_col: str = "id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One platform-key dedup pass (A2 detect + A3 merge).
+
+    Scope: rows with null DOI and a non-null key (deduplicate.py:
+    43-46). Survivor = newest updated_at (merge_pubs sort,
+    deduplicate.py:195-198; ties broken by id for determinism);
+    edges of losers re-point to the survivor with ON CONFLICT DO
+    NOTHING semantics (dropDuplicates); losers are deleted.
+
+    One shuffle on the key for the window + one broadcast-able join
+    per edge table (the old->survivor map is tiny relative to edges).
+    """
+    key = F.expr(key_expr)
+    scoped = pubs.where(F.col("doi").isNull() & key.isNotNull()).select(
+        F.col(id_col), key.alias("__key"), F.col("updated_at")
+    )
+    w = Window.partitionBy("__key").orderBy(
+        F.col("updated_at").desc(), F.col(id_col).asc()
+    )
+    ranked = scoped.select(
+        F.col(id_col),
+        F.col("__key"),
+        F.row_number().over(w).alias("__rn"),
+        F.first(F.col(id_col)).over(w).alias("__survivor"),
+    )
+    losers = ranked.where(F.col("__rn") > 1).select(
+        F.col(id_col).alias("__old"), F.col("__survivor")
+    )
+
+    def repoint(edges: DataFrame) -> DataFrame:
+        e = edges.join(
+            F.broadcast(losers), edges["publication_id"] == F.col("__old"), "left"
+        )
+        return e.select(
+            F.coalesce(F.col("__survivor"), F.col("publication_id")).alias(
+                "publication_id"
+            ),
+            *[c for c in edges.columns if c != "publication_id"],
+        ).dropDuplicates(edges.columns)
+
+    pubs_out = pubs.join(
+        F.broadcast(losers), pubs[id_col] == losers["__old"], "left_anti"
+    )
+    return pubs_out, repoint(author_edges), repoint(funder_edges)
+
+
+def remove_duplicates(
+    pubs: DataFrame, author_edges: DataFrame, funder_edges: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """A2/A3 — all five platform-key passes in reference order."""
+    for _, key_expr in PLATFORM_KEYS:
+        pubs, author_edges, funder_edges = dedup_pass(
+            pubs, author_edges, funder_edges, key_expr
+        )
+    return pubs, author_edges, funder_edges
+
+
+def remove_orphans(pubs: DataFrame, author_edges: DataFrame) -> DataFrame:
+    """J4 — delete publications with no author edge
+    (deduplicate.py:220-232): keep = left_semi."""
+    return pubs.join(
+        author_edges,
+        pubs["id"] == author_edges["publication_id"],
+        "left_semi",
+    )
+
+
+def funder_surrogate_id(grid_id: Column) -> Column:
+    """Deterministic surrogate key for the funder dim (replaces the
+    Postgres autoincrement, SURVEY §1.3): stable across runs and
+    executors, joinable without a driver-side counter."""
+    return F.xxhash64(grid_id)
+
+
+def link_funders(
+    pubs_parsed: DataFrame,
+    funders: DataFrame,
+    funder_edges: DataFrame,
+    federal_dim: DataFrame,
+    openalex_funder_dim: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """J9/M3/M4 — funder linking (funders/linker.py:26-156).
+
+    Only publications lacking any funder edge are processed (P7,
+    linker.py:38-44). Dimensions leg: explode dim_json.funders[]
+    (grid_id + name required); federal = GRID in the federal dim OR
+    normalized name matches (J7, dataset.py:8-23). OpenAlex leg:
+    explode openalex_json.grants[].funder through the pre-materialized
+    funder dim (S11: openalex_id, ror_id, grid_id, name, federal) —
+    the set-based stand-in for the per-row API lookup
+    (linker.py:159-192), which requires ror→grid resolution.
+
+    Returns (funder_dim_out, funder_edges_out). Funder upsert is a
+    MERGE on grid_id (M3); edge insert is union+dropDuplicates (M4).
+    """
+    unlinked = pubs_parsed.join(
+        funder_edges,
+        pubs_parsed["id"] == funder_edges["publication_id"],
+        "left_anti",
+    )
+
+    # --- Dimensions leg (linker.py:33-66) ---
+    dim_funders = (
+        unlinked.where(F.col("dim_json").isNotNull())
+        .select(
+            F.col("id").alias("publication_id"),
+            F.explode(
+                F.from_json(
+                    F.get_json_object("dim_json", "$.funders"),
+                    "array<struct<id: string, name: string>>",
+                )
+            ).alias("f"),
+        )
+        .select(
+            "publication_id",
+            F.col("f.id").alias("grid_id"),
+            F.col("f.name").alias("name"),
+        )
+        .where(F.col("grid_id").isNotNull() & F.col("name").isNotNull())
+    )
+    fed = F.broadcast(federal_dim)
+    by_grid = dim_funders.join(
+        fed.select(F.col("grid_id").alias("__fg")),
+        F.col("grid_id") == F.col("__fg"),
+        "left",
+    )
+    by_name = by_grid.join(
+        fed.select(F.col("normalized_name").alias("__fn")).distinct(),
+        normalize_funder_name(F.col("name")) == F.col("__fn"),
+        "left",
+    )
+    dim_resolved = by_name.select(
+        "publication_id",
+        "grid_id",
+        "name",
+        (F.col("__fg").isNotNull() | F.col("__fn").isNotNull()).alias("federal"),
+        F.lit(None).cast("string").alias("ror_id"),
+        F.lit(None).cast("string").alias("openalex_id"),
+    )
+
+    # --- OpenAlex leg (linker.py:69-156) ---
+    if openalex_funder_dim is not None:
+        grants = (
+            unlinked.where(F.col("openalex_json").isNotNull())
+            .select(
+                F.col("id").alias("publication_id"),
+                F.explode(
+                    F.from_json(
+                        F.get_json_object("openalex_json", "$.grants"),
+                        "array<struct<funder: string>>",
+                    )
+                ).alias("g"),
+            )
+            .select("publication_id", F.col("g.funder").alias("__oa_id"))
+            .where(F.col("__oa_id").isNotNull())
+        )
+        oa_resolved = grants.join(
+            F.broadcast(openalex_funder_dim),
+            F.col("__oa_id") == openalex_funder_dim["openalex_id"],
+        ).select(
+            "publication_id",
+            "grid_id",
+            "name",
+            "federal",
+            "ror_id",
+            "openalex_id",
+        )
+        resolved = dim_resolved.unionByName(oa_resolved)
+    else:
+        resolved = dim_resolved
+
+    # --- M3 funder MERGE on grid_id + M4 edge union ---
+    new_funders = (
+        resolved.select("grid_id", "name", "federal", "ror_id", "openalex_id")
+        .dropDuplicates(["grid_id"])
+        .withColumn("id", funder_surrogate_id(F.col("grid_id")))
+    )
+    funders_out = merge_on_key(
+        funders,
+        new_funders.drop("id"),
+        "grid_id",
+        update_cols=["name", "federal"],
+    ).withColumn("id", funder_surrogate_id(F.col("grid_id")))
+
+    new_edges = resolved.select(
+        "publication_id", funder_surrogate_id(F.col("grid_id")).alias("funder_id")
+    )
+    edges_out = funder_edges.unionByName(new_edges).dropDuplicates(
+        ["publication_id", "funder_id"]
+    )
+    return funders_out, edges_out
+
+
+def author_flags(
+    pubs: DataFrame, author_edges: DataFrame, authors: DataFrame
+) -> DataFrame:
+    """A9/D18 — academic_council_authored / faculty_authored: any
+    linked author with the flag (harvest_incremental/distill.py:
+    72-86). Aggregated per publication before joining back, so the
+    author fan-out never multiplies publication rows."""
+    flags = (
+        author_edges.join(
+            F.broadcast(authors.select("id", "academic_council", "role")),
+            author_edges["author_id"] == authors["id"],
+        )
+        .groupBy("publication_id")
+        .agg(
+            F.coalesce(F.bool_or("academic_council"), F.lit(False)).alias(
+                "__council"
+            ),
+            F.coalesce(F.bool_or(F.col("role") == "faculty"), F.lit(False)).alias(
+                "__faculty"
+            ),
+        )
+    )
+    out = pubs.join(flags, pubs["id"] == flags["publication_id"], "left").drop(
+        "publication_id"
+    )
+    return out.withColumn(
+        "academic_council_authored", F.coalesce(F.col("__council"), F.lit(False))
+    ).withColumn(
+        "faculty_authored", F.coalesce(F.col("__faculty"), F.lit(False))
+    ).drop("__council", "__faculty")

@@ -1,0 +1,219 @@
+"""Report marts — publish_to_reports re-expressed as four DataFrame
+pipelines (publish/publication.py:40-338; grains per SURVEY §3.2).
+
+The reference streams each SELECT row-by-row into a TRUNCATEd table
+under SERIALIZABLE isolation; here each mart is one plan ending in
+dropDuplicates (the ON CONFLICT DO NOTHING analog) and an atomic
+overwrite write.
+
+Scale shape shared by all four marts: the funder-federal flag is
+aggregated per publication FIRST (one boolean per pub), then joined
+into the author fan-out — the funder multiplicity never crosses the
+author multiplicity, so the big join carries one row per edge, not
+per (edge × funder).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rialto_airflow_spark.functions.normalize import bool_to_csv, piped
+
+def source_coverage():
+    """P2 — drop OpenAlex-only publications
+    (publish/publication.py:80-86)."""
+    return (
+        F.col("pubmed_harvested").isNotNull()
+        | F.col("dim_harvested").isNotNull()
+        | F.col("wos_harvested").isNotNull()
+        | F.col("sulpub_harvested").isNotNull()
+    )
+
+
+def _federal_flags(funder_edges: DataFrame, funders: DataFrame) -> DataFrame:
+    """A1 — jsonb_agg_strict(federal) + any(): nulls dropped before
+    the any(), empty aggregation → False
+    (publish/publication.py:52-58,108)."""
+    return (
+        funder_edges.join(
+            funders.select(F.col("id").alias("__fid"), "federal"),
+            funder_edges["funder_id"] == F.col("__fid"),
+            "left",
+        )
+        .groupBy("publication_id")
+        .agg(F.coalesce(F.bool_or("federal"), F.lit(False)).alias("federally_funded"))
+    )
+
+
+def _with_federal(pubs: DataFrame, funder_edges: DataFrame, funders: DataFrame) -> DataFrame:
+    flags = _federal_flags(funder_edges, funders)
+    return pubs.join(
+        flags, pubs["id"] == flags["publication_id"], "left"
+    ).drop("publication_id").withColumn(
+        "federally_funded", F.coalesce(F.col("federally_funded"), F.lit(False))
+    )
+
+
+def mart_publications(
+    pubs: DataFrame, funder_edges: DataFrame, funders: DataFrame
+) -> DataFrame:
+    """publications — 1 row per publication
+    (publish/publication.py:40-118). Expects distilled columns."""
+    return (
+        _with_federal(pubs.where(source_coverage()), funder_edges, funders)
+        .select(
+            "doi",
+            "pub_year",
+            "apc",
+            piped("author_list_names").alias("author_list_names"),
+            "open_access",
+            piped("types").alias("types"),
+            "publisher",
+            "journal_name",
+            "title",
+            "federally_funded",
+            "academic_council_authored",
+            "faculty_authored",
+        )
+        .dropDuplicates()
+    )
+
+
+def _author_join(pubs: DataFrame, author_edges: DataFrame, authors: DataFrame) -> DataFrame:
+    return pubs.join(
+        author_edges, pubs["id"] == author_edges["publication_id"]
+    ).join(authors.select(
+        F.col("id").alias("__aid"), "sunet", "orcid", "role", "academic_council",
+        "primary_school", "primary_dept",
+    ), F.col("author_id") == F.col("__aid"))
+
+
+def mart_publications_by_school(
+    pubs: DataFrame,
+    author_edges: DataFrame,
+    authors: DataFrame,
+    funder_edges: DataFrame,
+    funders: DataFrame,
+) -> DataFrame:
+    """publications_by_school — 1 row per (pub, distinct author
+    primary_school) (publish/publication.py:120-181)."""
+    base = _with_federal(pubs.where(source_coverage()), funder_edges, funders)
+    return (
+        _author_join(base, author_edges, authors)
+        .select(
+            "academic_council_authored",
+            "apc",
+            "doi",
+            "faculty_authored",
+            "federally_funded",
+            "open_access",
+            "primary_school",
+            "pub_year",
+            piped("types").alias("types"),
+        )
+        .dropDuplicates()
+    )
+
+
+def mart_publications_by_department(
+    pubs: DataFrame,
+    author_edges: DataFrame,
+    authors: DataFrame,
+    funder_edges: DataFrame,
+    funders: DataFrame,
+) -> DataFrame:
+    """publications_by_department — 1 row per (pub, primary_school,
+    primary_dept) (publish/publication.py:184-246)."""
+    base = _with_federal(pubs.where(source_coverage()), funder_edges, funders)
+    return (
+        _author_join(base, author_edges, authors)
+        .select(
+            "academic_council_authored",
+            "apc",
+            "doi",
+            "faculty_authored",
+            "federally_funded",
+            "open_access",
+            "primary_school",
+            F.col("primary_dept").alias("primary_department"),
+            "pub_year",
+            piped("types").alias("types"),
+        )
+        .dropDuplicates()
+    )
+
+
+def mart_publications_by_author(
+    pubs: DataFrame,
+    author_edges: DataFrame,
+    authors: DataFrame,
+    funder_edges: DataFrame,
+    funders: DataFrame,
+) -> DataFrame:
+    """publications_by_author — 1 row per (pub, author), unique on
+    (doi, sunet) (publish/publication.py:249-338; reports.py:100-102).
+
+    The reference recomputes abstract/citation_count/pages/issue/
+    volume/author lists from raw JSON at publish time; our pubs frame
+    already carries them as distilled columns (same distillers, same
+    values), so this mart is a pure projection. grant_ids exists in
+    the schema but is never populated (reports.py:85) — kept null.
+    """
+    base = _with_federal(pubs.where(source_coverage()), funder_edges, funders)
+    return (
+        _author_join(base, author_edges, authors)
+        .select(
+            "abstract",
+            piped("author_list_names").alias("author_list_names"),
+            piped("author_list_orcids").alias("author_list_orcids"),
+            F.col("academic_council").alias("academic_council"),
+            "apc",
+            "citation_count",
+            "doi",
+            "federally_funded",
+            "first_author_name",
+            "first_author_orcid",
+            "issue",
+            "last_author_name",
+            "last_author_orcid",
+            "journal_name",
+            "open_access",
+            "orcid",
+            "pages",
+            "primary_school",
+            F.col("primary_dept").alias("primary_department"),
+            "publisher",
+            "role",
+            "sunet",
+            "pub_year",
+            "title",
+            piped("types").alias("types"),
+            "volume",
+            F.lit(None).cast("string").alias("grant_ids"),
+        )
+        .dropDuplicates(["doi", "sunet"])
+    )
+
+
+def format_for_download(df: DataFrame) -> DataFrame:
+    """K3 — CSV download formatting (publish/publication.py:400-421):
+    booleans rendered 'true'/'false', null → empty string."""
+    out = df
+    for name, dtype in df.dtypes:
+        if dtype == "boolean":
+            out = out.withColumn(name, bool_to_csv(name))
+    return out
+
+
+def write_mart(df: DataFrame, path: str) -> None:
+    """K2 — TRUNCATE+insert becomes an atomic overwrite."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def write_download_csv(df: DataFrame, path: str) -> None:
+    """K3 — single-file CSV with header (driver-side zip is an I/O
+    concern left to the orchestrator)."""
+    format_for_download(df).coalesce(1).write.mode("overwrite").csv(
+        path, header=True
+    )
