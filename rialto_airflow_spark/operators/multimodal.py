@@ -1,0 +1,120 @@
+"""Multimodal column operators: image/audio/video as opaque binary
+columns with typed metadata, processed in Arrow batches.
+
+Design (the part that matters at 100 TB): binary payloads ride in
+parquet binary columns next to their metadata; all per-item compute
+runs through mapInPandas so Arrow moves whole batches across the
+Python boundary once, and partitioning is by content hash so skewed
+producers don't hot-spot an executor. The decode step itself is
+STUBBED here (no image/audio libraries in this container) behind
+``NotImplementedError`` / deterministic fakes — the Spark-side
+plumbing (schema, batch shape, UDF signature, partitioning) is real
+and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# metadata carried alongside every binary payload
+MEDIA_META_DDL = (
+    "media_id bigint, kind string, content binary, n_bytes long, "
+    "content_md5 string"
+)
+
+FEATURE_DDL = (
+    "media_id bigint, kind string, n_bytes long, content_md5 string, "
+    "magic_int long, feature string"
+)
+
+
+def attach_binary(df: DataFrame, id_col: str, payload_col: str, kind: str) -> DataFrame:
+    """Wrap a payload column as an opaque binary media column with
+    typed metadata (id, kind, byte length, content hash). For real
+    media the payload arrives as bytes from the source; here any
+    string column can stand in (encoded utf-8)."""
+    content = F.col(payload_col).cast("binary")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        content.alias("content"),
+        F.length(content).cast("long").alias("n_bytes"),
+        F.md5(content).alias("content_md5"),
+    )
+
+
+def decode_media(content: bytes, kind: str) -> dict:
+    """STUB — the real decoder (PIL/ffmpeg/soundfile) is not in this
+    container. Deterministic fake: 'decodes' to the first 8 bytes as
+    a big-endian int plus a synthetic feature tag. Raises for kinds
+    that would need a true codec path."""
+    if kind not in ("image", "audio", "video", "text"):
+        raise NotImplementedError(f"no decoder for kind={kind}")
+    magic = int.from_bytes(content[:8].ljust(8, b"\0"), "big", signed=False) >> 1
+    return {"magic_int": magic, "feature": f"{kind}:{hashlib.md5(content).hexdigest()[:8]}"}
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over media rows
+    (mapInPandas): one Python crossing per batch, schema declared up
+    front so the plan stays typed."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_media(c, k) for c, k in zip(pdf["content"], pdf["kind"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["n_bytes"],
+                    "content_md5": pdf["content_md5"],
+                    "magic_int": [f["magic_int"] for f in feats],
+                    "feature": [f["feature"] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(batches, FEATURE_DDL)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB pipeline stage — real implementation would decode, resize
+    (PIL), re-encode inside the same mapInPandas pass. The plumbing
+    (pass-through schema + target-size metadata) is real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            # deterministic fake: a real resize would replace content
+            out["target"] = f"{width}x{height}"
+            yield out
+
+    schema = MEDIA_META_DDL + ", target string"
+    return df.mapInPandas(batches, schema)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """STUB frame sampling: emits one row per sampled 'frame' offset
+    (a real video path would demux). Demonstrates the 1→N explode
+    shape through mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                n = max(1, int(r["n_bytes"]) // every_n_bytes)
+                for f in range(n):
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": f,
+                            "offset": f * every_n_bytes,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "offset"])
+
+    return df.mapInPandas(batches, "media_id bigint, frame_idx int, offset long")

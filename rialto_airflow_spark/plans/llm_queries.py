@@ -371,6 +371,53 @@ def q28_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAGIC_INT = " + ".join(
+    f"(ascii(substr(text, {i + 1}, 1)) * {256 ** (7 - i)}::BIGINT)" for i in range(8)
+)
+
+
+@register(
+    "q30_multimodal_meta",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           ({_MAGIC_INT}) >> 1 AS magic_int
+    FROM documents
+    """,
+)
+def q30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing (operators.multimodal): text stands
+    in for an opaque payload; metadata + the Arrow-batched
+    mapInPandas 'decode' stub produce engine-verifiable values."""
+    from rialto_airflow_spark.operators import multimodal as MM
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = MM.attach_binary(docs, "doc_id", "text", "image")
+    return MM.extract_features(media).select(
+        "media_id", "n_bytes", "content_md5", "magic_int"
+    )
+
+
+@register("q31_streaming_counts", oracle=None)
+def q31_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming availableNow ingest (streaming.events):
+    watermarked windowed counts drained exactly-once. Non-SQL-
+    expressible (stateful streaming) — rows-only check."""
+    import tempfile
+
+    from rialto_airflow_spark.streaming import events as SE
+
+    workdir = tempfile.mkdtemp(prefix="rspark_q31_")
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ev.write.mode("overwrite").parquet(f"{workdir}/in")
+    stream = SE.read_event_stream(spark, f"{workdir}/in")
+    SE.run_available_now(
+        SE.windowed_counts(stream), f"{workdir}/ckpt", f"{workdir}/out"
+    )
+    return spark.read.parquet(f"{workdir}/out")
+
+
 @register(
     "q29_fingerprint",
     oracle=f"""

@@ -572,6 +572,63 @@ def q17_array_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q18_rate_by_group",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(avg(CASE WHEN c_acctbal > 0 THEN 1.0 ELSE 0.0 END), 4) AS positive_rate
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q18_rate_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — adoption-percentage shape (validate.py:18-83: % of a
+    role group with non-null ORCID): avg of an indicator per group."""
+    t = load_tables(spark, sf_dir, "customer")
+    return (
+        t["customer"]
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.avg(F.when(F.col("c_acctbal") > 0, 1.0).otherwise(0.0)), 4
+            ).alias("positive_rate"),
+        )
+    )
+
+
+@register(
+    "q19_pivot_stats",
+    oracle="""
+    SELECT count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+           count(*) FILTER (WHERE event_type = 'view')
+             - count(*) FILTER (WHERE event_type = 'purchase') AS views_minus_purchases
+    FROM events
+    """,
+)
+def q19_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — ORCID scope-count pivot arithmetic (mais.py:150-182:
+    counts per scope + derived read_limited − read_write stat)."""
+    t = load_tables(spark, sf_dir, "events")
+
+    def n(et: str) -> F.Column:
+        return F.count(F.when(F.col("event_type") == et, 1))
+
+    return t["events"].agg(
+        n("click").alias("n_click"),
+        n("view").alias("n_view"),
+        n("purchase").alias("n_purchase"),
+        n("signup").alias("n_signup"),
+        n("error").alias("n_error"),
+        (n("view") - n("purchase")).alias("views_minus_purchases"),
+    )
+
+
 def _load_extensions() -> None:
     """Pull in the other registry modules (they self-register)."""
     from rialto_airflow_spark.plans import llm_queries  # noqa: F401

@@ -1,0 +1,86 @@
+"""Tests for the multimodal binary plumbing and the availableNow
+streaming ingest."""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rialto_airflow_spark.operators import multimodal as MM
+from rialto_airflow_spark.session import load_tables
+from rialto_airflow_spark.streaming import events as SE
+
+
+def test_attach_and_extract_features(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"].limit(50)
+    media = MM.attach_binary(docs, "doc_id", "text", "image")
+    feats = MM.extract_features(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(rows) == set(src)
+    for i, text in src.items():
+        b = text.encode("utf-8")
+        r = rows[i]
+        assert r["n_bytes"] == len(b)
+        assert r["content_md5"] == hashlib.md5(b).hexdigest()
+        assert r["magic_int"] == (
+            int.from_bytes(b[:8].ljust(8, b"\0"), "big") >> 1
+        )
+        assert r["feature"] == f"image:{hashlib.md5(b).hexdigest()[:8]}"
+
+
+def test_decode_stub_rejects_unknown_kind():
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"xx", "hologram")
+
+
+def test_sample_frames(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"].limit(5)
+    media = MM.attach_binary(docs, "doc_id", "text", "video")
+    frames = MM.sample_frames(media, every_n_bytes=64)
+    got = frames.groupBy("media_id").count().collect()
+    want = {r["media_id"]: max(1, r["n_bytes"] // 64) for r in media.collect()}
+    assert {r["media_id"]: r["count"] for r in got} == want
+
+
+def test_streaming_available_now(spark, sf_dir):
+    workdir = tempfile.mkdtemp(prefix="rspark_stream_")
+    in_dir, ckpt, out_dir = (
+        f"{workdir}/in",
+        f"{workdir}/ckpt",
+        f"{workdir}/out",
+    )
+    # stage input as micros-timestamp parquet (the engine's own format)
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ev.write.parquet(in_dir)
+
+    stream = SE.read_event_stream(spark, in_dir)
+    SE.run_available_now(SE.windowed_counts(stream), ckpt, out_dir)
+    out1 = spark.read.parquet(out_dir)
+    n1 = out1.count()
+    assert n1 > 0
+
+    # emitted rows must agree with the batch computation of the same
+    # windows (append mode only finalizes windows past the watermark)
+    batch = SE.windowed_counts_batch(ev)
+    joined = out1.alias("s").join(
+        batch.alias("b"),
+        (F.col("s.window_start") == F.col("b.window_start"))
+        & (F.col("s.event_type") == F.col("b.event_type")),
+    )
+    assert joined.count() == n1
+    mismatch = joined.where(
+        (F.col("s.n") != F.col("b.n"))
+        | (F.col("s.total_value") != F.col("b.total_value"))
+    )
+    assert mismatch.count() == 0
+
+    # re-run with no new files: exactly-once, nothing appended
+    stream2 = SE.read_event_stream(spark, in_dir)
+    SE.run_available_now(SE.windowed_counts(stream2), ckpt, out_dir)
+    assert spark.read.parquet(out_dir).count() == n1
+    shutil.rmtree(workdir, ignore_errors=True)
