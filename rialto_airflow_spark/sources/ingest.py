@@ -1,0 +1,143 @@
+"""Ingest connector layer (S3-S9, S12) — file-backed by design.
+
+The reference harvests from six HTTP APIs with per-source paging,
+batching, retry and rate-limit policies (SURVEY §2.1). Those are
+driver/connector concerns, not Spark operators: each connector lands
+raw JSONL batches in a directory, and everything downstream is the
+set-based engine. This module defines that boundary:
+
+  * ``Connector`` — the landing contract (fetch → JSONL paths);
+  * ``read_payload_batch`` — JSONL dir → (doi, <src>_json, ids,
+    <src>_harvested) rows ready for upsert_source_batch (M2);
+  * ``batched`` — the executor-side DOI-batching helper
+    (mapPartitions over id lists — S4/S5/S6/S9's 40-200-DOI
+    batches);
+  * ``RetryPolicy`` — the per-source retry/backoff/rate-limit
+    parameters (BASELINE.md table), carried as data so a real
+    network connector can honor them.
+
+No network code lives here (or anywhere in the engine) — tests and
+the driver run entirely file-backed, exactly like the reference's
+requests-mock test strategy (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rialto_airflow_spark.functions.normalize import (
+    normalize_doi,
+    normalize_pmid,
+    normalize_wos_id,
+)
+
+
+@dataclass(frozen=True)
+class RetryPolicy:
+    """Per-source API discipline (values from the reference;
+    BASELINE.md). Carried as data for real connectors."""
+
+    page_size: int
+    batch_size: int | None = None
+    sleep_seconds: float = 0.0
+    max_retries: int = 5
+
+
+# reference-documented policies (dimensions.py:250-257; wos.py:293,341;
+# openalex.py:138,175-186; pubmed.py:34,162-176; crossref.py:65,106;
+# sul_pub.py:21)
+POLICIES: dict[str, RetryPolicy] = {
+    "dimensions": RetryPolicy(page_size=25, batch_size=200, sleep_seconds=1.0),
+    "wos": RetryPolicy(page_size=100, batch_size=50, sleep_seconds=0.5),
+    "openalex": RetryPolicy(page_size=200, batch_size=50),
+    "pubmed": RetryPolicy(page_size=1000, batch_size=50),
+    "crossref": RetryPolicy(page_size=40, batch_size=40, sleep_seconds=1.0),
+    "sulpub": RetryPolicy(page_size=1000),
+}
+
+# per-source JSON paths for the cross-source ids (SURVEY §2.1 K1)
+_ID_EXTRACTORS: dict[str, Callable[[], dict[str, F.Column]]] = {}
+
+
+def read_payload_batch(
+    spark: SparkSession, source: str, path: str, harvested_at=None
+) -> DataFrame:
+    """JSONL landing dir → M2-ready batch: (doi, <source>_json,
+    wos_id/pubmed_id where the source carries them,
+    <source>_harvested). DOI/PMID/WOS-ID normalization happens here,
+    once, set-based (the reference normalizes per-row at upsert —
+    openalex.py:60-84 etc.)."""
+    raw = spark.read.text(path).withColumnRenamed("value", f"{source}_json")
+    j = F.col(f"{source}_json")
+    doi_path = {
+        "openalex": "$.doi",
+        "dim": "$.doi",
+        "sulpub": "$.doi",
+        "crossref": "$.DOI",
+        "pubmed": "$.doi",
+        "wos": "$.doi",
+    }[source]
+    out = raw.select(
+        normalize_doi(F.get_json_object(j, doi_path)).alias("doi"),
+        j,
+    )
+    if source in ("wos",):
+        out = out.withColumn(
+            "wos_id", normalize_wos_id(F.get_json_object(j, "$.UID"))
+        )
+    if source in ("pubmed",):
+        out = out.withColumn(
+            "pubmed_id",
+            normalize_pmid(F.get_json_object(j, "$.MedlineCitation.PMID.`#text`")),
+        )
+    ts = F.lit(harvested_at).cast("timestamp") if harvested_at else F.current_timestamp()
+    return out.withColumn(f"{source}_harvested", ts)
+
+
+def batched(ids: DataFrame, id_col: str, batch_size: int) -> DataFrame:
+    """Group ids into connector-request batches (the 40-200-DOI
+    windows of S4/S5/S6/S9) — executor-parallel, deterministic:
+    (batch_idx, ids array)."""
+    w_idx = F.floor(
+        (F.row_number().over(Window.orderBy(id_col)) - 1) / batch_size
+    )
+    return (
+        ids.select(F.col(id_col), w_idx.alias("batch_idx"))
+        .groupBy("batch_idx")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+    )
+
+
+def fetch_batches(
+    batches: DataFrame,
+    fetch: Callable[[list[str]], list[str]],
+) -> DataFrame:
+    """Run a connector fetch function per batch on the EXECUTORS
+    (mapPartitions — SURVEY §2.1 S4 'batching = mapPartitions over
+    DOI lists'). ``fetch`` maps an id batch to raw JSON strings; in
+    tests it's a file/dict-backed fake, in production an HTTP client
+    honoring its RetryPolicy."""
+    from pyspark.sql import Row
+
+    def run(part: Iterator) -> Iterator:
+        for row in part:
+            for payload in fetch(list(row["ids"])):
+                yield Row(json=payload)
+
+    return batches.rdd.mapPartitions(run).toDF("json string")
+
+
+def format_wos_timespan(days: int) -> str:
+    """N9 — wos.py:178-199: <=6 days '{n}D'; else ceil-weeks '{n}W'
+    up to 52; else ceil-years '{n}Y' (WoS loadTimeSpan encoding)."""
+    if days <= 6:
+        return f"{days}D"
+    weeks = (days + 6) // 7
+    if weeks <= 52:
+        return f"{weeks}W"
+    return f"{(days + 364) // 365}Y"
