@@ -1,0 +1,36 @@
+"""Plan-shaping helpers used across operators.
+
+These exist because two engine-wide costs dominate CPU-bound text
+work on Spark:
+
+  * CollapseProject inlines a projected expression into every
+    downstream reference, so "compute once, use N times" silently
+    becomes "compute N times" (``bind_once`` defeats this by binding
+    the value as a higher-order-function lambda variable);
+  * small parquet inputs scan as 1-2 partitions, serializing
+    per-row-heavy stages regardless of cores (``ensure_parallelism``
+    repartitions only when under-partitioned — a no-op at real data
+    scale where the file layout already provides parallelism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bind_once(expensive: Column, body) -> Column:
+    """Evaluate ``expensive`` once per row and feed the bound value to
+    ``body``. Lambda variables are bound values, not substituted
+    expressions, so wrapping as a 1-element array transform forces
+    single evaluation."""
+    return F.transform(F.array(expensive), body)[0]
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition iff the input is under-partitioned for CPU-bound
+    per-row work."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -36,30 +36,9 @@ def _hstr(col: Column, salt: int | str) -> Column:
     return F.md5(F.concat_ws("#", col, F.lit(str(salt))))
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition iff the input is under-partitioned for CPU-bound
-    per-row work. Parquet scans of small/few files yield 1-2 input
-    partitions; expression-heavy stages (hashing every shingle of
-    every document) then run nearly serially. At real scale the file
-    layout provides parallelism and this is a no-op.
-    """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
-def bind_once(expensive: Column, body) -> Column:
-    """Evaluate ``expensive`` once per row and feed it to ``body``.
-
-    Catalyst's CollapseProject inlines projected expressions into
-    every downstream reference, so an expression used N times is
-    computed N times. Wrapping it as the element of a 1-element array
-    and referencing it through a transform lambda variable forces
-    single evaluation: lambda variables are bound values, not
-    substituted expressions.
-    """
-    return F.transform(F.array(expensive), body)[0]
+# re-exported for backward compatibility; implementations live in
+# functions.perf (shared with the text operators)
+from rialto_airflow_spark.functions.perf import bind_once, ensure_parallelism  # noqa: E402,F401
 
 
 def _h64(col: Column, salt: int | str) -> Column:

@@ -107,11 +107,19 @@ def lang_id(col: Column | str) -> Column:
 
 
 def ngram_strings(col: Column | str, n: int = 3) -> Column:
-    """Word n-grams as space-joined strings (shingles)."""
-    toks = tokens(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    """Word n-grams as space-joined strings (shingles).
+
+    The token array is bound once per row (bind_once); otherwise the
+    split() would re-run for every n-gram position after Catalyst
+    inlines it into the position lambda."""
+    from rialto_airflow_spark.functions.perf import bind_once
+
+    return bind_once(
+        tokens(col),
+        lambda toks: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
     )
 
 

@@ -432,5 +432,7 @@ def q31_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: k-smallest shingle hashes
     (operators.text.fingerprint)."""
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    from rialto_airflow_spark.functions.perf import ensure_parallelism
+
+    docs = ensure_parallelism(load_tables(spark, sf_dir, "documents")["documents"])
     return docs.select("doc_id", T.fingerprint("text", n=3, k=4).alias("fp"))
