@@ -1,0 +1,249 @@
+"""Orchestration layer: the reference's three Airflow DAGs as Spark
+job graphs (SURVEY §3; dags/harvest_incremental.py:46-227,
+dags/publish_to_reports.py:17-61, dags/publish_orcid_to_reports.py:
+21-52).
+
+Tasks are plain callables with explicit dependencies so the graph
+runs standalone (``run_dag``) or registers into a real Airflow
+deployment when the library is importable (``to_airflow``) — the
+engine itself never imports Airflow. Between-task state is
+DataFrames carried in the run context instead of Postgres tables;
+each stage is one Spark job, so the per-author/per-row loops of the
+reference collapse into the set-based plans in ``plans/``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Task:
+    name: str
+    fn: Callable[[dict], None]
+    upstream: tuple[str, ...] = ()
+
+
+@dataclass
+class Dag:
+    name: str
+    tasks: dict[str, Task] = field(default_factory=dict)
+
+    def task(self, name: str, upstream: tuple[str, ...] = ()):
+        def deco(fn):
+            self.tasks[name] = Task(name, fn, upstream)
+            return fn
+
+        return deco
+
+    def topo_order(self) -> list[Task]:
+        order: list[Task] = []
+        seen: set[str] = set()
+
+        def visit(t: Task, stack: tuple[str, ...]):
+            if t.name in stack:
+                raise ValueError(f"cycle at {t.name}")
+            if t.name in seen:
+                return
+            for up in t.upstream:
+                visit(self.tasks[up], stack + (t.name,))
+            seen.add(t.name)
+            order.append(t)
+
+        for t in self.tasks.values():
+            visit(t, ())
+        return order
+
+    def run(self, context: dict) -> dict:
+        """Execute every task in dependency order (the standalone
+        scheduler). ``context`` carries the SparkSession and the
+        inter-stage DataFrames."""
+        for t in self.topo_order():
+            t.fn(context)
+        return context
+
+    def to_airflow(self, **dag_kwargs):
+        """Build a real airflow.DAG when Airflow is installed
+        (import-guarded; the engine has no hard dependency)."""
+        try:
+            from airflow import DAG  # type: ignore
+            from airflow.operators.python import PythonOperator  # type: ignore
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("airflow is not installed") from e
+        dag = DAG(self.name, **dag_kwargs)
+        ops = {
+            t.name: PythonOperator(
+                task_id=t.name, python_callable=t.fn, op_args=[{}], dag=dag
+            )
+            for t in self.tasks.values()
+        }
+        for t in self.tasks.values():
+            for up in t.upstream:
+                ops[up] >> ops[t.name]
+        return dag
+
+
+def build_harvest_dag() -> Dag:
+    """harvest_incremental task graph (harvest_incremental.py:46-227):
+
+    setup → load_authors → {harvest per source} → {fill_in per
+    source} → dedupe → [distill, link_funders] → orphans → complete.
+
+    Harvest/fill-in tasks consume connector landing dirs via
+    sources.ingest.read_payload_batch and MERGE with
+    plans.harvest.upsert_source_batch; post-processing calls the
+    plans directly. Tasks read/write the context dict keys:
+    spark, authors, pubs, author_edges, funder_edges, funders,
+    harvests, landing_dirs, dims.
+    """
+    from pyspark.sql import functions as F
+
+    from rialto_airflow_spark.plans import harvest as H
+    from rialto_airflow_spark.plans import watermark as W
+    from rialto_airflow_spark.sources.ingest import read_payload_batch
+
+    dag = Dag("harvest_incremental")
+
+    @dag.task("setup")
+    def setup(ctx):
+        ctx["harvest_started"] = True
+
+    @dag.task("load_authors", upstream=("setup",))
+    def load_authors(ctx):
+        if "incoming_authors" in ctx:
+            ctx["authors"] = W.upsert_authors(ctx["authors"], ctx["incoming_authors"])
+        ctx["author_edges"] = W.clear_author_links(
+            ctx["author_edges"], ctx.get("is_full", False)
+        )
+
+    def mk_harvest(source):
+        def harvest(ctx):
+            landing = ctx.get("landing_dirs", {}).get(source)
+            if landing:
+                batch = read_payload_batch(ctx["spark"], source, landing)
+                ctx["pubs"] = H.upsert_source_batch(ctx["pubs"], batch, source)
+
+        return harvest
+
+    for src in ("dim", "openalex", "wos", "sulpub", "pubmed"):
+        dag.task(f"harvest_{src}", upstream=("load_authors",))(mk_harvest(src))
+
+    harvest_names = tuple(
+        f"harvest_{s}" for s in ("dim", "openalex", "wos", "sulpub", "pubmed")
+    )
+
+    def mk_fill_in(source):
+        def fill_in(ctx):
+            landing = ctx.get("fill_in_dirs", {}).get(source)
+            if landing:
+                batch = read_payload_batch(ctx["spark"], source, landing)
+                ctx["pubs"] = H.upsert_source_batch(ctx["pubs"], batch, source)
+
+        return fill_in
+
+    for src in ("openalex", "dim", "wos", "crossref", "pubmed"):
+        dag.task(f"fill_in_{src}", upstream=harvest_names)(mk_fill_in(src))
+
+    fill_names = tuple(
+        f"fill_in_{s}" for s in ("openalex", "dim", "wos", "crossref", "pubmed")
+    )
+
+    @dag.task("dedupe", upstream=fill_names)
+    def dedupe(ctx):
+        ctx["pubs"], ctx["author_edges"], ctx["funder_edges"] = H.remove_duplicates(
+            ctx["pubs"], ctx["author_edges"], ctx["funder_edges"]
+        )
+
+    @dag.task("distill", upstream=("dedupe",))
+    def distill_task(ctx):
+        from rialto_airflow_spark.functions.distill import distill
+
+        dims = ctx.get("dims", {})
+        ctx["pubs"] = distill(
+            ctx["pubs"],
+            apc_dim=dims.get("apc"),
+            issn_source_dim=dims.get("issn_source"),
+        )
+        ctx["pubs"] = H.author_flags(ctx["pubs"], ctx["author_edges"], ctx["authors"])
+        ctx["pubs"] = ctx["pubs"].withColumn("distilled_at", F.current_timestamp())
+
+    @dag.task("link_funders", upstream=("dedupe",))
+    def link(ctx):
+        dims = ctx.get("dims", {})
+        if "federal" in dims:
+            ctx["funders"], ctx["funder_edges"] = H.link_funders(
+                ctx["pubs"],
+                ctx["funders"],
+                ctx["funder_edges"],
+                dims["federal"],
+                dims.get("openalex_funders"),
+            )
+
+    @dag.task("remove_orphans", upstream=("distill", "link_funders"))
+    def orphans(ctx):
+        ctx["pubs"] = H.remove_orphans(ctx["pubs"], ctx["author_edges"])
+
+    @dag.task("complete", upstream=("remove_orphans",))
+    def complete(ctx):
+        ctx["harvest_finished"] = True
+
+    return dag
+
+
+def build_publish_dag() -> Dag:
+    """publish_to_reports task graph (publish_to_reports.py:17-61):
+    check_harvest_complete (short-circuit) → the four marts →
+    download files."""
+    from rialto_airflow_spark.plans import marts as M
+    from rialto_airflow_spark.plans import watermark as W
+
+    dag = Dag("publish_to_reports")
+
+    @dag.task("check_harvest_complete")
+    def check(ctx):
+        ctx["publish_ok"] = W.harvest_complete(ctx["harvests"])
+
+    @dag.task("publish_publications", upstream=("check_harvest_complete",))
+    def pubs_mart(ctx):
+        if ctx["publish_ok"]:
+            ctx["mart_publications"] = M.mart_publications(
+                ctx["pubs"], ctx["funder_edges"], ctx["funders"]
+            )
+
+    @dag.task("publish_by_school", upstream=("publish_publications",))
+    def school(ctx):
+        if ctx["publish_ok"]:
+            ctx["mart_by_school"] = M.mart_publications_by_school(
+                ctx["pubs"], ctx["author_edges"], ctx["authors"],
+                ctx["funder_edges"], ctx["funders"],
+            )
+
+    @dag.task("publish_by_department", upstream=("publish_by_school",))
+    def dept(ctx):
+        if ctx["publish_ok"]:
+            ctx["mart_by_department"] = M.mart_publications_by_department(
+                ctx["pubs"], ctx["author_edges"], ctx["authors"],
+                ctx["funder_edges"], ctx["funders"],
+            )
+
+    @dag.task("publish_by_author", upstream=("publish_by_department",))
+    def author(ctx):
+        if ctx["publish_ok"]:
+            ctx["mart_by_author"] = M.mart_publications_by_author(
+                ctx["pubs"], ctx["author_edges"], ctx["authors"],
+                ctx["funder_edges"], ctx["funders"],
+            )
+
+    @dag.task("generate_download_files", upstream=("publish_by_author",))
+    def downloads(ctx):
+        if ctx["publish_ok"] and "download_dir" in ctx:
+            for key in (
+                "mart_publications",
+                "mart_by_school",
+                "mart_by_department",
+                "mart_by_author",
+            ):
+                M.write_download_csv(ctx[key], f"{ctx['download_dir']}/{key}")
+
+    return dag

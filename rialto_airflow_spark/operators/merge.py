@@ -53,17 +53,26 @@ def merge_on_key(
     batch_keyed = batch.where(F.col(key).isNotNull())
     batch_nullkey = batch.where(F.col(key).isNull())
 
-    e = existing.alias("e")
-    b = (F.broadcast(batch_keyed) if broadcast_batch else batch_keyed).alias("b")
+    # presence markers, NOT key-null checks: an existing row with a
+    # null key must never be classified as a batch insert (its key
+    # simply cannot match anything)
+    e = existing.withColumn("__e_present", F.lit(True)).alias("e")
+    b = (
+        (F.broadcast(batch_keyed) if broadcast_batch else batch_keyed)
+        .withColumn("__b_present", F.lit(True))
+        .alias("b")
+    )
     joined = e.join(b, F.col(f"e.{key}") == F.col(f"b.{key}"), "full_outer")
 
-    matched = F.col(f"e.{key}").isNotNull() & F.col(f"b.{key}").isNotNull()
-    inserted = F.col(f"e.{key}").isNull()
+    matched = F.col("e.__e_present").isNotNull() & F.col("b.__b_present").isNotNull()
+    inserted = F.col("e.__e_present").isNull()
 
     out_cols: list[Column] = [
         F.coalesce(F.col(f"e.{key}"), F.col(f"b.{key}")).alias(key)
     ]
-    all_cols = list(dict.fromkeys([*e_cols, *b_cols]))
+    all_cols = [
+        c for c in dict.fromkeys([*e_cols, *b_cols]) if c != "__e_present"
+    ]
     for c in all_cols:
         if c == key:
             continue

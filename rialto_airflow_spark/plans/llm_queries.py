@@ -371,6 +371,34 @@ def q28_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q32_embed_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS qv, b.embedding AS cv
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT id_a, id_b, round({_COS}, 6) AS cos_sim
+      FROM pairs
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+      GROUP BY id_a, id_b, qv, cv
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
+    """,
+)
+def q32_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by cluster
+    label (operators.dedup.embedding_near_dups) — the blocked-pair
+    discipline that holds at corpus scale."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return D.embedding_near_dups(
+        emb, "vec_id", "embedding", "label", threshold=0.4
+    )
+
+
 _MAGIC_INT = " + ".join(
     f"(ascii(substr(text, {i + 1}, 1)) * {256 ** (7 - i)}::BIGINT)" for i in range(8)
 )

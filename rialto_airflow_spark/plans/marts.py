@@ -212,8 +212,23 @@ def write_mart(df: DataFrame, path: str) -> None:
 
 
 def write_download_csv(df: DataFrame, path: str) -> None:
-    """K3 — single-file CSV with header (driver-side zip is an I/O
-    concern left to the orchestrator)."""
+    """K3 — single-file CSV with header."""
     format_for_download(df).coalesce(1).write.mode("overwrite").csv(
         path, header=True
     )
+
+
+def zip_downloads(csv_dirs: dict[str, str], zip_path: str) -> str:
+    """K3 — package the exported CSVs into one zip, deleting nothing
+    (publish/publication.py:382-456 zips CSVs with a data dictionary
+    then removes the raw files; callers can unlink after)."""
+    import glob
+    import os
+    import zipfile
+
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, d in sorted(csv_dirs.items()):
+            parts = sorted(glob.glob(os.path.join(d, "part-*.csv")))
+            if parts:
+                z.write(parts[0], arcname=f"{name}.csv")
+    return zip_path

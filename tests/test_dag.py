@@ -1,0 +1,108 @@
+"""End-to-end DAG orchestration test: harvest_incremental then
+publish_to_reports over an in-memory dataset with a JSONL landing
+dir (the file-backed connector boundary)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+from pyspark.sql import functions as F
+
+from rialto_airflow_spark.dag import build_harvest_dag, build_publish_dag
+from rialto_airflow_spark.plans.marts import write_download_csv, zip_downloads
+from rialto_airflow_spark.sources.dims import federal_funders
+from tests.test_harvest_marts import PUB_SCHEMA, mkpub, ts
+
+
+def test_dag_end_to_end(spark, tmp_path):
+    # landing dir with one new crossref payload (fill-in) and one new
+    # openalex payload matching an existing DOI
+    oa_dir = tmp_path / "openalex"
+    oa_dir.mkdir()
+    (oa_dir / "batch1.jsonl").write_text(
+        json.dumps({"doi": "https://doi.org/10.1/A", "title": "From Landing",
+                    "type": "article", "id": "https://openalex.org/W77"})
+    )
+
+    pubs = spark.createDataFrame(
+        [
+            mkpub(1, doi="10.1/a", updated=2, sulpub_harvested=ts(1),
+                  dim_json={"id": "pub.1", "title": "Dim T", "type": "article",
+                            "year": 2020,
+                            "funders": [{"id": "grid.1", "name": "NSF"}]}),
+            mkpub(2, openalex_id="W1", updated=1),
+            mkpub(3, openalex_id="W1", updated=5, dim_harvested=ts(2)),
+        ],
+        PUB_SCHEMA,
+    )
+    authors = spark.createDataFrame(
+        [(10, "ada", None, "0-1", "Ada", "L", True, True, "faculty",
+          ["Eng"], ["CS"], "Eng", "CS", None, ts(1), ts(1))],
+        "id bigint, sunet string, cap_profile_id string, orcid string, "
+        "first_name string, last_name string, status boolean, "
+        "academic_council boolean, role string, schools array<string>, "
+        "departments array<string>, primary_school string, primary_dept string, "
+        "primary_division string, created_at timestamp, updated_at timestamp",
+    )
+    ctx = {
+        "spark": spark,
+        "pubs": pubs,
+        "authors": authors,
+        "author_edges": spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 10)], "publication_id bigint, author_id bigint"
+        ),
+        "funder_edges": spark.createDataFrame(
+            [], "publication_id bigint, funder_id bigint"
+        ),
+        "funders": spark.createDataFrame(
+            [], "grid_id string, name string, federal boolean, ror_id string, "
+                "openalex_id string, id bigint"
+        ),
+        "harvests": spark.createDataFrame(
+            [(1, ts(1), ts(2), False)],
+            "id bigint, created_at timestamp, finished_at timestamp, is_full boolean",
+        ),
+        "landing_dirs": {"openalex": str(oa_dir)},
+        "dims": {
+            "federal": federal_funders(
+                spark.createDataFrame([("NSF", "grid.1")], "name string, id string")
+            )
+        },
+    }
+
+    harvest = build_harvest_dag()
+    # distill rebuilds the distilled columns; drop stale ones so
+    # withColumn replacement is exercised, then run
+    ctx = harvest.run(ctx)
+    assert ctx["harvest_finished"]
+
+    out = {r["id"]: r for r in ctx["pubs"].collect()}
+    # landing payload merged onto doi 10.1/a; dedup kept 3 over 2
+    assert set(out) == {1, 3}
+    assert json.loads(out[1]["openalex_json"])["id"] == "https://openalex.org/W77"
+    assert out[1]["title"] == "Dim T"            # distilled (dim beats openalex? no sulpub)
+    assert out[1]["academic_council_authored"] is True
+
+    # funder got linked from the dim payload
+    assert ctx["funder_edges"].count() == 1
+    fr = ctx["funders"].collect()[0]
+    assert (fr["grid_id"], fr["federal"]) == ("grid.1", True)
+
+    # publish DAG over the harvested state
+    ctx["download_dir"] = str(tmp_path / "dl")
+    pub_dag = build_publish_dag()
+    ctx = pub_dag.run(ctx)
+    assert ctx["publish_ok"]
+    assert ctx["mart_publications"].count() >= 1
+    m = {r["doi"]: r for r in ctx["mart_publications"].collect()}
+    assert m["10.1/a"]["federally_funded"] is True
+
+    # zip packaging (K3)
+    zp = zip_downloads(
+        {"publications": f"{ctx['download_dir']}/mart_publications"},
+        str(tmp_path / "downloads.zip"),
+    )
+    import zipfile
+
+    assert zipfile.ZipFile(zp).namelist() == ["publications.csv"]

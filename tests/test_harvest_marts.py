@@ -181,6 +181,12 @@ def test_upsert_source_batch(spark, dataset):
     assert merged.where(F.col("doi").isNull()).count() == 4 + 1
     # untouched rows keep their updated_at
     assert rows["10.1/orphan"]["updated_at"] == ts(1)
+    # existing null-doi rows are NOT treated as inserts: payloads and
+    # updated_at survive untouched (regression: presence-marker bug)
+    nulls = {r["id"]: r for r in merged.where(F.col("doi").isNull()).collect()}
+    assert json.loads(nulls[1]["openalex_json"])["id"] == "W1"
+    assert nulls[2]["updated_at"] == ts(5)
+    assert nulls[5]["updated_at"] == ts(2)
 
 
 @pytest.fixture(scope="module")
