@@ -72,28 +72,33 @@ def read_payload_batch(
     <source>_harvested). DOI/PMID/WOS-ID normalization happens here,
     once, set-based (the reference normalizes per-row at upsert —
     openalex.py:60-84 etc.)."""
+    from rialto_airflow_spark.functions import extract as X
+
     raw = spark.read.text(path).withColumnRenamed("value", f"{source}_json")
     j = F.col(f"{source}_json")
-    doi_path = {
-        "openalex": "$.doi",
-        "dim": "$.doi",
-        "sulpub": "$.doi",
-        "crossref": "$.DOI",
-        "pubmed": "$.doi",
-        "wos": "$.doi",
-    }[source]
-    out = raw.select(
-        normalize_doi(F.get_json_object(j, doi_path)).alias("doi"),
-        j,
-    )
-    if source in ("wos",):
-        out = out.withColumn(
-            "wos_id", normalize_wos_id(F.get_json_object(j, "$.UID"))
+    if source == "sulpub":
+        # only records with >=1 approved authorship are kept (P6,
+        # sul_pub.py:41,176-183)
+        raw = raw.where(X.sulpub_approved(j))
+        doi = X.sulpub_extract_doi(j)
+    elif source == "wos":
+        doi = X.wos_get_doi(j)
+    elif source == "pubmed":
+        doi = X.pubmed_get_doi(j)
+    elif source == "crossref":
+        doi = normalize_doi(F.get_json_object(j, "$.DOI"))
+    else:
+        doi = normalize_doi(F.get_json_object(j, "$.doi"))
+    out = raw.select(doi.alias("doi"), j)
+    if source == "wos":
+        out = out.withColumn("wos_id", X.wos_uid(j)).withColumn(
+            "pubmed_id", X.wos_get_pmid(j)
         )
-    if source in ("pubmed",):
-        out = out.withColumn(
-            "pubmed_id",
-            normalize_pmid(F.get_json_object(j, "$.MedlineCitation.PMID.`#text`")),
+    elif source == "pubmed":
+        out = out.withColumn("pubmed_id", X.pubmed_pmid(j))
+    elif source == "sulpub":
+        out = out.withColumn("wos_id", X.sulpub_extract_wos_uid(j)).withColumn(
+            "pubmed_id", X.sulpub_extract_pmid(j)
         )
     ts = F.lit(harvested_at).cast("timestamp") if harvested_at else F.current_timestamp()
     return out.withColumn(f"{source}_harvested", ts)

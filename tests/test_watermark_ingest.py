@@ -100,8 +100,10 @@ def test_upsert_authors_rules(spark):
 
 def test_read_payload_batch(spark, tmp_path):
     lines = [
-        json.dumps({"doi": "https://doi.org/10.1/X", "UID": "WOS:000111"}),
-        json.dumps({"doi": None, "UID": "MEDLINE:222"}),
+        json.dumps({"UID": "WOS:000111", "dynamic_data": {"cluster_related": {
+            "identifiers": {"identifier": [
+                {"type": "doi", "value": "https://doi.org/10.1/X"}]}}}}),
+        json.dumps({"UID": "MEDLINE:222"}),
     ]
     p = tmp_path / "wos.jsonl"
     p.write_text("\n".join(lines))
