@@ -111,6 +111,36 @@ def merge_on_key(
     return merged.unionByName(batch_nullkey.select(*merged.columns))
 
 
+def merge_metrics(
+    existing: DataFrame, batch: DataFrame, key: str, compare_cols: Sequence[str] | None = None
+) -> dict[str, int]:
+    """A11 — the reference's load counters (authors.py:34-66):
+    processed / new / updated / noop for a batch against a table.
+    One aggregate job; null-key batch rows count as inserts."""
+    if compare_cols is None:
+        compare_cols = [c for c in batch.columns if c != key and c in existing.columns]
+    b = batch.alias("b")
+    e = existing.alias("e")
+    joined = b.join(e, F.col(f"b.{key}") == F.col(f"e.{key}"), "left")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"b.{c}").eqNullSafe(F.col(f"e.{c}"))
+    status = (
+        F.when(F.col(f"b.{key}").isNull() | F.col(f"e.{key}").isNull(), "new")
+        .when(changed, "updated")
+        .otherwise("noop")
+    )
+    counts = {
+        r["status"]: r["n"]
+        for r in joined.groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    counts = {k: counts.get(k, 0) for k in ("new", "updated", "noop")}
+    counts["processed"] = sum(counts.values())
+    return counts
+
+
 def upsert_edges(existing: DataFrame, new_edges: DataFrame) -> DataFrame:
     """M4 — `ON CONFLICT DO NOTHING` on association tables
     (openalex.py:110-114): union + dedupe on the composite key."""

@@ -629,6 +629,43 @@ def q19_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q33_ordered_list_agg",
+    oracle="""
+    SELECT o.o_custkey,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           string_agg(o.o_orderkey::VARCHAR, '|' ORDER BY o.o_totalprice DESC, o.o_orderkey) AS orders_by_price
+    FROM orders o
+    WHERE o.o_totalprice > 250000
+    GROUP BY o.o_custkey
+    """,
+)
+def q33_ordered_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 — ordered pipe-joined list aggregation (the CLI's
+    '|'.join over related rows, cli.py:70-74): collect structs, sort
+    by the ordering key, project, join."""
+    t = load_tables(spark, sf_dir, "orders")
+    pairs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("o_totalprice")).alias("negprice"),
+                F.col("o_orderkey").alias("k"),
+            )
+        )
+    )
+    return (
+        t["orders"]
+        .where(F.col("o_totalprice") > 250000)
+        .groupBy("o_custkey")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.array_join(
+                F.transform(pairs, lambda s: s["k"].cast("string")), "|"
+            ).alias("orders_by_price"),
+        )
+    )
+
+
 def _load_extensions() -> None:
     """Pull in the other registry modules (they self-register)."""
     from rialto_airflow_spark.plans import llm_queries  # noqa: F401
