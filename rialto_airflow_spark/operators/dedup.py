@@ -307,20 +307,32 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float-array columns, computed in
-    double precision with deterministic left-to-right summation."""
-    dot = F.aggregate(
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product with deterministic left-to-right
+    summation."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    sq = lambda v: F.aggregate(  # noqa: E731
-        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+
+
+def norm(v: Column) -> Column:
+    """Euclidean norm in double precision."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     )
-    return dot / (F.sqrt(sq(a)) * F.sqrt(sq(b)))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns. For pairwise
+    workloads prefer precomputing ``norm`` per row (norms are O(n),
+    pairs are O(n²) — see embedding_near_dups/similarity.py)."""
+    return dot(a, b) / (norm(a) * norm(b))
 
 
 def embedding_near_dups(
@@ -332,9 +344,15 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks (e.g. a
     cluster label, an LSH sign-bucket — see similarity.sign_bucket).
-    Same blocked-pair discipline as ngram_jaccard_pairs."""
-    a, b = df.alias("a"), df.alias("b")
-    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    Same blocked-pair discipline as ngram_jaccard_pairs; norms are
+    computed once per vector (O(n)) before the O(n²) pair stage."""
+    normed = ensure_parallelism(df).select(
+        F.col(id_col), F.col(vec_col), F.col(block_col), norm(F.col(vec_col)).alias("__nrm")
+    )
+    a, b = normed.alias("a"), normed.alias("b")
+    sim = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a.__nrm") * F.col("b.__nrm")
+    )
     return (
         a.join(
             b,

@@ -22,7 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from rialto_airflow_spark.operators.dedup import cosine
+from rialto_airflow_spark.functions.perf import ensure_parallelism
+from rialto_airflow_spark.operators.dedup import dot, norm
 
 
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
@@ -51,13 +52,19 @@ def brute_force_topk(
     """
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm(F.col(vec_col)).alias("__qn"),
         )
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
-    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    sim = F.round(
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+    )
     scored = (
         q.join(c, F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("score"))
@@ -89,14 +96,18 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
         sign_bucket(F.col(vec_col), bits).alias("__qb"),
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
         sign_bucket(F.col(vec_col), bits).alias("__cb"),
     )
-    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    sim = F.round(
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+    )
     scored = (
         q.join(
             c,
