@@ -219,6 +219,107 @@ def minhash_near_dups(
     return lsh_candidate_pairs(banded, id_col)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (id, cluster_id) where cluster_id is the smallest id in the
+    component. This turns LSH candidate PAIRS into dedup GROUPS — the
+    operation a dedup pipeline actually needs (keep one doc per
+    cluster, drop the rest).
+
+    Algorithm: iterative min-label propagation. Each round every
+    vertex takes the min of its own label and its neighbors' labels;
+    convergence needs at most graph-diameter rounds (near-dup
+    components are shallow — dup clusters chain a handful of docs, so
+    3-5 rounds in practice; ``max_iter`` bounds adversarial chains).
+
+    Iteration discipline (what makes a Spark loop fast): the edge
+    list and each round's labels are eagerly ``localCheckpoint``ed,
+    truncating lineage so round N's plan is two small shuffles over
+    materialized partitions instead of a re-derivation of every prior
+    round (and of the upstream LSH pipeline that produced the pairs).
+    The change flag is computed INSIDE the same plan, so convergence
+    detection is a metadata-cheap scan of the checkpointed output,
+    not an extra join job. At 100 TB swap the propagation loop for
+    large-star/small-star (same join shapes, O(log n) rounds) — the
+    per-round plan here is already the building block.
+    """
+    # materialize the pair list ONCE before symmetrizing: the union
+    # reads both directions from checkpointed partitions instead of
+    # re-deriving the (potentially expensive) candidate-pair pipeline
+    # per branch
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint()
+    sym = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("__nid"),
+                    F.col("label").alias("__nlabel"),
+                ),
+                F.col("dst") == F.col("__nid"),
+            )
+            .groupBy("src")
+            .agg(F.min("__nlabel").alias("__nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("__nbr_label"), F.col("label")),
+                ).alias("__new_label"),
+                (
+                    F.coalesce(F.col("__nbr_label"), F.col("label"))
+                    < F.col("label")
+                ).alias("__chg"),
+            )
+            .localCheckpoint()
+        )
+        labels = stepped.select("id", F.col("__new_label").alias("label"))
+        if stepped.where(F.col("__chg")).limit(1).count() == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def cluster_survivors(
+    df: DataFrame, clusters: DataFrame, id_col: str
+) -> DataFrame:
+    """Keep one row per near-dup cluster (the cluster_id member) plus
+    every unclustered row — the 'drop near-duplicates' step after
+    ``connected_components``. Left join on id + filter: no extra
+    shuffle beyond the join."""
+    c = clusters.select(
+        F.col("id").alias("__cid"), F.col("cluster_id").alias("__cluster")
+    )
+    return (
+        df.join(c, df[id_col] == F.col("__cid"), "left")
+        .where(F.col("__cluster").isNull() | (F.col("__cluster") == df[id_col]))
+        .drop("__cid", "__cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -1,0 +1,134 @@
+"""Event-stream batch operators: sessionization and as-of join.
+
+Neither exists in the reference (its incrementality is a batch
+watermark, SURVEY §2.11), but both are core event-pipeline operators
+a training-data platform needs, and both are expressed as
+compositions of built-in window functions — no UDFs, no custom
+physical operator.
+
+Scale design:
+  * ``sessionize`` is one shuffle on the entity key; the gap detection
+    and session numbering are a lag + running sum inside the same
+    window partition, so skewed users are bounded by AQE and the
+    per-partition work is a single sorted pass.
+  * ``asof_join`` uses the union-and-carry-forward factorization
+    instead of a range join: tag both sides, union, sort within the
+    key partition once, carry the right side's values forward with
+    ``last(ignorenulls)``. Cost is O((|L|+|R|) log) per key with ONE
+    shuffle — a naive range join is O(|L|·|R|) per key and needs a
+    range-join physical strategy Spark lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign a per-key session sequence number: a new session starts
+    when the gap to the previous event exceeds ``gap_seconds``.
+
+    Adds columns ``is_session_start`` (boolean) and ``session_seq``
+    (1-based within the key). Deterministic given a unique
+    (key, ts, *order_cols) ordering.
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    new_sess = prev_ts.isNull() | (
+        F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+        > gap_seconds
+    )
+    run = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("is_session_start", new_sess).withColumn(
+        "session_seq", F.sum(new_sess.cast("int")).over(run)
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-session aggregates: event count, start/end timestamps,
+    duration in seconds. One extra map-side-combinable groupBy on the
+    (key, session_seq) pair — same partitioning as the sessionize
+    shuffle, so AQE can often avoid a second exchange."""
+    s = sessionize(df, key_col, ts_col, gap_seconds, order_cols)
+    return s.groupBy(key_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("duration_s"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    right_ts_alias: str = "asof_ts",
+) -> DataFrame:
+    """As-of (backward) join: for every left row, attach the right
+    row's ``value_cols`` from the latest right timestamp ≤ the left
+    timestamp, per key. Left rows with no prior right row keep nulls.
+
+    Semantics match DuckDB/pandas ``ASOF JOIN`` with a ``>=``
+    condition. The right side must be unique per (key, ts) — enforce
+    upstream (e.g. aggregate) or ties resolve arbitrarily.
+
+    Implementation: union-and-carry-forward (see module docstring).
+    Right rows sort BEFORE left rows at an equal timestamp so equality
+    matches, mirroring the ``>=`` bound.
+    """
+    lcols = left.columns
+    r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        F.col(ts_col).alias("__r_ts"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    l = left.select(
+        "*",
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__r_ts"].dataType).alias("__r_ts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *lcols,
+        F.col("__side"),
+        F.last("__r_ts", ignorenulls=True).over(w).alias(right_ts_alias),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col("__side") == 1).drop("__side")

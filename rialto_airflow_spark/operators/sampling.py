@@ -1,0 +1,92 @@
+"""Deterministic sampling and dataset-split operators.
+
+Training pipelines need sampling that is (a) reproducible across
+runs and engines, (b) stable under repartitioning, and (c) cheap.
+Spark's ``df.sample`` is none of these (seeded per-partition RNG →
+results change with partitioning). Everything here derives the
+randomness from a salted md5 of the row's id, so:
+
+  * identical results on any cluster layout, any engine (the DuckDB
+    oracles reproduce them bit-for-bit);
+  * rows keep their split assignment when the corpus grows — the
+    property that keeps eval sets uncontaminated across snapshots;
+  * map-only (no shuffle, no RNG state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = float(2**32)
+
+
+def hash_uniform(col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform in [0, 1): first 8 hex chars of
+    md5(id '#' salt) scaled by 2^32. ~9.6 decimal digits of
+    resolution — plenty for split fractions."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat_ws("#", c.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_DENOM)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by cumulative hash threshold.
+
+    ``splits`` maps name → fraction (must sum to ~1; the final split
+    absorbs rounding). Assignment depends only on (id, salt).
+    """
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    u = hash_uniform(id_col, salt)
+    names = list(splits)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by hash threshold — stable
+    across runs, engines, and partitionings (unlike ``df.sample``)."""
+    return df.where(hash_uniform(id_col, salt) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: list[str],
+    fractions: dict[tuple | str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum (combination
+    of ``strata_cols`` values) keeps its own fraction. Map-only —
+    the per-stratum fraction is a literal CASE ladder, the threshold
+    test a hash compare; no ``sampleBy`` RNG, no shuffle."""
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in strata_cols])
+    frac = None
+    for stratum, f in fractions.items():
+        parts = stratum if isinstance(stratum, tuple) else (stratum,)
+        lit_key = "\x1f".join(str(p) for p in parts)
+        cond = key == lit_key
+        frac = F.when(cond, f) if frac is None else frac.when(cond, f)
+    frac = (
+        F.lit(default_fraction)
+        if frac is None
+        else frac.otherwise(default_fraction)
+    )
+    return df.where(hash_uniform(id_col, salt) < frac)

@@ -79,6 +79,92 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors.
+
+    Coarse quantizer: ``n_centroids`` centroids picked
+    deterministically (the lowest-id corpus vectors — swap for k-means
+    centroids offline without changing this plan). Every corpus vector
+    joins the inverted list of its nearest centroid (by cosine);
+    queries probe their ``nprobe`` nearest lists and score only those
+    candidates.
+
+    Scale shape: centroids broadcast (tiny); list assignment is
+    map-side; the probe join keys on centroid_id — at 100 TB the
+    corpus would be written ``partitionBy(centroid_id)`` once, making
+    every probe a partition-pruned scan of nprobe/n_centroids of the
+    data instead of a full pass.
+    """
+    cents = F.broadcast(
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("__ctr"),
+            norm(F.col(vec_col)).alias("__ctrn"),
+        )
+    )
+
+    def assign(side: DataFrame, out_id: str, top_n: int) -> DataFrame:
+        scored = side.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias("__v"),
+            norm(F.col(vec_col)).alias("__vn"),
+        ).crossJoin(cents)
+        cscore = dot(F.col("__v"), F.col("__ctr")) / (
+            F.col("__vn") * F.col("__ctrn")
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            cscore.desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("__crank", F.row_number().over(w))
+            .where(F.col("__crank") <= top_n)
+            .select(out_id, "centroid_id", "__v", "__vn")
+        )
+
+    c = assign(ensure_parallelism(corpus), "neighbor_id", 1).select(
+        "neighbor_id",
+        "centroid_id",
+        F.col("__v").alias("__cv"),
+        F.col("__vn").alias("__cn"),
+    )
+    q = assign(queries, "query_id", nprobe).select(
+        "query_id",
+        "centroid_id",
+        F.col("__v").alias("__qv"),
+        F.col("__vn").alias("__qn"),
+    )
+    sim = F.round(
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+    )
+    scored = (
+        q.join(
+            c,
+            (q["centroid_id"] == c["centroid_id"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", sim.alias("score"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -99,7 +99,10 @@ NUM_PERM, BANDS = 12, 4
 _ROWS = NUM_PERM // BANDS
 
 
-def _minhash_oracle() -> str:
+def minhash_pair_ctes() -> str:
+    """CTE chain ending in ``pairs`` (id_a, id_b) — the MinHash-LSH
+    candidate pairs over the synthesized near-dup corpus. Shared by
+    the q21 oracle and the q36 connected-components oracle."""
     sh = SQL_SHINGLES.format(t="text")
     mins = ",\n           ".join(
         f"list_aggregate(list_transform(sh, s -> md5(s || '#{i}')), 'min') AS mh{i}"
@@ -112,19 +115,26 @@ def _minhash_oracle() -> str:
         )
         for b in range(BANDS)
     )
-    return f"""
-    WITH corpus AS ({SQL_NEAR_CORPUS}),
+    return f"""corpus AS ({SQL_NEAR_CORPUS}),
     shingled AS (SELECT doc_id, {sh} AS sh FROM corpus),
     sig AS (SELECT doc_id,
            {mins}
            FROM shingled),
     bands AS (
 {band_rows}
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {minhash_pair_ctes()}
+    SELECT id_a, id_b FROM pairs
     """
 
 

@@ -1,0 +1,275 @@
+"""Event-pipeline and dataset-engineering queries: sessionization,
+as-of join, near-dup clustering, IVF ANN, deterministic splits,
+rollup summaries.
+
+These extend the reference surface (SURVEY §2.11 notes the reference
+has no stream/session operators) with the batch event-analytics and
+training-data-curation operators a 100 TB pipeline needs; each has a
+DuckDB oracle — including the as-of join, verified against DuckDB's
+native ASOF JOIN, and connected components, verified against a
+recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rialto_airflow_spark.operators import dedup as D
+from rialto_airflow_spark.operators import events as E
+from rialto_airflow_spark.operators import sampling as SA
+from rialto_airflow_spark.operators import similarity as S
+from rialto_airflow_spark.plans.llm_queries import (
+    _spark_near_corpus,
+    minhash_pair_ctes,
+)
+from rialto_airflow_spark.plans.queries import register
+from rialto_airflow_spark.session import load_tables
+
+NUM_PERM, BANDS = 12, 4  # mirror q21 so the pair graph is identical
+
+
+@register(
+    "q34_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR floor(epoch(ts))::BIGINT
+                     - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_s
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+    headline=True,
+)
+def q34_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (operators.events.session_stats): 30-minute
+    inactivity gap, per-user session stats. Lag + running sum +
+    group-by all share one shuffle on user_id."""
+    t = load_tables(spark, sf_dir, "events")
+    out = E.session_stats(
+        t["events"], "user_id", "ts", gap_seconds=1800, order_cols=["event_id"]
+    )
+    return out.withColumn("session_seq", F.col("session_seq").cast("long"))
+
+
+@register(
+    "q35_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, round(max(value), 2) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    purch AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_ts, c.click_value
+    FROM purch p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.events.asof_join): each purchase gets
+    the latest prior click's value per user. The union-and-carry
+    composition is verified here against DuckDB's NATIVE ASOF JOIN
+    physical operator — same semantics, one shuffle, no range
+    explosion."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("click_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return E.asof_join(
+        purchases, clicks, "user_id", "ts", ["click_value"], right_ts_alias="asof_ts"
+    )
+
+
+@register(
+    "q36_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {minhash_pair_ctes()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+    )
+    SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+    """,
+)
+def q36_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs → connected components
+    (operators.dedup.connected_components, min-label propagation) —
+    pairs become dedup GROUPS keyed by the smallest member id. Oracle
+    walks the same graph with a recursive CTE."""
+    corpus = _spark_near_corpus(spark, sf_dir)
+    pairs = D.minhash_near_dups(
+        corpus, "doc_id", "text", num_perm=NUM_PERM, bands=BANDS, shingle_n=3
+    )
+    return D.connected_components(pairs)
+
+
+@register(
+    "q37_hash_split",
+    oracle="""
+    WITH u AS (
+      SELECT lang,
+             CAST('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 8) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs
+    FROM u
+    GROUP BY 1, 2
+    """,
+)
+def q37_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (operators.sampling.hash_split): salted-md5 thresholds, stable
+    across runs/engines/partitionings — rows never migrate between
+    splits as the corpus grows."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = SA.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+    )
+    return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_IVF_COS = """
+      sum(qv[d.i]::DOUBLE * cv[d.i]::DOUBLE)
+      / (sqrt(sum(qv[d.i]::DOUBLE * qv[d.i]::DOUBLE))
+         * sqrt(sum(cv[d.i]::DOUBLE * cv[d.i]::DOUBLE)))
+"""
+
+
+@register(
+    "q38_ann_ivf",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS ctr
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    ascore AS (
+      SELECT e.vec_id, c.centroid_id,
+             sum(e.embedding[d.i]::DOUBLE * c.ctr[d.i]::DOUBLE)
+             / (sqrt(sum(e.embedding[d.i]::DOUBLE * e.embedding[d.i]::DOUBLE))
+                * sqrt(sum(c.ctr[d.i]::DOUBLE * c.ctr[d.i]::DOUBLE))) AS cscore
+      FROM embeddings e
+      CROSS JOIN cents c
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+      GROUP BY e.vec_id, c.centroid_id
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cscore DESC, centroid_id) AS crank
+      FROM ascore
+    ),
+    lists AS (
+      SELECT a.vec_id AS neighbor_id, a.centroid_id, e.embedding AS cv
+      FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+      WHERE a.crank = 1
+    ),
+    probes AS (
+      SELECT a.vec_id AS query_id, a.centroid_id, e.embedding AS qv
+      FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+      WHERE a.crank <= 2 AND a.vec_id < 20
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, l.neighbor_id, p.qv, l.cv
+      FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id
+      WHERE p.query_id != l.neighbor_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, round({_IVF_COS}, 6) AS score
+      FROM cand
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+      GROUP BY query_id, neighbor_id, qv, cv
+    )
+    SELECT query_id, rank, neighbor_id, score FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q38_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors
+    (operators.similarity.ivf_topk): 8 deterministic centroids,
+    nprobe=2 — queries search only their two nearest inverted lists.
+    At scale the corpus is partitioned by centroid_id so each probe is
+    a partition-pruned scan."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return S.ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 20),
+        "vec_id",
+        "embedding",
+        k=3,
+        n_centroids=8,
+        nprobe=2,
+    )
+
+
+@register(
+    "q39_rollup_stats",
+    oracle="""
+    SELECT coalesce(lang, 'ALL') AS lang,
+           coalesce(source, 'ALL') AS source,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+)
+def q39_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup summary (corpus composition by language ×
+    source with subtotals + grand total) — `df.rollup`, the
+    slice-and-dice report a curation pipeline publishes per snapshot.
+    Partial aggregation keeps the rollup one shuffle; subtotal rows
+    surface as 'ALL' instead of NULL so downstream consumers (and the
+    driver's value hash) need no null handling."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )

@@ -668,7 +668,7 @@ def q33_ordered_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _load_extensions() -> None:
     """Pull in the other registry modules (they self-register)."""
-    from rialto_airflow_spark.plans import llm_queries  # noqa: F401
+    from rialto_airflow_spark.plans import llm_queries, pipeline_queries  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -93,15 +93,24 @@ class TableStore:
 
 
 def write_bucketed(
-    df: DataFrame, table: str, bucket_col: str, num_buckets: int = 64
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 64,
+    path: str | None = None,
 ) -> None:
     """Bucketed saveAsTable for merge-key co-location: both sides of
     a MERGE/self-join on ``bucket_col`` read pre-shuffled data, so
     Catalyst plans a shuffle-free SortMergeJoin. Use for the
-    publication table keyed by doi at real scale."""
-    (
+    publication table keyed by doi at real scale. ``path`` makes the
+    table external at that location (bucketing metadata still lives
+    in the catalog — bucketed reads require reading via the table
+    name, not the path)."""
+    writer = (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, bucket_col)
         .sortBy(bucket_col)
-        .saveAsTable(table)
     )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

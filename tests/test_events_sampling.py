@@ -1,0 +1,160 @@
+"""Unit tests for event operators (sessionize / as-of join),
+deterministic sampling, connected components, and IVF ANN —
+edge-case semantics the oracle queries don't isolate."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from rialto_airflow_spark.operators import dedup as D
+from rialto_airflow_spark.operators import events as E
+from rialto_airflow_spark.operators import sampling as SA
+from rialto_airflow_spark.operators import similarity as S
+
+
+def _ts(minute, second=0):
+    return datetime.datetime(2024, 1, 1, 12, minute, second)
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        # user 1: 3 events, second exactly at the gap (no new session),
+        # third one second past it (new session)
+        (1, _ts(0), 10),
+        (1, _ts(30), 11),  # gap == 1800s -> same session
+        (1, _ts(0) + datetime.timedelta(seconds=3601), 12),
+        # user 2: single event
+        (2, _ts(5), 20),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    out = E.sessionize(df, "user_id", "ts", 1800, ["event_id"]).collect()
+    by_event = {r.event_id: r for r in out}
+    assert by_event[10].session_seq == 1 and by_event[10].is_session_start
+    assert by_event[11].session_seq == 1 and not by_event[11].is_session_start
+    assert by_event[12].session_seq == 2 and by_event[12].is_session_start
+    assert by_event[20].session_seq == 1
+
+
+def test_session_stats_duration(spark):
+    rows = [(1, _ts(0), 1), (1, _ts(10), 2), (1, _ts(50), 3)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    stats = {
+        r.session_seq: r
+        for r in E.session_stats(df, "user_id", "ts", 1800, ["event_id"]).collect()
+    }
+    assert stats[1].n_events == 2 and stats[1].duration_s == 600
+    assert stats[2].n_events == 1 and stats[2].duration_s == 0
+
+
+def test_asof_join_backward_and_ties(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10), "p1"),  # after r@5 -> matches 5
+            (1, _ts(5), "p2"),   # ties r@5 -> >= includes equality
+            (1, _ts(1), "p3"),   # before any right row -> nulls
+            (2, _ts(10), "p4"),  # user with no right rows -> nulls
+        ],
+        ["user_id", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 100.0), (1, _ts(9), 200.0)],
+        ["user_id", "ts", "v"],
+    )
+    out = {
+        r.tag: r
+        for r in E.asof_join(left, right, "user_id", "ts", ["v"]).collect()
+    }
+    assert out["p1"].v == 200.0 and out["p1"].asof_ts == _ts(9)
+    assert out["p2"].v == 100.0  # equality matches (>= semantics)
+    assert out["p3"].v is None and out["p3"].asof_ts is None
+    assert out["p4"].v is None
+    assert len(out) == 4  # left rows never multiply
+
+
+def test_hash_split_deterministic_and_partition_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = SA.hash_split(df, "k").groupBy("split").count().collect()
+    b = (
+        SA.hash_split(df.repartition(7), "k")
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    assert {(r.split, r["count"]) for r in a} == {
+        (r.split, r["count"]) for r in b
+    }
+    counts = {r.split: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+
+
+def test_deterministic_sample_is_subset_monotone(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    small = {r.k for r in SA.deterministic_sample(df, "k", 0.1).collect()}
+    big = {r.k for r in SA.deterministic_sample(df, "k", 0.3).collect()}
+    assert small <= big  # raising the fraction only adds rows
+    assert 0 < len(small) < len(big) < 1000
+
+
+def test_stratified_sample_per_stratum(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    out = SA.stratified_sample(
+        df, "k", ["lang"], {"en": 0.5, "fr": 0.0}, default_fraction=0.0
+    )
+    langs = {r.lang for r in out.collect()}
+    assert langs == {"en"}  # fr stratum fully excluded
+    n_en = out.count()
+    assert abs(n_en / 500 - 0.5) < 0.15
+
+
+def test_connected_components_chain_and_triangle(spark):
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r.id: r.cluster_id for r in D.connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_cluster_survivors_keeps_min_and_unclustered(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in (1, 2, 3, 99)], ["doc_id", "text"]
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], ["id", "cluster_id"]
+    )
+    kept = {r.doc_id for r in D.cluster_survivors(df, clusters, "doc_id").collect()}
+    assert kept == {1, 99}
+
+
+def test_ivf_topk_finds_identical_vector(spark):
+    # 12 near-orthogonal-ish vectors; vec 10 duplicates vec 3's direction
+    rows = []
+    for i in range(10):
+        v = [0.0] * 8
+        v[i % 8] = 1.0
+        v[(i + 3) % 8] = 0.5 if i >= 8 else 0.0
+        rows.append((i, v))
+    rows.append((10, [x * 2.0 for x in rows[3][1]]))  # same direction as 3
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") == 3),
+        "vec_id",
+        "embedding",
+        k=1,
+        n_centroids=4,
+        nprobe=2,
+    ).collect()
+    assert len(out) == 1
+    assert out[0].neighbor_id == 10 and abs(out[0].score - 1.0) < 1e-9
