@@ -111,12 +111,16 @@ def merge_on_key(
     return merged.unionByName(batch_nullkey.select(*merged.columns))
 
 
-def merge_metrics(
-    existing: DataFrame, batch: DataFrame, key: str, compare_cols: Sequence[str] | None = None
-) -> dict[str, int]:
-    """A11 — the reference's load counters (authors.py:34-66):
-    processed / new / updated / noop for a batch against a table.
-    One aggregate job; null-key batch rows count as inserts."""
+def merge_status_counts(
+    existing: DataFrame,
+    batch: DataFrame,
+    key: str,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-status row counts (status, n) for a batch against a table:
+    'new' (no key match), 'updated' (any compared column differs,
+    null-safe), 'noop' (identical). The distributed core of A11 —
+    one left join + one aggregate, no collect."""
     if compare_cols is None:
         compare_cols = [c for c in batch.columns if c != key and c in existing.columns]
     b = batch.alias("b")
@@ -130,11 +134,20 @@ def merge_metrics(
         .when(changed, "updated")
         .otherwise("noop")
     )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def merge_metrics(
+    existing: DataFrame, batch: DataFrame, key: str, compare_cols: Sequence[str] | None = None
+) -> dict[str, int]:
+    """A11 — the reference's load counters (authors.py:34-66):
+    processed / new / updated / noop for a batch against a table.
+    One aggregate job; null-key batch rows count as inserts."""
     counts = {
         r["status"]: r["n"]
-        for r in joined.groupBy(status.alias("status"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        for r in merge_status_counts(existing, batch, key, compare_cols).collect()
     }
     counts = {k: counts.get(k, 0) for k in ("new", "updated", "noop")}
     counts["processed"] = sum(counts.values())

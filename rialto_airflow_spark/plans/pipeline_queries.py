@@ -242,6 +242,320 @@ def q38_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q40_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q40_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (latency/quality distribution
+    reporting): F.percentile's linear interpolation matches
+    quantile_cont. For 100 TB dashboards swap to approx_percentile —
+    same plan shape, bounded-memory sketch."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+    )
+
+
+@register(
+    "q41_salted_agg",
+    oracle="""
+    SELECT event_type,
+           round(sum(value), 2) AS total_value,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q41_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation
+    (operators.skew.salted_agg): partial per (key, salt), final per
+    key. The oracle is the PLAIN group-by — proving salting is
+    semantically transparent, which is the whole point: hot keys
+    spread over 16 tasks with no result change."""
+    from rialto_airflow_spark.operators.skew import salted_agg
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return salted_agg(
+        ev,
+        ["event_type"],
+        partial=lambda: [
+            F.sum("value").alias("__ps"),
+            F.count(F.lit(1)).alias("__pc"),
+        ],
+        final=lambda: [
+            F.round(F.sum("__ps"), 2).alias("total_value"),
+            F.sum("__pc").alias("n"),
+        ],
+        buckets=16,
+    )
+
+
+@register(
+    "q42_merge_status",
+    oracle="""
+    WITH existing AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    batch AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+                  ELSE round(o_totalprice + 1000.0, 2) END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    )
+    SELECT CASE WHEN e.o_orderkey IS NULL THEN 'new'
+                WHEN b.o_totalprice IS DISTINCT FROM e.o_totalprice
+                     OR b.o_orderstatus IS DISTINCT FROM e.o_orderstatus
+                THEN 'updated'
+                ELSE 'noop' END AS status,
+           count(*) AS n
+    FROM batch b LEFT JOIN existing e ON b.o_orderkey = e.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q42_merge_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — merge load counters as a distributed query
+    (operators.merge.merge_status_counts): new / updated / noop
+    classification with null-safe column comparison, the counters the
+    reference tallies row-at-a-time (authors.py:34-66)."""
+    from rialto_airflow_spark.operators.merge import merge_status_counts
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    existing = orders.where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+    batch = orders.where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice"))
+        .otherwise(F.round(F.col("o_totalprice") + 1000.0, 2))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return merge_status_counts(existing, batch, "o_orderkey")
+
+
+@register(
+    "q43_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value
+    FROM events
+    """,
+)
+def q43_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup (streaming.events.dedup_stream):
+    the input directory holds TWO verbatim copies of every event
+    (at-least-once redelivery); watermarked dropDuplicates state emits
+    each exactly once, so the drained output equals the original
+    table — which IS the oracle."""
+    import tempfile
+
+    from rialto_airflow_spark.streaming import events as SE
+
+    workdir = tempfile.mkdtemp(prefix="rspark_q43_")
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ev.write.mode("overwrite").parquet(f"{workdir}/in")
+    ev.write.mode("append").parquet(f"{workdir}/in")  # redelivery
+    stream = SE.read_event_stream(spark, f"{workdir}/in")
+    SE.run_available_now(
+        SE.dedup_stream(stream), f"{workdir}/ckpt", f"{workdir}/out"
+    )
+    return spark.read.parquet(f"{workdir}/out").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+
+@register(
+    "q44_stateful_counts",
+    oracle="""
+    SELECT user_id, count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q44_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator
+    (streaming.events.running_user_counts, applyInPandasWithState):
+    per-user running totals kept in Arrow-batched group state,
+    drained availableNow into a memory sink. The single-batch drain
+    makes the final state equal the batch group-by, which IS the
+    oracle."""
+    import tempfile
+    import uuid
+
+    from rialto_airflow_spark.streaming import events as SE
+
+    workdir = tempfile.mkdtemp(prefix="rspark_q44_")
+    name = f"q44_counts_{uuid.uuid4().hex[:8]}"
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ev.write.mode("overwrite").parquet(f"{workdir}/in")
+    stream = SE.read_event_stream(spark, f"{workdir}/in")
+    SE.run_available_now_memory(
+        SE.running_user_counts(stream), f"{workdir}/ckpt", name
+    )
+    return spark.table(name)
+
+
+@register(
+    "q45_rule_cascade",
+    oracle="""
+    WITH payloads AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+               THEN '{"title":"A' || doc_id || '","year":"2099"}' END AS a,
+             CASE WHEN doc_id % 2 = 0
+               THEN '{"title":"B' || doc_id || '","year":"20' || (10 + doc_id % 10)
+                    || '","tags":["t' || doc_id % 5 || '","shared"]}' END AS b,
+             '{"title":"C' || doc_id || '","tags":["u' || doc_id % 7 || '"]}' AS c
+      FROM documents
+    )
+    SELECT doc_id,
+           coalesce(json_extract_string(a, '$.title'),
+                    json_extract_string(b, '$.title'),
+                    json_extract_string(c, '$.title')) AS title,
+           coalesce(
+             CASE WHEN TRY_CAST(json_extract_string(a, '$.year') AS INTEGER)
+                       <= year(current_date)
+                  THEN TRY_CAST(json_extract_string(a, '$.year') AS INTEGER) END,
+             CASE WHEN TRY_CAST(json_extract_string(b, '$.year') AS INTEGER)
+                       <= year(current_date)
+                  THEN TRY_CAST(json_extract_string(b, '$.year') AS INTEGER) END
+           ) AS pub_year,
+           array_to_string(list_sort(list_distinct(list_concat(
+             coalesce(json_transform(json_extract(b, '$.tags'), '["VARCHAR"]'),
+                      []::VARCHAR[]),
+             coalesce(json_transform(json_extract(c, '$.tags'), '["VARCHAR"]'),
+                      []::VARCHAR[])
+           ))), '|') AS tags
+    FROM payloads
+    """,
+)
+def q45_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distiller rule engine over synthesized multi-source JSON
+    payloads (functions.rules: first_of ≡ coalesce, valid_year guard,
+    all_of union) — the D1/D2/D13 cascade shape verified end-to-end
+    against DuckDB's JSON functions. Source A's year is always in the
+    future, so the guard must skip it (utils.py:192-201)."""
+    from rialto_airflow_spark.functions.rules import (
+        all_of,
+        first_of,
+        nonempty,
+        valid_year,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('{"title":"A'), F.col("doc_id"), F.lit('","year":"2099"}')
+            ),
+        ).alias("a"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit('{"title":"B'),
+                F.col("doc_id"),
+                F.lit('","year":"20'),
+                (10 + F.col("doc_id") % 10),
+                F.lit('","tags":["t'),
+                F.col("doc_id") % 5,
+                F.lit('","shared"]}'),
+            ),
+        ).alias("b"),
+        F.concat(
+            F.lit('{"title":"C'),
+            F.col("doc_id"),
+            F.lit('","tags":["u'),
+            F.col("doc_id") % 7,
+            F.lit('"]}'),
+        ).alias("c"),
+    )
+    title = first_of(
+        F.get_json_object("a", "$.title"),
+        F.get_json_object("b", "$.title"),
+        F.get_json_object("c", "$.title"),
+    )
+    pub_year = first_of(
+        valid_year(F.get_json_object("a", "$.year")),
+        valid_year(F.get_json_object("b", "$.year")),
+    )
+    tags = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                all_of(
+                    nonempty(F.from_json(F.get_json_object("b", "$.tags"), "array<string>")),
+                    nonempty(F.from_json(F.get_json_object("c", "$.tags"), "array<string>")),
+                )
+            )
+        ),
+        "|",
+    )
+    return payloads.select(
+        "doc_id",
+        title.alias("title"),
+        pub_year.alias("pub_year"),
+        tags.alias("tags"),
+    )
+
+
+@register(
+    "q46_salted_join",
+    oracle="""
+    WITH dim AS (
+      SELECT 'click' AS event_type, 1.0 AS weight UNION ALL
+      SELECT 'view', 0.5 UNION ALL
+      SELECT 'purchase', 10.0 UNION ALL
+      SELECT 'signup', 5.0 UNION ALL
+      SELECT 'error', 0.0
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(sum(e.value * d.weight), 2) AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q46_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join (operators.skew.salted_join): the build
+    side replicates per salt bucket so one hot probe key spreads over
+    8 tasks. Oracle is the PLAIN join + aggregate — salting must not
+    change results."""
+    from rialto_airflow_spark.operators.skew import salted_join
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    dim = ev.sparkSession.createDataFrame(
+        [
+            ("click", 1.0),
+            ("view", 0.5),
+            ("purchase", 10.0),
+            ("signup", 5.0),
+            ("error", 0.0),
+        ],
+        ["event_type", "weight"],
+    )
+    joined = salted_join(ev, dim, "event_type", buckets=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
+            "weighted_value"
+        ),
+    )
+
+
+@register(
     "q39_rollup_stats",
     oracle="""
     SELECT coalesce(lang, 'ALL') AS lang,

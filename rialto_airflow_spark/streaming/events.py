@@ -65,6 +65,63 @@ def windowed_counts_batch(events: DataFrame, window: str = "1 hour") -> DataFram
     )
 
 
+def dedup_stream(
+    events: DataFrame, id_cols: list[str] | None = None, late: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop rows whose ``id_cols`` were
+    already seen, with state bounded by the event-time watermark
+    (entries older than ``late`` are evicted — the streaming twin of
+    exact_dedup). Input batches that re-deliver the same events (the
+    at-least-once delivery every real bus has) come out exactly
+    once."""
+    return events.withWatermark("ts", late).dropDuplicates(
+        (id_cols or ["event_id"]) + ["ts"]
+    )
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running event count that survives across micro-batches
+    (state = one long per user). The Arrow-batched state API is the
+    escape hatch for aggregations Spark's built-ins can't express —
+    this one is deliberately simple so the state plumbing (schema,
+    update, timeout) is the thing under test."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_fn(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now_memory(
+    agg: DataFrame, checkpoint: str, query_name: str
+) -> None:
+    """Drain an update-mode stream into an in-memory table (update
+    sinks can't write parquet; memory is the verification sink)."""
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     agg: DataFrame, checkpoint: str, out_path: str
 ) -> None:
