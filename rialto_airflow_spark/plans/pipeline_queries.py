@@ -555,6 +555,76 @@ def q46_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_SQL = """
+      round(least(length(text) / 500.0, 1.0) * 0.4
+            + least((len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                x -> list_contains(['the','a','of','and','in','to','is','it','for','on'], lower(x))))::DOUBLE
+                / len(regexp_split_to_array(trim(text), '\\s+'))) * 5.0, 1.0) * 0.4
+            + greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                / length(text)) * 10.0) * 0.2, 4)
+"""
+
+
+@register(
+    "q47_curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {minhash_pair_ctes()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+    ),
+    clusters AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+    survivors AS (
+      SELECT c.doc_id, c.text, c.lang
+      FROM corpus c LEFT JOIN clusters k ON c.doc_id = k.id
+      WHERE k.id IS NULL OR k.cluster_id = c.doc_id
+    ),
+    gated AS (
+      SELECT doc_id, lang FROM survivors
+      WHERE {_QUALITY_SQL} >= 0.5
+    )
+    SELECT CASE
+             WHEN CAST('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 8) AS BIGINT)
+                  / 4294967296.0 < 0.9 THEN 'train'
+             ELSE 'eval' END AS split,
+           lang,
+           count(*) AS n_docs
+    FROM gated
+    GROUP BY 1, 2
+    """,
+    headline=True,
+)
+def q47_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data curation pipeline, end-to-end: MinHash-
+    LSH near-dup pairs → connected-components clusters → keep one doc
+    per cluster → quality gate → deterministic train/eval split →
+    corpus report. Every stage is an already-oracle-verified operator
+    (q21, q36, q27, q37); this query proves they COMPOSE — one
+    pipeline, one lineage, no intermediate materialization except the
+    clustering loop's checkpoints."""
+    from rialto_airflow_spark.operators import text as T
+
+    corpus = _spark_near_corpus(spark, sf_dir)
+    pairs = D.minhash_near_dups(
+        corpus, "doc_id", "text", num_perm=NUM_PERM, bands=BANDS, shingle_n=3
+    )
+    clusters = D.connected_components(pairs)
+    survivors = D.cluster_survivors(corpus, clusters, "doc_id")
+    gated = survivors.where(F.round(T.quality_score("text"), 4) >= 0.5)
+    split = SA.hash_split(
+        gated, "doc_id", {"train": 0.9, "eval": 0.1}, salt="split"
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 @register(
     "q39_rollup_stats",
     oracle="""

@@ -70,6 +70,112 @@ def test_merge_key_algebra(spark, existing, batch):
     assert got == want
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), max_size=30, unique=True),
+    cut=st.floats(min_value=0.05, max_value=0.95),
+)
+def test_hash_split_total_partition(spark, ids, cut):
+    """Every row lands in exactly one split for ANY fraction layout,
+    and assignment is a pure function of (id, salt) — recomputing
+    yields the identical mapping."""
+    from rialto_airflow_spark.operators.sampling import hash_split
+
+    if not ids:
+        return
+    df = spark.createDataFrame([(i,) for i in ids], "k long")
+    splits = {"a": cut, "b": round(1.0 - cut, 6)}
+    once = {r.k: r.split for r in hash_split(df, "k", splits).collect()}
+    again = {r.k: r.split for r in hash_split(df, "k", splits).collect()}
+    assert set(once) == set(ids)  # total: every id assigned
+    assert once == again  # pure
+    assert set(once.values()) <= {"a", "b"}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=1, max_size=12
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 9)),
+        max_size=12,
+    ),
+)
+def test_asof_join_matches_reference_model(spark, left, right):
+    """asof_join output equals the O(n²) reference model (latest right
+    ts ≤ left ts per key) and always preserves left cardinality."""
+    import datetime
+
+    from rialto_airflow_spark.operators.events import asof_join
+
+    base = datetime.datetime(2024, 1, 1)
+    t = lambda s: base + datetime.timedelta(seconds=s)  # noqa: E731
+    # unique right (key, ts) — the operator's documented precondition
+    r_dedup = {(k, ts): v for k, ts, v in right}
+    l_rows = [(k, t(ts), i) for i, (k, ts) in enumerate(left)]
+    r_rows = [(k, t(ts), v) for (k, ts), v in r_dedup.items()]
+    ldf = spark.createDataFrame(l_rows, "k int, ts timestamp, lid int")
+    rdf = spark.createDataFrame(
+        r_rows or [(0, t(0), 0)], "k int, ts timestamp, v int"
+    )
+    if not r_rows:
+        rdf = rdf.limit(0)
+    out = {r.lid: r.v for r in asof_join(ldf, rdf, "k", "ts", ["v"]).collect()}
+    assert len(out) == len(l_rows)
+    for k, lts, lid in l_rows:
+        cands = [
+            (rts, v) for (rk, rts), v in r_dedup.items()
+            if rk == k and rts <= (lts - base).total_seconds()
+        ]
+        want = max(cands)[1] if cands else None
+        assert out[lid] == want, (lid, k, lts)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 5000)), min_size=1, max_size=15
+    ),
+    gap=st.integers(min_value=1, max_value=600),
+)
+def test_sessionize_invariants(spark, events, gap):
+    """Per key: session_seq starts at 1, never decreases in time
+    order, increments exactly at gaps > gap_seconds."""
+    import datetime
+
+    from rialto_airflow_spark.operators.events import sessionize
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (k, base + datetime.timedelta(seconds=s), i)
+        for i, (k, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, eid int")
+    out = sessionize(df, "k", "ts", gap, ["eid"]).collect()
+    by_key: dict = {}
+    for r in sorted(out, key=lambda r: (r.k, r.ts, r.eid)):
+        by_key.setdefault(r.k, []).append(r)
+    for k, seq in by_key.items():
+        assert seq[0].session_seq == 1
+        for prev, cur in zip(seq, seq[1:]):
+            delta = (cur.ts - prev.ts).total_seconds()
+            expected = prev.session_seq + (1 if delta > gap else 0)
+            assert cur.session_seq == expected
+
+
 DOI_ALPHABET = string.ascii_letters + string.digits + "./:-_ "
 
 
