@@ -328,30 +328,43 @@ def cluster_survivors(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash over whitespace tokens: bit b of the hash is 1 iff the
     sum over tokens of (+1 if bit b of md5-derived token hash else -1)
-    is positive. Map-only per document (tokens × bits inside one array
-    expression, no explode/shuffle)."""
+    is positive. Map-only per document, and single-pass: ONE aggregate
+    carries an array of ``bits`` vote counters (zip_with add per
+    token), instead of ``bits`` separate aggregates each rescanning
+    the token array — ~bits× fewer array traversals per row."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     tok_hashes = F.transform(toks, lambda w: _h64(w, "simhash"))
 
     def body(th: Column) -> Column:
-        # th is the bound token-hash array: hashed once per row, then
-        # 32 cheap integer-vote aggregates over it
-        def vote(b: int):
-            return F.aggregate(
-                th,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(
-                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1),
-            )
+        # per token: its ±1 vote for every bit (b is a Python literal,
+        # so shiftright stays a static expression)
+        per_tok = F.transform(
+            th,
+            lambda h: F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(-1).cast("long"))
+                    for b in range(bits)
+                ]
+            ),
+        )
+        votes = F.aggregate(
+            per_tok,
+            F.array_repeat(F.lit(0).cast("long"), bits),
+            lambda acc, arr: F.zip_with(acc, arr, lambda a, x: a + x),
+        )
 
-        total = F.lit(0).cast("long")
-        for b in range(bits):
-            total = total + F.when(vote(b) > 0, F.lit(2**b).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return total
+        def fold(v: Column) -> Column:
+            total = F.lit(0).cast("long")
+            for b in range(bits):
+                total = total + F.when(
+                    F.element_at(v, b + 1) > 0, F.lit(2**b).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            return total
+
+        return bind_once(votes, fold)
 
     return ensure_parallelism(df).select(
         F.col(id_col), bind_once(tok_hashes, body).alias("simhash")

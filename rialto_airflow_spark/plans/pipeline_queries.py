@@ -626,6 +626,66 @@ def q47_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q48_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           i::INT AS frame_idx,
+           (i * 64)::BIGINT AS "offset"
+    FROM documents
+    CROSS JOIN LATERAL (
+      SELECT unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) AS i
+    ) t
+    """,
+)
+def q48_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1→N frame sampling (operators.multimodal.
+    sample_frames): each media payload fans out to one row per
+    sampled frame offset through an Arrow-batched mapInPandas — the
+    video-demux plumbing with a deterministic stand-in sampler, so
+    the fan-out shape itself is oracle-verified."""
+    from rialto_airflow_spark.operators import multimodal as MM
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = MM.attach_binary(docs, "doc_id", "text", "video")
+    return MM.sample_frames(media, every_n_bytes=64)
+
+
+@register(
+    "q49_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q49_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based cardinality (approx_count_distinct / HLL++): the
+    bounded-memory path for 100 TB distinct counts. The approximation
+    can't hash-match an oracle, so the query asserts its own error
+    bound — approx within 15% of exact (HLL++ is deterministic per
+    dataset) — and the oracle expects that assertion to hold."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id").alias("__a"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("__a") - F.col("n_exact"))
+                / F.col("n_exact")
+                < 0.15
+            ).alias("approx_ok"),
+        )
+    )
+
+
+@register(
     "q39_rollup_stats",
     oracle="""
     SELECT coalesce(lang, 'ALL') AS lang,

@@ -354,17 +354,27 @@ def q10_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_piped_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2/O3/N5 — distinct-sort-pipe-join of grouped values (ISSN and
     ORCID unions, distiller/journal_issn.py:5-48; piped(),
-    utils.py:172-182)."""
+    utils.py:172-182).
+
+    Aggregate-before-join: the fact side reduces to one row per key
+    (map-side partial collect_set) BEFORE meeting orders, so the join
+    shuffles 1/4 the rows and the agg's hash partitioning is reused
+    for the join — the multiplicity-reduction rule the marts follow.
+    """
     t = load_tables(spark, sf_dir, "orders", "lineitem")
-    return (
-        t["orders"]
-        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey")
+    flags = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
         .agg(
             F.array_join(
                 F.array_sort(F.collect_set("l_returnflag")), "|"
             ).alias("flags")
         )
+    )
+    return (
+        t["orders"]
+        .join(flags, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderkey", "flags")
     )
 
 
