@@ -107,7 +107,10 @@ def lang_id(col: Column | str) -> Column:
 
 
 def ngram_strings(col: Column | str, n: int = 3) -> Column:
-    """Word n-grams as space-joined strings (shingles).
+    """Word n-grams as space-joined strings (shingles). Documents
+    shorter than ``n`` tokens yield an EMPTY array (guarded: an
+    unguarded ``sequence(0, size-n)`` flips to a descending [0,-1]
+    when size < n, and slice(toks, 0, n) then throws at runtime).
 
     The token array is bound once per row (bind_once); otherwise the
     split() would re-run for every n-gram position after Catalyst
@@ -116,10 +119,13 @@ def ngram_strings(col: Column | str, n: int = 3) -> Column:
 
     return bind_once(
         tokens(col),
-        lambda toks: F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
 
 
@@ -131,6 +137,44 @@ def fingerprint(col: Column | str, n: int = 3, k: int = 4) -> Column:
         F.array_distinct(F.transform(ngram_strings(col, n), F.md5))
     )
     return F.array_join(F.slice(hashes, 1, k), "|")
+
+
+def winnow_fingerprint(
+    col: Column | str, n: int = 3, window: int = 4, k: int = 8
+) -> Column:
+    """Winnowing fingerprint (Schleimer et al., MOSS): hash the word
+    n-gram sequence, take the minimum hash in every sliding window of
+    ``window`` consecutive shingle hashes, then keep the k smallest
+    distinct window-minima, pipe-joined.
+
+    Versus the k-min sketch (``fingerprint``), winnowing guarantees
+    positional coverage: every ``window``-length stretch of the
+    document contributes a hash, so a long document can't hide an
+    inserted passage between sketch samples — the property plagiarism
+    and near-dup detection at corpus scale rely on. Documents with
+    fewer than ``window`` shingles collapse to one window (their
+    global minimum). Pure Column expression, map-only."""
+    from rialto_airflow_spark.functions.perf import bind_once
+
+    hashes = F.transform(ngram_strings(col, n), F.md5)
+
+    def body(h: Column) -> Column:
+        mins = F.when(
+            F.size(h) >= window,
+            F.transform(
+                F.sequence(F.lit(0), F.size(h) - window),
+                lambda i: F.array_min(F.slice(h, i + 1, window)),
+            ),
+        ).otherwise(
+            F.when(F.size(h) > 0, F.array(F.array_min(h))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+        return F.array_join(
+            F.slice(F.array_sort(F.array_distinct(mins)), 1, k), "|"
+        )
+
+    return bind_once(hashes, body)
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -686,6 +686,49 @@ def q49_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q50_winnow_fingerprint",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
+               i -> md5(array_to_string(
+                      regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
+             ) AS h
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= 4 THEN
+               list_transform(range(1, len(h) - 2),
+                              i -> list_aggregate(h[i:i+3], 'min'))
+             WHEN len(h) > 0 THEN [list_aggregate(h, 'min')]
+             ELSE []::VARCHAR[] END AS mins
+      FROM sh
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list_sort(list_distinct(mins))[1:8], '|'), '') AS wfp
+    FROM wins
+    """,
+)
+def q50_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint (operators.text.winnow_fingerprint):
+    rolling min-hash over sliding windows of shingle hashes — the
+    positional-coverage sketch (MOSS) that a k-min sketch lacks."""
+    from rialto_airflow_spark.functions.perf import ensure_parallelism
+    from rialto_airflow_spark.operators import text as T
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, "documents")["documents"]
+    )
+    return docs.select(
+        "doc_id",
+        T.winnow_fingerprint("text", n=3, window=4, k=8).alias("wfp"),
+    )
+
+
+@register(
     "q39_rollup_stats",
     oracle="""
     SELECT coalesce(lang, 'ALL') AS lang,
