@@ -231,22 +231,25 @@ def connected_components(
     operation a dedup pipeline actually needs (keep one doc per
     cluster, drop the rest).
 
-    Algorithm: iterative min-label propagation. Each round every
-    vertex takes the min of its own label and its neighbors' labels;
-    convergence needs at most graph-diameter rounds (near-dup
-    components are shallow — dup clusters chain a handful of docs, so
-    3-5 rounds in practice; ``max_iter`` bounds adversarial chains).
+    Algorithm: min-label propagation with pointer jumping (the
+    Shiloach-Vishkin path-halving step). Each round every vertex
+    takes min(own label, neighbors' labels, label-of-its-label) —
+    the last term chases each label one hop toward the component
+    minimum, so convergence is O(log n) rounds instead of
+    graph-diameter rounds: a 100-deep duplicate chain resolves in ~7
+    rounds, not 100 (plain propagation would silently truncate at
+    ``max_iter``). Correctness invariant: every label is an id inside
+    the vertex's own component, and all three update terms preserve
+    it, so the fixed point is the component minimum.
 
     Iteration discipline (what makes a Spark loop fast): the edge
     list and each round's labels are eagerly ``localCheckpoint``ed,
-    truncating lineage so round N's plan is two small shuffles over
+    truncating lineage so round N's plan is three small shuffles over
     materialized partitions instead of a re-derivation of every prior
     round (and of the upstream LSH pipeline that produced the pairs).
     The change flag is computed INSIDE the same plan, so convergence
     detection is a metadata-cheap scan of the checkpointed output,
-    not an extra join job. At 100 TB swap the propagation loop for
-    large-star/small-star (same join shapes, O(log n) rounds) — the
-    per-round plan here is already the building block.
+    not an extra join job.
     """
     # materialize the pair list ONCE before symmetrizing: the union
     # reads both directions from checkpointed partitions instead of
@@ -282,18 +285,36 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("__nlabel").alias("__nbr_label"))
         )
+        propagated = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
+            "id",
+            F.col("label").alias("__old"),
+            F.least(
+                F.col("label"),
+                F.coalesce(F.col("__nbr_label"), F.col("label")),
+            ).alias("__mid"),
+        )
+        # pointer jump: chase __mid one hop (its owner's label); any
+        # label is an id in the same component, so the jump target is
+        # too — min keeps the invariant while halving path lengths
         stepped = (
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            propagated.join(
+                labels.select(
+                    F.col("id").alias("__jid"), F.col("label").alias("__jlabel")
+                ),
+                propagated["__mid"] == F.col("__jid"),
+                "left",
+            )
             .select(
                 "id",
                 F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("__nbr_label"), F.col("label")),
+                    F.col("__mid"), F.coalesce(F.col("__jlabel"), F.col("__mid"))
                 ).alias("__new_label"),
-                (
-                    F.coalesce(F.col("__nbr_label"), F.col("label"))
-                    < F.col("label")
-                ).alias("__chg"),
+                F.col("__old"),
+            )
+            .select(
+                "id",
+                "__new_label",
+                (F.col("__new_label") < F.col("__old")).alias("__chg"),
             )
             .localCheckpoint()
         )

@@ -729,6 +729,51 @@ def q50_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q51_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def q51_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN gap-session operator (F.session_window, the
+    same code path Structured Streaming uses for streaming sessions)
+    verified against the manual lag+running-sum island detection —
+    q34's hand-rolled sessionization and the built-in must agree.
+    Boundary semantics: a gap of exactly the window duration starts a
+    NEW session (session windows are half-open [start, last+gap))."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )
+
+
+@register(
     "q39_rollup_stats",
     oracle="""
     SELECT coalesce(lang, 'ALL') AS lang,

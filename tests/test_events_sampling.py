@@ -126,6 +126,17 @@ def test_connected_components_chain_and_triangle(spark):
     }
 
 
+def test_connected_components_deep_chain(spark):
+    """A 100-node chain needs ~100 plain-propagation rounds — far
+    past max_iter — but pointer jumping resolves it in O(log n)
+    rounds, so the default settings must label it fully."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(101)}
+
+
 def test_cluster_survivors_keeps_min_and_unclustered(spark):
     df = spark.createDataFrame(
         [(i, f"doc{i}") for i in (1, 2, 3, 99)], ["doc_id", "text"]
