@@ -175,7 +175,9 @@ def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash content sketch, 32 bits (operators.dedup.simhash)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     out = D.simhash(docs, "doc_id", "text", bits=32)
-    return out.select("doc_id", F.col("simhash").cast("decimal(20,0)").alias("simhash"))
+    # bits=32 → value < 2**32, always fits a signed 64-bit long; emit long so
+    # the driver's value hash agrees with the oracle's BIGINT (round-1 verdict #1).
+    return out.select("doc_id", F.col("simhash").cast("long").alias("simhash"))
 
 
 @register(
@@ -437,23 +439,42 @@ def q30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q31_streaming_counts", oracle=None)
+@register(
+    "q31_streaming_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def q31_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming availableNow ingest (streaming.events):
-    watermarked windowed counts drained exactly-once. Non-SQL-
-    expressible (stateful streaming) — rows-only check."""
+    tumbling 1-hour windowed counts drained through the streaming
+    aggregation state store in COMPLETE mode, so every window is
+    emitted and the result equals the batch group-by — which is the
+    DuckDB oracle (epoch-aligned 1-hour buckets == date_trunc).
+    The watermarked append-mode variant (whose emitted-window set
+    depends on micro-batch boundaries, hence is not oracle-stable) is
+    exercised in tests/test_multimodal_streaming.py instead."""
     import tempfile
+    import uuid
 
     from rialto_airflow_spark.streaming import events as SE
 
-    workdir = tempfile.mkdtemp(prefix="rspark_q31_")
-    ev = load_tables(spark, sf_dir, "events")["events"]
-    ev.write.mode("overwrite").parquet(f"{workdir}/in")
-    stream = SE.read_event_stream(spark, f"{workdir}/in")
-    SE.run_available_now(
-        SE.windowed_counts(stream), f"{workdir}/ckpt", f"{workdir}/out"
-    )
-    return spark.read.parquet(f"{workdir}/out")
+    name = f"q31_counts_{uuid.uuid4().hex[:8]}"
+    inp = SE.stage_events_input(spark, sf_dir)
+    with SE.few_state_partitions(spark):
+        stream = SE.read_event_stream(spark, inp)
+        SE.run_available_now_memory(
+            SE.windowed_counts(stream, late=None),
+            tempfile.mkdtemp(prefix="rspark_q31_") + "/ckpt",
+            name,
+            mode="complete",
+        )
+    return spark.table(name)
 
 
 @register(

@@ -48,7 +48,7 @@ NUM_PERM, BANDS = 12, 4  # mirror q21 so the pair graph is identical
       FROM flagged
     )
     SELECT user_id,
-           session_seq,
+           session_seq::BIGINT AS session_seq,
            count(*) AS n_events,
            min(ts) AS session_start,
            max(ts) AS session_end,
@@ -242,6 +242,45 @@ def q38_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q39_rollup_stats",
+    oracle="""
+    SELECT coalesce(lang, 'ALL') AS lang,
+           coalesce(source, 'ALL') AS source,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+)
+def q39_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup summary (corpus composition by language ×
+    source with subtotals + grand total) — `df.rollup`, the
+    slice-and-dice report a curation pipeline publishes per snapshot.
+    Partial aggregation keeps the rollup one shuffle; subtotal rows
+    surface as 'ALL' instead of NULL so downstream consumers (and the
+    driver's value hash) need no null handling.
+
+    Registered in numeric order (round-1 verdict #2: the driver's
+    CORRECTNESS pass truncated at the 51st registry entry and this was
+    the 52nd); DuckDB sum(INTEGER) is HUGEINT, so the oracle pins
+    ::BIGINT to match Spark's long."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@register(
     "q40_percentiles",
     oracle="""
     SELECT event_type,
@@ -364,13 +403,12 @@ def q43_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rialto_airflow_spark.streaming import events as SE
 
     workdir = tempfile.mkdtemp(prefix="rspark_q43_")
-    ev = load_tables(spark, sf_dir, "events")["events"]
-    ev.write.mode("overwrite").parquet(f"{workdir}/in")
-    ev.write.mode("append").parquet(f"{workdir}/in")  # redelivery
-    stream = SE.read_event_stream(spark, f"{workdir}/in")
-    SE.run_available_now(
-        SE.dedup_stream(stream), f"{workdir}/ckpt", f"{workdir}/out"
-    )
+    inp = SE.stage_events_input(spark, sf_dir, copies=2)  # redelivery
+    with SE.few_state_partitions(spark):
+        stream = SE.read_event_stream(spark, inp)
+        SE.run_available_now(
+            SE.dedup_stream(stream), f"{workdir}/ckpt", f"{workdir}/out"
+        )
     return spark.read.parquet(f"{workdir}/out").select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
@@ -398,12 +436,12 @@ def q44_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     workdir = tempfile.mkdtemp(prefix="rspark_q44_")
     name = f"q44_counts_{uuid.uuid4().hex[:8]}"
-    ev = load_tables(spark, sf_dir, "events")["events"]
-    ev.write.mode("overwrite").parquet(f"{workdir}/in")
-    stream = SE.read_event_stream(spark, f"{workdir}/in")
-    SE.run_available_now_memory(
-        SE.running_user_counts(stream), f"{workdir}/ckpt", name
-    )
+    inp = SE.stage_events_input(spark, sf_dir)
+    with SE.few_state_partitions(spark):
+        stream = SE.read_event_stream(spark, inp)
+        SE.run_available_now_memory(
+            SE.running_user_counts(stream), f"{workdir}/ckpt", name
+        )
     return spark.table(name)
 
 
@@ -773,35 +811,3 @@ def q51_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q39_rollup_stats",
-    oracle="""
-    SELECT coalesce(lang, 'ALL') AS lang,
-           coalesce(source, 'ALL') AS source,
-           count(*) AS n_docs,
-           sum(n_chars) AS total_chars
-    FROM documents
-    GROUP BY ROLLUP (lang, source)
-    """,
-)
-def q39_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical rollup summary (corpus composition by language ×
-    source with subtotals + grand total) — `df.rollup`, the
-    slice-and-dice report a curation pipeline publishes per snapshot.
-    Partial aggregation keeps the rollup one shuffle; subtotal rows
-    surface as 'ALL' instead of NULL so downstream consumers (and the
-    driver's value hash) need no null handling."""
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return (
-        docs.rollup("lang", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-        .select(
-            F.coalesce("lang", F.lit("ALL")).alias("lang"),
-            F.coalesce("source", F.lit("ALL")).alias("source"),
-            "n_docs",
-            "total_chars",
-        )
-    )

@@ -12,6 +12,9 @@ replacement for the harvest bookkeeping at scale.
 
 from __future__ import annotations
 
+import contextlib
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -20,6 +23,44 @@ EVENTS_DDL = (
     "value double, props string"
 )
 
+# sf_dir -> staged input directory, shared across the streaming queries
+# (q31/q43/q44 in one process re-stage nothing; the parquet rewrite also
+# materializes the nanos->micros ts conversion the stream schema needs).
+_STAGED: dict[tuple[str, int], str] = {}
+
+
+def stage_events_input(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
+    """Write the events table to a scratch directory `copies` times
+    (copies=2 simulates at-least-once redelivery) and memoize per
+    (sf_dir, copies) so repeated streaming queries in one process pay
+    the input write once."""
+    key = (sf_dir, copies)
+    if key not in _STAGED:
+        from rialto_airflow_spark.session import load_tables
+
+        path = tempfile.mkdtemp(prefix="rspark_stream_in_") + "/in"
+        ev = load_tables(spark, sf_dir, "events")["events"]
+        ev.write.mode("overwrite").parquet(path)
+        for _ in range(copies - 1):
+            ev.write.mode("append").parquet(path)
+        _STAGED[key] = path
+    return _STAGED[key]
+
+
+@contextlib.contextmanager
+def few_state_partitions(spark: SparkSession, n: int = 8):
+    """Bound streaming state-store partitions: the state store creates
+    one instance (+ checkpoint files) per shuffle partition, a fixed
+    per-query cost that dwarfs the data at test scale and is pinned
+    into the checkpoint at first batch. 8 keeps the drain parallel
+    while cutting the per-query setup ~4x vs the session's 32."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over an events directory (schema fixed up
@@ -27,13 +68,17 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(EVENTS_DDL).parquet(path)
 
 
-def windowed_counts(events: DataFrame, window: str = "1 hour", late: str = "2 hours") -> DataFrame:
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", late: str | None = "2 hours"
+) -> DataFrame:
     """Watermarked tumbling-window counts per event_type: late rows
     beyond `late` are dropped, state is bounded (the streaming analog
-    of the A5 scope-count aggregation)."""
+    of the A5 scope-count aggregation). ``late=None`` omits the
+    watermark for complete-mode drains, where every window is emitted
+    and the result equals the batch twin exactly."""
+    src = events.withWatermark("ts", late) if late is not None else events
     return (
-        events.withWatermark("ts", late)
-        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
@@ -107,12 +152,15 @@ def running_user_counts(events: DataFrame) -> DataFrame:
 
 
 def run_available_now_memory(
-    agg: DataFrame, checkpoint: str, query_name: str
+    agg: DataFrame, checkpoint: str, query_name: str, mode: str = "update"
 ) -> None:
-    """Drain an update-mode stream into an in-memory table (update
-    sinks can't write parquet; memory is the verification sink)."""
+    """Drain a stream into an in-memory table (update/complete sinks
+    can't write parquet; memory is the verification sink). Complete
+    mode emits EVERY window/group on the final trigger, so the drained
+    table equals the batch twin of the aggregation — the oracle-exact
+    execution mode for a bounded backfill."""
     q = (
-        agg.writeStream.outputMode("update")
+        agg.writeStream.outputMode(mode)
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint)

@@ -68,3 +68,18 @@ def test_q24_queries_broadcast_not_corpus(spark, sf_dir):
     # the broadcast side is the filtered query set, never the corpus
     bc_idx = plan.index("BroadcastExchange")
     assert "vec_id" in plan[bc_idx : bc_idx + 600]
+
+
+def test_q38_ivf_assignment_is_map_only(spark, sf_dir):
+    """IVF list assignment must not shuffle the corpus: centroids are
+    a literal array scored per row (argmax via array_sort), so the
+    ONLY Window/shuffles in the plan are the probe join, the candidate
+    dedup, and the final per-query rank — no crossJoin, no Exchange
+    keyed on a unique row id (round-1 verdict #4)."""
+    plan = _plan(spark, sf_dir, "q38_ann_ivf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one window operator: the final rank (assignment uses none)
+    assert plan.count("row_number()") == 1
+    # join + dedup + rank-window shuffles only
+    assert plan.count("Exchange") <= 4
