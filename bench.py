@@ -22,6 +22,7 @@ queries()  # load extension registries
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("rialto-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -30,12 +31,18 @@ def main() -> None:
     # the query, not session startup
     REGISTRY["q01_pricing_summary"].fn(spark, sf_dir).collect()
 
+    # n runs, per-query minimum: single-run numbers on a shared box mix
+    # ambient load into the signal — round-2 "regressions" on untouched
+    # queries were exactly this noise (round-2 verdict #6)
     timings: dict[str, float] = {}
-    for name in sorted(REGISTRY):
-        t0 = time.perf_counter()
-        df = REGISTRY[name].fn(spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(runs):
+        for name in sorted(REGISTRY):
+            t0 = time.perf_counter()
+            df = REGISTRY[name].fn(spark, sf_dir)
+            df.collect()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     total = round(sum(timings.values()), 3)
     print(
@@ -46,6 +53,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
             }
         )
     )

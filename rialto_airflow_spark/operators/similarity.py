@@ -97,20 +97,31 @@ def ivf_topk(
     queries probe their ``nprobe`` nearest lists and score only those
     candidates.
 
-    Scale shape: centroids ship as a LITERAL array expression (they
-    are tiny and deterministic), so list assignment is a pure map pass
-    — per row, score all centroids inside one projection and argmax
-    with array_sort, ZERO shuffle. (Round-1 verdict #4: the previous
-    crossJoin + row_number-over-id assignment shuffled the whole
-    corpus keyed on a unique id just to pick the max of n_centroids
-    scores — at 100 TB that was the biggest shuffle in the pipeline;
-    this version has none before the probe join.) The probe join keys
-    on centroid_id — at 100 TB the corpus would be written
-    ``partitionBy(centroid_id)`` once, making every probe a
+    Scale shape: list assignment is a single vectorized Arrow pass —
+    ``mapInPandas`` scores each batch against the (n_centroids × dim)
+    numpy matrix in one matmul and argsorts rows, so the corpus never
+    shuffles before the probe join (round-1 verdict #4 removed the
+    corpus-wide shuffle; round-2 verdict #2 replaced the literal+HOF
+    expression tree that knocked the stage out of codegen with this
+    batch-vectorized crossing — map-only either way, but ~10-100×
+    less per-row overhead). The probe join broadcasts the query side
+    (queries are small by contract, same as brute_force_topk), so the
+    corpus path has ZERO shuffles end-to-end; the only Exchange left
+    is the final per-query rank. At 100 TB the corpus would be
+    written ``partitionBy(centroid_id)`` once, making every probe a
     partition-pruned scan of nprobe/n_centroids of the data instead
     of a full pass.
+
+    NaN/zero-norm guard: a zero-norm vector scores NaN against every
+    centroid; numpy would sort NaN LAST while the oracle's ``ORDER BY
+    cscore DESC`` sorts NaN FIRST, so NaN scores are mapped to +inf
+    before ranking to keep assignment identical (ties then break on
+    centroid_id ascending via the stable sort, as the oracle does).
     """
     import math
+
+    import numpy as np
+    import pandas as pd
 
     cent_rows = (
         corpus.orderBy(F.col(id_col).asc())
@@ -118,63 +129,77 @@ def ivf_topk(
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ctr"))
         .collect()
     )
-    cent_structs = []
-    for r in cent_rows:
-        vec = [float(x) for x in r.ctr]
-        # same left-to-right fold as norm() so scores are bit-identical
-        acc = 0.0
-        for x in vec:
+    # ascending cid order → stable argsort tie-breaks on cid, like the oracle
+    cids = np.array([int(r.cid) for r in cent_rows], dtype=np.int64)
+    cmat = np.array([[float(x) for x in r.ctr] for r in cent_rows], dtype=np.float64)
+    cnorms = []
+    for row in cmat:
+        acc = 0.0  # same left-to-right fold as norm() — bit-identical
+        for x in row:
             acc += x * x
-        cent_structs.append(
-            F.struct(
-                F.lit(int(r.cid)).cast("long").alias("cid"),
-                F.array(*[F.lit(x).cast("double") for x in vec]).alias("ctr"),
-                F.lit(math.sqrt(acc)).cast("double").alias("ctrn"),
-            )
-        )
-    cent_arr = F.array(*cent_structs)
+        cnorms.append(math.sqrt(acc))
+    cnorms = np.array(cnorms, dtype=np.float64)
+    top = min(nprobe, len(cids))
 
     def assign(side: DataFrame, out_id: str, top_n: int) -> DataFrame:
-        def score_struct(c: Column) -> Column:
-            s = dot(F.col("__v"), c["ctr"]) / (F.col("__vn") * c["ctrn"])
-            # sort key: ascending (-score, cid) == score desc, cid asc
-            return F.struct((-s).alias("negscore"), c["cid"].alias("centroid_id"))
-
-        ranked = F.slice(F.array_sort(F.transform(cent_arr, score_struct)), 1, top_n)
-        return (
-            side.select(
-                F.col(id_col).alias(out_id),
-                F.col(vec_col).alias("__v"),
-                norm(F.col(vec_col)).alias("__vn"),
-            )
-            .select(out_id, "__v", "__vn", F.explode(ranked).alias("__c"))
-            .select(out_id, F.col("__c.centroid_id").alias("centroid_id"), "__v", "__vn")
+        inp = side.select(
+            F.col(id_col).cast("long").alias(out_id),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            norm(F.col(vec_col)).alias("__vn"),
         )
 
-    c = assign(ensure_parallelism(corpus), "neighbor_id", 1).select(
+        def batches(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.vstack(pdf["__v"].to_numpy())
+                vn = pdf["__vn"].to_numpy(dtype=np.float64)
+                scores = (vecs @ cmat.T) / (vn[:, None] * cnorms[None, :])
+                scores = np.where(np.isnan(scores), np.inf, scores)
+                order = np.argsort(-scores, axis=1, kind="stable")[:, :top_n]
+                rows = np.repeat(np.arange(len(pdf)), top_n)
+                yield pd.DataFrame(
+                    {
+                        out_id: pdf[out_id].to_numpy()[rows],
+                        "centroid_id": cids[order.reshape(-1)],
+                        "__v": pdf["__v"].to_numpy()[rows],
+                        "__vn": vn[rows],
+                    }
+                )
+
+        return inp.mapInPandas(
+            batches, f"{out_id} long, centroid_id long, __v array<double>, __vn double"
+        )
+
+    # no ensure_parallelism here: the assignment is batch-vectorized
+    # (one matmul per Arrow batch), so per-row CPU is negligible and a
+    # repartition would only add a shuffle + N tiny Python crossings;
+    # at real scale the parquet layout already provides parallelism
+    c = assign(corpus, "neighbor_id", 1).select(
         "neighbor_id",
         "centroid_id",
         F.col("__v").alias("__cv"),
         F.col("__vn").alias("__cn"),
     )
-    q = assign(queries, "query_id", nprobe).select(
-        "query_id",
-        "centroid_id",
-        F.col("__v").alias("__qv"),
-        F.col("__vn").alias("__qn"),
+    q = F.broadcast(
+        assign(queries, "query_id", top).select(
+            "query_id",
+            "centroid_id",
+            F.col("__v").alias("__qv"),
+            F.col("__vn").alias("__qn"),
+        )
     )
     sim = F.round(
         dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
     )
-    scored = (
-        q.join(
-            c,
-            (q["centroid_id"] == c["centroid_id"])
-            & (F.col("query_id") != F.col("neighbor_id")),
-        )
-        .select("query_id", "neighbor_id", sim.alias("score"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    # no dedup needed: each corpus vector lives in exactly ONE inverted
+    # list (top_n=1) and a query's nprobe probes hit distinct centroids,
+    # so every (query, neighbor) pair matches at most once by construction
+    scored = q.join(
+        c,
+        (q["centroid_id"] == c["centroid_id"])
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("query_id", "neighbor_id", sim.alias("score"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )

@@ -167,7 +167,11 @@ def q21_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, b.b
     )
     SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS simhash
+           -- ::BIGINT: DuckDB's sum() over BIGINT yields HUGEINT (int128),
+           -- which pandas surfaces as float64 and the driver hashes
+           -- differently from Spark's int64 — cast back down (the value
+           -- itself always fits: bits=32 → < 2^32).
+           sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END)::BIGINT AS simhash
     FROM votes GROUP BY doc_id
     """,
 )
@@ -185,7 +189,8 @@ def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH corpus AS ({SQL_NEAR_CORPUS}),
     shingled AS (
-      SELECT doc_id, lang, source, {SQL_SHINGLES.format(t="text")} AS sh
+      SELECT doc_id, lang, source, length(text) // 128 AS length_bucket,
+             {SQL_SHINGLES.format(t="text")} AS sh
       FROM corpus
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -193,17 +198,36 @@ def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_intersect(a.sh, b.sh))::DOUBLE
              / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
     FROM shingled a JOIN shingled b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      ON a.lang = b.lang AND a.source = b.source
+         AND a.length_bucket = b.length_bucket AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
           / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
     """,
 )
 def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs, blocked on (lang, source)
-    (operators.dedup.ngram_jaccard_pairs)."""
-    corpus = _spark_near_corpus(spark, sf_dir)
+    """Exact n-gram Jaccard near-dup pairs, blocked on (lang, source,
+    length_bucket) (operators.dedup.ngram_jaccard_pairs).
+
+    length_bucket (128-char buckets) bounds the largest block BY
+    CONSTRUCTION: without it the pair stage is quadratic in the
+    biggest (lang, source) group — at corpus scale the ('en','web')
+    block IS the corpus (round-2 verdict #3). True near-dups have
+    near-equal lengths, so same-bucket blocking keeps recall high;
+    pairs straddling a bucket boundary are the known loss (mitigate
+    by also probing the adjacent bucket — emit each doc into bucket
+    and bucket+1, then distinct — when recall matters more than the
+    extra shuffle). The oracle uses the identical key, so the check
+    stays exact."""
+    corpus = _spark_near_corpus(spark, sf_dir).withColumn(
+        "length_bucket", F.floor(F.length("text") / 128)
+    )
     return D.ngram_jaccard_pairs(
-        corpus, "doc_id", "text", ["lang", "source"], shingle_n=3, threshold=0.5
+        corpus,
+        "doc_id",
+        "text",
+        ["lang", "source", "length_bucket"],
+        shingle_n=3,
+        threshold=0.5,
     )
 
 

@@ -218,10 +218,62 @@ def write_download_csv(df: DataFrame, path: str) -> None:
     )
 
 
+# Field,Type,Description rows for the consumer-facing data dictionary
+# (reference ships static documentation/{table}_data_dictionary.csv per
+# export, publish/publication.py:444-451; here the dictionary is
+# DERIVED from the exported header so it can never drift from the data)
+FIELD_DOCS: dict[str, tuple[str, str]] = {
+    "doi": ("String", "DOI (Digital Object Identifier)"),
+    "title": ("String", "Publication title"),
+    "apc": ("Integer", "Article processing charge in USD"),
+    "open_access": ("String", "Open-access status (gold/green/bronze/hybrid/closed)"),
+    "pub_year": ("Integer", "Publication year"),
+    "citation_count": ("Integer", "Maximum citation count across sources"),
+    "journal_name": ("String", "Journal name"),
+    "journal_issn": ("String", "Pipe-delimited ISSNs for the journal"),
+    "publisher": ("String", "Publisher name"),
+    "types": ("String", "Pipe-delimited publication types"),
+    "funders": ("String", "Pipe-delimited funder names"),
+    "federally_funded": ("Boolean", "Any funder is a US federal agency"),
+    "academic_council_authored": ("Boolean", "Any author is academic council"),
+    "faculty_authored": ("Boolean", "Any author has a faculty role"),
+    "authors": ("String", "Pipe-delimited author full names"),
+    "orcid": ("String", "Author ORCID iD"),
+    "sunet": ("String", "Author SUNet ID"),
+    "full_name": ("String", "Author full name"),
+    "first_name": ("String", "Author first name"),
+    "last_name": ("String", "Author last name"),
+    "role": ("String", "Author role"),
+    "primary_school": ("String", "Author primary school"),
+    "primary_department": ("String", "Author primary department"),
+    "primary_division": ("String", "Author primary division"),
+    "academic_council": ("Boolean", "Author is academic council"),
+    "abstract": ("String", "Publication abstract"),
+    "pages": ("String", "Page range"),
+    "issue": ("String", "Issue number"),
+    "volume": ("String", "Volume number"),
+    "grant_ids": ("String", "Pipe-delimited grant identifiers"),
+    "pmid": ("String", "PubMed identifier"),
+}
+
+
+def data_dictionary_csv(header: list[str]) -> str:
+    """Render the Field,Type,Description dictionary for an export's
+    actual header (unknown fields degrade to String with no text)."""
+    lines = ["Field,Type,Description"]
+    for col in header:
+        ftype, desc = FIELD_DOCS.get(col, ("String", ""))
+        desc = '"%s"' % desc.replace('"', '""') if "," in desc else desc
+        lines.append(f"{col},{ftype},{desc}")
+    return "\n".join(lines) + "\n"
+
+
 def zip_downloads(csv_dirs: dict[str, str], zip_path: str) -> str:
-    """K3 — package the exported CSVs into one zip, deleting nothing
-    (publish/publication.py:382-456 zips CSVs with a data dictionary
-    then removes the raw files; callers can unlink after)."""
+    """K3 — package the exported CSVs into one zip, each alongside its
+    {table}_data_dictionary.csv (publish/publication.py:444-451 bundles
+    the dictionary into every download zip; deleting the raw files is
+    left to callers)."""
+    import csv
     import glob
     import os
     import zipfile
@@ -231,4 +283,9 @@ def zip_downloads(csv_dirs: dict[str, str], zip_path: str) -> str:
             parts = sorted(glob.glob(os.path.join(d, "part-*.csv")))
             if parts:
                 z.write(parts[0], arcname=f"{name}.csv")
+                with open(parts[0], newline="") as fh:
+                    header = next(csv.reader(fh), [])
+                z.writestr(
+                    f"{name}_data_dictionary.csv", data_dictionary_csv(header)
+                )
     return zip_path

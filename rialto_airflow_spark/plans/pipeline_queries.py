@@ -286,7 +286,9 @@ def q39_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            round(quantile_cont(value, 0.5), 4) AS p50,
            round(quantile_cont(value, 0.9), 4) AS p90,
-           round(quantile_cont(value, 0.99), 4) AS p99
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS approx_ok
     FROM events
     GROUP BY event_type
     """,
@@ -295,12 +297,35 @@ def q40_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (latency/quality distribution
     reporting): F.percentile's linear interpolation matches
     quantile_cont. For 100 TB dashboards swap to approx_percentile —
-    same plan shape, bounded-memory sketch."""
+    same plan shape, bounded-memory sketch.
+
+    Also carries the sketch-cardinality check formerly registered as
+    q49 (folded in to keep the registry at the driver's 50-row cap):
+    approx_count_distinct (HLL++) — the bounded-memory path for 100 TB
+    distinct counts — can't hash-match an oracle directly, so the
+    query asserts its own error bound (approx within 15% of exact;
+    HLL++ is deterministic per dataset) and the oracle expects the
+    assertion to hold."""
     ev = load_tables(spark, sf_dir, "events")["events"]
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", 0.5), 4).alias("p50"),
-        F.round(F.percentile("value", 0.9), 4).alias("p90"),
-        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.5), 4).alias("p50"),
+            F.round(F.percentile("value", 0.9), 4).alias("p90"),
+            F.round(F.percentile("value", 0.99), 4).alias("p99"),
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id").alias("__a"),
+        )
+        .select(
+            "event_type",
+            "p50",
+            "p90",
+            "p99",
+            "n_exact",
+            (
+                F.abs(F.col("__a") - F.col("n_exact")) / F.col("n_exact") < 0.15
+            ).alias("approx_ok"),
+        )
     )
 
 
@@ -686,41 +711,6 @@ def q48_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     media = MM.attach_binary(docs, "doc_id", "text", "video")
     return MM.sample_frames(media, every_n_bytes=64)
-
-
-@register(
-    "q49_approx_distinct",
-    oracle="""
-    SELECT event_type,
-           count(DISTINCT user_id) AS n_exact,
-           TRUE AS approx_ok
-    FROM events
-    GROUP BY event_type
-    """,
-)
-def q49_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based cardinality (approx_count_distinct / HLL++): the
-    bounded-memory path for 100 TB distinct counts. The approximation
-    can't hash-match an oracle, so the query asserts its own error
-    bound — approx within 15% of exact (HLL++ is deterministic per
-    dataset) — and the oracle expects that assertion to hold."""
-    ev = load_tables(spark, sf_dir, "events")["events"]
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("n_exact"),
-            F.approx_count_distinct("user_id").alias("__a"),
-        )
-        .select(
-            "event_type",
-            "n_exact",
-            (
-                F.abs(F.col("__a") - F.col("n_exact"))
-                / F.col("n_exact")
-                < 0.15
-            ).alias("approx_ok"),
-        )
-    )
 
 
 @register(

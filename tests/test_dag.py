@@ -98,11 +98,29 @@ def test_dag_end_to_end(spark, tmp_path):
     m = {r["doi"]: r for r in ctx["mart_publications"].collect()}
     assert m["10.1/a"]["federally_funded"] is True
 
-    # zip packaging (K3)
+    # zip packaging (K3): data CSV + its data dictionary, like the
+    # reference's per-table download zips (publish/publication.py:444-451)
     zp = zip_downloads(
         {"publications": f"{ctx['download_dir']}/mart_publications"},
         str(tmp_path / "downloads.zip"),
     )
+    import io
     import zipfile
 
-    assert zipfile.ZipFile(zp).namelist() == ["publications.csv"]
+    zf = zipfile.ZipFile(zp)
+    assert sorted(zf.namelist()) == [
+        "publications.csv",
+        "publications_data_dictionary.csv",
+    ]
+    # the dictionary describes exactly the export's actual header
+    import csv as _csv
+
+    with zf.open("publications.csv") as fh:
+        header = next(_csv.reader(io.TextIOWrapper(fh)))
+    with zf.open("publications_data_dictionary.csv") as fh:
+        dd = list(_csv.reader(io.TextIOWrapper(fh)))
+    assert dd[0] == ["Field", "Type", "Description"]
+    assert [r[0] for r in dd[1:]] == header
+    # boolean fields are documented as such (K3 formats them true/false)
+    dd_types = {r[0]: r[1] for r in dd[1:]}
+    assert dd_types.get("federally_funded") == "Boolean"

@@ -72,14 +72,28 @@ def test_q24_queries_broadcast_not_corpus(spark, sf_dir):
 
 def test_q38_ivf_assignment_is_map_only(spark, sf_dir):
     """IVF list assignment must not shuffle the corpus: centroids are
-    a literal array scored per row (argmax via array_sort), so the
-    ONLY Window/shuffles in the plan are the probe join, the candidate
-    dedup, and the final per-query rank — no crossJoin, no Exchange
-    keyed on a unique row id (round-1 verdict #4)."""
+    scored per Arrow batch inside mapInPandas (numpy matmul + argsort),
+    the query side broadcasts, so the ONLY shuffle keyed on anything is
+    the final per-query rank — no crossJoin, no Exchange keyed on the
+    corpus row id (round-1 verdict #4, round-2 verdict #2).
+
+    Assertions target specific absences/nodes, not total substring
+    counts: `plan.count("row_number()")` broke when WindowGroupLimit's
+    Partial/Final pushdown printed the function 3×, and a total
+    Exchange bound also counts Broadcast/ReusedExchange and shifts
+    with AQE decisions (round-2 advice)."""
     plan = _plan(spark, sf_dir, "q38_ann_ivf")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # exactly one window operator: the final rank (assignment uses none)
-    assert plan.count("row_number()") == 1
-    # join + dedup + rank-window shuffles only
-    assert plan.count("Exchange") <= 4
+    # the corpus is never hash-shuffled on its row id — neither for
+    # assignment (the r1 bug) nor for a pair dedup (removed in r3:
+    # pairs are unique by construction)
+    assert "hashpartitioning(neighbor_id" not in plan
+    # the probe join broadcasts the (small-by-contract) query side
+    assert "BroadcastHashJoin" in plan
+    # exactly one Window exec node: the final per-query rank
+    # ("Window " with trailing space doesn't match WindowGroupLimit)
+    window_nodes = [
+        l for l in plan.splitlines() if l.lstrip("+- :*(0123456789) ").startswith("Window ")
+    ]
+    assert len(window_nodes) == 1, window_nodes
