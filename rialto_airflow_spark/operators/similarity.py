@@ -8,8 +8,9 @@ Two paths:
   * lsh_topk — approximate: both sides bucketed by deterministic
     sign-bit LSH (an IVF-style coarse quantizer); candidate set is
     one bucket, so corpus-side cost drops by ~2^bits. Recall is
-    tunable with multi-probe (probe adjacent buckets) — not needed at
-    test scale.
+    tunable with multi-probe (``nprobe`` > 1 probes Hamming-adjacent
+    buckets across the least-confident hyperplanes, see
+    probe_buckets).
 
 Cosine runs in double precision with deterministic summation order so
 the DuckDB oracle reproduces scores exactly; ranks tie-break on the
@@ -210,6 +211,34 @@ def ivf_topk(
     )
 
 
+def probe_buckets(vec: Column, bits: int = 8, nprobe: int = 1) -> Column:
+    """Multi-probe bucket list for a query vector: the base sign-bucket
+    plus ``nprobe - 1`` single-bit flips, flipped in order of LEAST
+    confident bit first (smallest |v[i]| = closest hyperplane = most
+    likely wrong side). Buckets are pairwise distinct by construction
+    (each differs from the base in a different single bit), so probing
+    never produces a duplicate (query, neighbor) candidate."""
+    nprobe = max(1, min(nprobe, bits + 1))
+    base = sign_bucket(vec, bits)
+    if nprobe == 1:
+        return F.array(base)
+    # (|v[i]|, i) sorted ascending → flip order = least-confident bits
+    conf = F.array_sort(
+        F.transform(
+            F.slice(vec, 1, bits),
+            lambda x, i: F.struct(
+                F.abs(x.cast("double")).alias("a"), i.alias("i")
+            ),
+        )
+    )
+    powers = F.array(*[F.lit(2**b).cast("long") for b in range(bits)])
+    flips = F.transform(
+        F.slice(conf, 1, nprobe - 1),
+        lambda s: base.bitwiseXOR(F.element_at(powers, s["i"] + 1)),
+    )
+    return F.concat(F.array(base), flips)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -217,8 +246,12 @@ def lsh_topk(
     vec_col: str,
     k: int = 3,
     bits: int = 8,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's sign-bucket.
+    """Approximate top-k: search the query's sign-bucket, plus the
+    ``nprobe - 1`` Hamming-adjacent buckets across the least-confident
+    hyperplanes (multi-probe LSH) — recall rises with nprobe at a cost
+    of nprobe× candidate lookups, still ~nprobe/2^bits of the corpus.
 
     The bucket join keys on a short int — at scale this is the IVF
     pattern: partition the corpus by bucket once (bucketBy on write),
@@ -228,7 +261,7 @@ def lsh_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         norm(F.col(vec_col)).alias("__qn"),
-        sign_bucket(F.col(vec_col), bits).alias("__qb"),
+        F.explode(probe_buckets(F.col(vec_col), bits, nprobe)).alias("__qb"),
     )
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),

@@ -23,18 +23,40 @@ EVENTS_DDL = (
     "value double, props string"
 )
 
-# sf_dir -> staged input directory, shared across the streaming queries
-# (q31/q43/q44 in one process re-stage nothing; the parquet rewrite also
-# materializes the nanos->micros ts conversion the stream schema needs).
-_STAGED: dict[tuple[str, int], str] = {}
+# staging key -> staged input directory, shared across the streaming
+# queries (q31/q43/q44 in one process re-stage nothing; the parquet
+# rewrite also materializes the nanos->micros ts conversion the stream
+# schema needs). The key includes the source files' (mtime, size)
+# fingerprint, so regenerating the events table under sf_dir in-process
+# invalidates the stale staging instead of silently streaming old data.
+_STAGED: dict[tuple, str] = {}
+
+
+def _source_fingerprint(sf_dir: str) -> tuple:
+    import glob
+    import os
+
+    return tuple(
+        (p, int(os.path.getmtime(p)), os.path.getsize(p))
+        for p in sorted(
+            glob.glob(os.path.join(sf_dir, "events.parquet"))
+            + glob.glob(os.path.join(sf_dir, "events.parquet", "*"))
+        )
+    )
+
+
+def clear_staged() -> None:
+    """Drop the staging memo (scratch dirs are left for the OS tempdir
+    reaper) — a test/fixture hook for dataset rebuilds."""
+    _STAGED.clear()
 
 
 def stage_events_input(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
     """Write the events table to a scratch directory `copies` times
     (copies=2 simulates at-least-once redelivery) and memoize per
-    (sf_dir, copies) so repeated streaming queries in one process pay
-    the input write once."""
-    key = (sf_dir, copies)
+    (sf_dir, copies, source fingerprint) so repeated streaming queries
+    in one process pay the input write once."""
+    key = (sf_dir, copies, _source_fingerprint(sf_dir))
     if key not in _STAGED:
         from rialto_airflow_spark.session import load_tables
 
@@ -53,7 +75,15 @@ def few_state_partitions(spark: SparkSession, n: int = 8):
     one instance (+ checkpoint files) per shuffle partition, a fixed
     per-query cost that dwarfs the data at test scale and is pinned
     into the checkpoint at first batch. 8 keeps the drain parallel
-    while cutting the per-query setup ~4x vs the session's 32."""
+    while cutting the per-query setup ~4x vs the session's 32.
+
+    NOT concurrency-safe: this mutates the session-global
+    spark.sql.shuffle.partitions for the duration of the block, so any
+    query planned concurrently in the same SparkSession also sees n
+    partitions (Spark exposes no per-query override for the state
+    store's partition count — it is captured from this conf at
+    checkpoint creation). Callers are the single-threaded bench/driver
+    paths; hold the block only around starting the stream."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

@@ -169,3 +169,51 @@ def test_ivf_topk_finds_identical_vector(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].neighbor_id == 10 and abs(out[0].score - 1.0) < 1e-9
+
+
+def test_probe_buckets_distinct_and_sized(spark):
+    df = spark.createDataFrame(
+        [(1, [0.9, -0.1, 0.05, -0.8, 0.3, -0.02, 0.6, -0.4])],
+        ["vec_id", "embedding"],
+    )
+    for nprobe in (1, 3, 9, 20):
+        got = df.select(
+            S.probe_buckets(F.col("embedding"), bits=8, nprobe=nprobe).alias("b")
+        ).collect()[0].b
+        want = min(max(nprobe, 1), 9)  # bits + 1 is the ceiling
+        assert len(got) == want
+        assert len(set(got)) == want  # buckets pairwise distinct
+        # base bucket first; flips are single-bit XORs of it
+        base = got[0]
+        assert all(bin(b ^ base).count("1") == 1 for b in got[1:])
+    # least-confident dimension (|v| = 0.02, index 5) flips first
+    two = df.select(
+        S.probe_buckets(F.col("embedding"), bits=8, nprobe=2).alias("b")
+    ).collect()[0].b
+    assert two[1] == two[0] ^ (1 << 5)
+
+
+def test_lsh_multiprobe_recall_monotone(spark, sf_dir):
+    """Multi-probe recall must not drop as nprobe grows, and probing
+    all Hamming-1 neighbors must strictly beat single-probe on the
+    fixed sf0.001 query set (deterministic data → deterministic
+    recall)."""
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    qs = emb.where(F.col("vec_id") < 30)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, qs, "vec_id", "embedding", k=3).collect()
+    }
+    recall = {}
+    for nprobe in (1, 2, 8):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.lsh_topk(
+                emb, qs, "vec_id", "embedding", k=3, bits=8, nprobe=nprobe
+            ).collect()
+        }
+        recall[nprobe] = len(got & truth) / len(truth)
+    assert recall[1] <= recall[2] <= recall[8]
+    assert recall[8] > recall[1]
