@@ -45,18 +45,22 @@ def main() -> None:
                 timings[name] = dt
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs": runs,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": runs,
+    }
+    # scaling curves are expensive (x10 data gen + runs), so they are
+    # produced out-of-band by scripts/run_scaling.py; embed the recorded
+    # results if present (see SCALING.md for the narrative)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            out["scaling"] = json.load(fh)
+    print(json.dumps(out))
     spark.stop()
 
 
