@@ -37,8 +37,23 @@ def duckdb_run(sql: str, sf_dir: str):
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()
+    pdf = None
+    try:
+        pdf = con.execute(sql).df()
+    except Exception:
+        pass
     con.close()
-    return cols, rows
+    return cols, rows, pdf
+
+
+def _dtype_kind(dt) -> str:
+    """Collapse a pandas dtype to the equivalence class the driver's
+    value-hash distinguishes: int64-with-NULLs becomes float64 in BOTH
+    engines' pandas conversion, so kinds ('i' vs 'f') are what matters
+    — q22 failed two driver rounds on exactly int64-vs-float64 while
+    every value compared equal after Python's 8 == 8.0."""
+    k = dt.kind  # i u f b O M m
+    return {"u": "i"}.get(k, k)
 
 
 def _norm(v):
@@ -69,8 +84,20 @@ def normalize_rows(cols, rows):
 
 def compare(spark_df, sql: str, sf_dir: str, name: str = "query"):
     s_cols = spark_df.columns
+    s_pdf = spark_df.toPandas()
     s_rows = [tuple(r) for r in spark_df.collect()]
-    d_cols, d_rows = duckdb_run(sql, sf_dir)
+    d_cols, d_rows, d_pdf = duckdb_run(sql, sf_dir)
+    if d_pdf is not None:
+        for col in sorted(s_cols):
+            if col not in d_pdf.columns:
+                continue
+            sk = _dtype_kind(s_pdf[col].dtype)
+            dk = _dtype_kind(d_pdf[col].dtype)
+            assert sk == dk, (
+                f"{name}.{col}: pandas dtype kind mismatch spark="
+                f"{s_pdf[col].dtype} duckdb={d_pdf[col].dtype} — the driver's "
+                f"value-hash distinguishes these even when values are equal"
+            )
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
     )
