@@ -1,0 +1,242 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The filters a 100-TB pretraining pipeline runs between raw crawl and
+tokenizer, re-expressed Spark-first:
+
+  * repetition_stats — Gopher-style within-document repetition
+    signals (Rae et al. 2021 §A1.1: fraction of duplicate n-grams,
+    fraction of tokens inside the most-repeated n-gram). Pure Column
+    expressions → map-only, whole-stage codegen, no shuffle.
+  * pii_stats / pii_scrub — regex detection + masking of emails,
+    IPv4s, and phone-shaped numbers. Patterns are RE2-safe (no
+    backrefs/lookarounds) so the DuckDB oracle runs the identical
+    regexes; map-only.
+  * decontaminate — benchmark n-gram overlap flagging (the GPT-3
+    appendix-C / PaLM style eval-set decontamination): any document
+    sharing an n-gram shingle with the benchmark set is flagged.
+    Benchmark side is small by contract → broadcast; corpus side
+    explodes shingles but aggregates back BEFORE the join output, so
+    the shuffle is one exists-per-doc, never a doc×benchmark blowup.
+  * boilerplate_lines — cross-corpus repeated-line removal (C4,
+    Raffel et al. 2020 §2.2: drop every line that occurs ≥ k times in
+    the corpus). This one is genuinely distributed: line frequencies
+    are a corpus-wide aggregation, then documents are reassembled
+    with an order-preserving collect. Two shuffles (line hash, doc
+    id) — both on keys that spread evenly at any scale.
+  * mixture_resample — deterministic source re-weighting to a target
+    mixture (the Pile/ROOTS-style domain balancing): a tiny per-source
+    rate table (one agg) drives a salted-hash Bernoulli keep, so the
+    output approaches the target shares without RNG, stable across
+    engines and re-runs.
+
+Scale notes per operator are inline. Nothing here collects corpus
+data to the driver; the only driver-side value is the per-source rate
+table in mixture_resample (|sources| rows by contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rialto_airflow_spark.functions.perf import bind_once
+from rialto_airflow_spark.operators.sampling import hash_uniform
+from rialto_airflow_spark.operators.text import ngram_strings
+
+# RE2-safe patterns shared verbatim with the DuckDB oracles (no \b —
+# Java and RE2 agree on these without word-boundary subtleties).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"(\d{1,3}\.){3}\d{1,3}"
+PHONE_RE = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+def repetition_stats(col: Column | str, n: int = 2) -> Column:
+    """Gopher repetition signals as a struct:
+
+      dup_ngram_frac — fraction of n-gram occurrences that are
+        repeats of an earlier occurrence (0 for all-distinct).
+      top_ngram_frac — fraction of all n-gram slots covered by the
+        single most frequent n-gram.
+
+    Both are pure array algebra over the shingle list (no shuffle,
+    no UDF): dup fraction is 1 - distinct/total; the top count is a
+    fold that looks up each distinct shingle's frequency via
+    aggregate-over-filter. Cost O(d·g) in distinct×total shingles per
+    row — bounded by document length, embarrassingly parallel.
+    """
+    grams = ngram_strings(col, n)
+
+    def body(g: Column) -> Column:
+        total = F.size(g)
+        distinct = F.array_distinct(g)
+        top = F.array_max(
+            F.transform(
+                distinct,
+                lambda d: F.size(F.filter(g, lambda x: x == d)),
+            )
+        )
+        dup_frac = F.when(
+            total > 0,
+            F.round(1.0 - F.size(distinct) / total.cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+        top_frac = F.when(
+            total > 0, F.round(top / total.cast("double"), 6)
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            dup_frac.alias("dup_ngram_frac"), top_frac.alias("top_ngram_frac")
+        )
+
+    return bind_once(grams, body)
+
+
+def pii_stats(col: Column | str) -> Column:
+    """Count PII-shaped spans per document: struct(n_emails, n_ips,
+    n_phones). regexp_count is JVM-side; the counts feed threshold
+    filters ('drop docs with > k emails') without materializing the
+    matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(c, F.lit(IPV4_RE)).alias("n_ips"),
+        F.regexp_count(c, F.lit(PHONE_RE)).alias("n_phones"),
+    )
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Mask PII spans with typed placeholder tokens (the masking
+    convention keeps token counts roughly stable for the tokenizer).
+    Order matters: emails first so their host part isn't half-eaten
+    by the IP pattern; phone last so already-masked spans don't
+    re-match."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return out
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Flag documents sharing any word n-gram with a benchmark set.
+
+    Returns docs + boolean ``contaminated``. Scale shape: the
+    benchmark's distinct shingle hashes are SMALL by contract (eval
+    sets are KBs, corpora are TBs) → broadcast; the corpus explodes
+    its shingles map-side, semi-joins the broadcast (no shuffle of
+    corpus data), and the surviving (doc, shingle) hits reduce to a
+    distinct doc-id set — so the only Exchange is over the HIT ids,
+    a vanishingly small fraction of the corpus at real scale.
+    """
+    bench = F.broadcast(
+        benchmark.select(
+            F.explode(ngram_strings(text_col, n)).alias("g")
+        ).distinct()
+    )
+    hits = (
+        docs.select(
+            F.col(id_col), F.explode(ngram_strings(text_col, n)).alias("g")
+        )
+        .join(bench, "g", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return docs.join(hits, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style cross-corpus line dedup: drop every line that appears
+    in ≥ ``min_docs`` distinct documents, reassemble each document
+    from its surviving lines in original order.
+
+    Distributed shape: explode lines with their position, aggregate
+    line → distinct-doc count (shuffle 1, on the line value — evenly
+    spread because popular lines are exactly what gets dropped),
+    broadcast nothing; anti-join survivors back and rebuild with an
+    order-restoring sort_array(collect_list(struct(pos, line)))
+    (shuffle 2, on doc id). Documents whose every line was
+    boilerplate come back as '' (kept, filterable downstream).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    common = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(common, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text")
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col, F.coalesce("clean_text", F.lit("")).alias("clean_text")
+        )
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    target_shares: dict[str, float],
+    salt: str = "mixture",
+) -> DataFrame:
+    """Downsample sources toward a target mixture without RNG.
+
+    Given target shares (summing to ≤ 1 over the sources present),
+    computes the largest output size achievable without UPsampling any
+    source — scale = min over sources of count_s / share_s — then
+    keeps each source at rate (share_s · scale / count_s) via the
+    salted-hash Bernoulli from operators.sampling (reproducible
+    across engines/partitionings; the DuckDB oracle replays it).
+
+    Driver-side state is the per-source rate table (|sources| rows —
+    tiny by contract); the data path is one count aggregation plus a
+    map-only hash filter. Sources absent from ``target_shares`` are
+    dropped (share 0).
+    """
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    scale = min(
+        counts[s] / share
+        for s, share in target_shares.items()
+        if share > 0 and s in counts
+    )
+    rate = None
+    for s, share in target_shares.items():
+        if s not in counts:
+            continue
+        r = min(1.0, share * scale / counts[s])
+        cond = F.col(source_col) == s
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = F.lit(0.0) if rate is None else rate.otherwise(F.lit(0.0))
+    return df.where(hash_uniform(id_col, salt) < rate)

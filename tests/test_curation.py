@@ -1,0 +1,245 @@
+"""Curation operators vs DuckDB oracles + hand-computed fixtures.
+
+Every oracle replays the operator's exact deterministic definition in
+SQL (same regexes, same md5 hash threshold), so these are the same
+class of gate the driver applies to the registered queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rialto_airflow_spark.operators import curation as C
+from rialto_airflow_spark.session import load_tables
+from tests.oracle_util import compare
+
+# DuckDB 2-gram list over whitespace tokens, 1-based inclusive slices
+_GRAMS2 = (
+    "list_transform(range(1, greatest(len(w), 1)), i -> concat(w[i], ' ', w[i+1]))"
+)
+
+
+def test_repetition_stats_oracle(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = docs.select(
+        "doc_id", C.repetition_stats("text", n=2).alias("r")
+    ).select(
+        "doc_id",
+        F.col("r.dup_ngram_frac").alias("dup_ngram_frac"),
+        F.col("r.top_ngram_frac").alias("top_ngram_frac"),
+    )
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2 THEN {_GRAMS2}
+                  ELSE [] END AS g
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN len(g) > 0
+                THEN round(1 - len(list_distinct(g)) / len(g)::DOUBLE, 6)
+                ELSE 0.0 END AS dup_ngram_frac,
+           CASE WHEN len(g) > 0
+                THEN round(list_max(list_transform(list_distinct(g),
+                       d -> len(list_filter(g, x -> x = d)))) / len(g)::DOUBLE, 6)
+                ELSE 0.0 END AS top_ngram_frac
+    FROM grams
+    """
+    compare(out, sql, sf_dir, "repetition_stats")
+
+
+def _with_pii(docs):
+    """Inject deterministic PII spans (the corpus itself is clean)."""
+    injected = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" contact bob@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("from 10.0.0.1 and 192.168.1.255 : "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.col("text"), F.lit(" call +1 555-867-5309 or 650-123-4567")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", injected.alias("text"))
+
+
+_PII_INJECT_SQL = """
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN text || ' contact bob@example.com now'
+               WHEN 1 THEN 'from 10.0.0.1 and 192.168.1.255 : ' || text
+               WHEN 2 THEN text || ' call +1 555-867-5309 or 650-123-4567'
+               ELSE text END AS text
+      FROM documents
+"""
+
+
+def test_pii_stats_and_scrub_oracle(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pii = _with_pii(docs)
+    out = pii.withColumn("p", C.pii_stats("text")).select(
+        "doc_id",
+        F.col("p.n_emails").alias("n_emails"),
+        F.col("p.n_ips").alias("n_ips"),
+        F.col("p.n_phones").alias("n_phones"),
+        F.md5(C.pii_scrub("text")).alias("scrub_md5"),
+    )
+    sql = f"""
+    WITH pii AS ({_PII_INJECT_SQL})
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{C.EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(text, '{C.IPV4_RE}'))::BIGINT AS n_ips,
+           len(regexp_extract_all(text, '{C.PHONE_RE}'))::BIGINT AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{C.IPV4_RE}', '<IP>', 'g'),
+               '{C.PHONE_RE}', '<PHONE>', 'g')) AS scrub_md5
+    FROM pii
+    """
+    compare(out, sql, sf_dir, "pii")
+
+
+def test_pii_scrub_masks_everything(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.co.uk ip 1.2.3.4 tel 555-123-4567 ok")],
+        ["id", "text"],
+    )
+    row = df.select(
+        C.pii_scrub("text").alias("s"), C.pii_stats("text").alias("p")
+    ).first()
+    assert row.s == "mail <EMAIL> ip <IP> tel <PHONE> ok"
+    assert (row.p.n_emails, row.p.n_ips, row.p.n_phones) == (1, 1, 1)
+
+
+def test_decontaminate_oracle(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    out = C.decontaminate(docs, bench, n=5).select(
+        "doc_id", "contaminated"
+    )
+    grams5 = (
+        "list_transform(range(1, greatest(len(w) - 3, 1)),"
+        " i -> array_to_string(w[i:i+4], ' '))"
+    )
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN {grams5} ELSE [] END AS g
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT DISTINCT d.doc_id
+      FROM (SELECT doc_id, unnest(g) AS gram FROM grams) d
+      JOIN bench USING (gram)
+    )
+    SELECT doc_id, EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = documents.doc_id)
+           AS contaminated
+    FROM documents
+    """
+    compare(out, sql, sf_dir, "decontaminate")
+    # benchmark members share their own shingles → all flagged
+    flagged = {r.doc_id for r in out.where("contaminated").collect()}
+    assert {r.doc_id for r in bench.select("doc_id").collect()} <= flagged
+
+
+def test_boilerplate_lines_fixture(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "keep one\ncookie banner\nkeep two"),
+            (2, "cookie banner\nunique line"),
+            (3, "cookie banner\ncookie banner\nother text"),
+            (4, "all mine"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.clean_text
+        for r in C.boilerplate_lines(docs, min_docs=3).collect()
+    }
+    # 'cookie banner' occurs in 3 distinct docs → dropped everywhere,
+    # including BOTH copies inside doc 3; order preserved elsewhere
+    assert out == {
+        1: "keep one\nkeep two",
+        2: "unique line",
+        3: "other text",
+        4: "all mine",
+    }
+
+
+def test_boilerplate_lines_oracle(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # token granularity (sep=' '): drops tokens present in >= 40% of docs
+    n_docs = docs.count()
+    k = max(2, int(n_docs * 0.4))
+    out = C.boilerplate_lines(docs, min_docs=k, sep=" ")
+    sql = f"""
+    WITH lines AS (
+      SELECT doc_id, u.line, u.pos
+      FROM (
+        SELECT doc_id,
+               regexp_split_to_array(text, ' ') AS arr
+        FROM documents
+      ), LATERAL (
+        SELECT unnest(arr) AS line,
+               generate_subscripts(arr, 1) AS pos
+      ) u
+    ), common AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) >= {k}
+    ), kept AS (
+      SELECT * FROM lines WHERE line NOT IN (SELECT line FROM common)
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """
+    compare(out, sql, sf_dir, "boilerplate_lines")
+
+
+def test_mixture_resample_oracle(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    shares = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = C.mixture_resample(docs, "source", "doc_id", shares).select(
+        "doc_id", "source"
+    )
+    cases = ", ".join(f"('{s}', {v})" for s, v in shares.items())
+    sql = f"""
+    WITH shares(source, share) AS (VALUES {cases}),
+    counts AS (
+      SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source
+    ), scale AS (
+      SELECT min(n / share) AS sc FROM counts JOIN shares USING (source)
+      WHERE share > 0
+    ), rates AS (
+      SELECT source, least(1.0, share * (SELECT sc FROM scale) / n) AS rate
+      FROM counts JOIN shares USING (source)
+    )
+    SELECT doc_id, d.source
+    FROM documents d JOIN rates USING (source)
+    WHERE CAST('0x' || substr(md5(doc_id::VARCHAR || '#mixture'), 1, 8) AS BIGINT)
+          / 4294967296.0 < rate
+    """
+    compare(out, sql, sf_dir, "mixture_resample")
+    # output mixture approaches the target shares (±10 pts at small SF)
+    mix = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(mix.values())
+    for s, share in shares.items():
+        if s in mix:
+            assert abs(mix[s] / total - share) < 0.10, (s, mix, shares)
