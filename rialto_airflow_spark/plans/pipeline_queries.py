@@ -52,7 +52,8 @@ NUM_PERM, BANDS = 12, 4  # mirror q21 so the pair graph is identical
            count(*) AS n_events,
            min(ts) AS session_start,
            max(ts) AS session_end,
-           floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_s
+           floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_s,
+           true AS builtin_agrees
     FROM sess
     GROUP BY user_id, session_seq
     """,
@@ -61,12 +62,49 @@ NUM_PERM, BANDS = 12, 4  # mirror q21 so the pair graph is identical
 def q34_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (operators.events.session_stats): 30-minute
     inactivity gap, per-user session stats. Lag + running sum +
-    group-by all share one shuffle on user_id."""
-    t = load_tables(spark, sf_dir, "events")
+    group-by all share one shuffle on user_id.
+
+    ``builtin_agrees`` folds the former q51 assertion into this entry
+    (round-2 verdict #3: registry must stay ≤ 50): Spark's BUILT-IN
+    ``F.session_window`` (the session operator Structured Streaming
+    uses) must produce the identical (user, session_start, n) set as a
+    manual lag+running-sum twin. The twin uses ``>=`` gap semantics on
+    exact (sub-second) timestamps because session windows are
+    half-open [start, last+gap) — q34's own output keeps the
+    reference-style strict-``>`` floor-seconds sessionization. The
+    oracle pins the flag to TRUE, so any divergence between the
+    built-in and manual paths fails the driver's value hash on every
+    row."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
     out = E.session_stats(
-        t["events"], "user_id", "ts", gap_seconds=1800, order_cols=["event_id"]
+        ev, "user_id", "ts", gap_seconds=1800, order_cols=["event_id"]
+    ).withColumn("session_seq", F.col("session_seq").cast("long"))
+
+    # manual >=-semantics twin on exact timestamps
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+    prev = F.lag("ts").over(w)
+    ns = prev.isNull() | (
+        F.col("ts").cast("double") - prev.cast("double") >= 1800.0
     )
-    return out.withColumn("session_seq", F.col("session_seq").cast("long"))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    twin = (
+        ev.withColumn("__sid", F.sum(ns.cast("int")).over(run))
+        .groupBy("user_id", "__sid")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n"))
+        .select("user_id", "session_start", "n")
+    )
+    builtin = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n")
+    )
+    sym_diff = twin.exceptAll(builtin).unionByName(builtin.exceptAll(twin))
+    agree = F.broadcast(
+        sym_diff.agg((F.count(F.lit(1)) == 0).alias("builtin_agrees"))
+    )
+    return out.crossJoin(agree)
 
 
 @register(
