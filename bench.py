@@ -33,18 +33,29 @@ def main() -> None:
 
     # n runs, per-query minimum: single-run numbers on a shared box mix
     # ambient load into the signal — round-2 "regressions" on untouched
-    # queries were exactly this noise (round-2 verdict #6)
-    timings: dict[str, float] = {}
+    # queries were exactly this noise (round-2 verdict #6).
+    # Failure-isolated (round-3 verdict #2): one query that throws at
+    # plan or execution time records null + its error and the rest of
+    # the bench still produces numbers — BENCH must never be empty.
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for _ in range(runs):
         for name in sorted(REGISTRY):
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            df = REGISTRY[name].fn(spark, sf_dir)
-            df.collect()
+            try:
+                df = REGISTRY[name].fn(spark, sf_dir)
+                df.collect()
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                timings.setdefault(name, None)
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                continue
             dt = round(time.perf_counter() - t0, 3)
-            if name not in timings or dt < timings[name]:
+            if timings.get(name) is None or dt < timings[name]:
                 timings[name] = dt
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     out = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -53,6 +64,8 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
     }
+    if errors:
+        out["errors"] = errors
     # scaling curves are expensive (x10 data gen + runs), so they are
     # produced out-of-band by scripts/run_scaling.py; embed the recorded
     # results if present (see SCALING.md for the narrative)

@@ -82,12 +82,16 @@ def q34_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", gap_seconds=1800, order_cols=["event_id"]
     ).withColumn("session_seq", F.col("session_seq").cast("long"))
 
-    # manual >=-semantics twin on exact timestamps
+    # manual >=-semantics twin on exact timestamps. ts reads as
+    # TIMESTAMP_NTZ, which Spark refuses to cast to DOUBLE (and an
+    # NTZ->LTZ round-trip would be session-timezone/DST dependent), so
+    # the sub-second gap is micros since an NTZ epoch literal.
+    epoch_s = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ) / 1e6
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
-    prev = F.lag("ts").over(w)
-    ns = prev.isNull() | (
-        F.col("ts").cast("double") - prev.cast("double") >= 1800.0
-    )
+    prev_s = F.lag(epoch_s).over(w)
+    ns = prev_s.isNull() | (epoch_s - prev_s >= 1800.0)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     twin = (
         ev.withColumn("__sid", F.sum(ns.cast("int")).over(run))
