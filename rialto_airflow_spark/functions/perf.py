@@ -27,9 +27,25 @@ def bind_once(expensive: Column, body) -> Column:
     return F.transform(F.array(expensive), body)[0]
 
 
+PARALLELISM_CHECK_CONF = "spark.rialto.ensureParallelism.check"
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the input is under-partitioned for CPU-bound
-    per-row work."""
+    per-row work.
+
+    The partition-count probe (``df.rdd.getNumPartitions()``) forces a
+    physical-planning pass per call — cheap here, real overhead when
+    hundreds of plans are constructed per job. Cluster reads are
+    already spread by ``spark.sql.files.maxPartitionBytes``, so for
+    the many-plans case set ``spark.rialto.ensureParallelism.check``
+    to ``false`` and this becomes a zero-cost no-op (round-3 verdict
+    #8)."""
+    if (
+        df.sparkSession.conf.get(PARALLELISM_CHECK_CONF, "true").lower()
+        == "false"
+    ):
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

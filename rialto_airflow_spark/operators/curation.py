@@ -59,21 +59,38 @@ def repetition_stats(col: Column | str, n: int = 2) -> Column:
         single most frequent n-gram.
 
     Both are pure array algebra over the shingle list (no shuffle,
-    no UDF): dup fraction is 1 - distinct/total; the top count is a
-    fold that looks up each distinct shingle's frequency via
-    aggregate-over-filter. Cost O(d·g) in distinct×total shingles per
-    row — bounded by document length, embarrassingly parallel.
+    no UDF): dup fraction is 1 - distinct/total; the top count is the
+    longest equal run in the SORTED shingle array, found by a single
+    aggregate() fold — O(g log g) per row (round-3 verdict #7
+    replaced the old aggregate-over-filter O(d·g) form, which went
+    quadratic on long low-redundancy documents), bounded by document
+    length, embarrassingly parallel.
     """
     grams = ngram_strings(col, n)
 
     def body(g: Column) -> Column:
         total = F.size(g)
         distinct = F.array_distinct(g)
-        top = F.array_max(
-            F.transform(
-                distinct,
-                lambda d: F.size(F.filter(g, lambda x: x == d)),
-            )
+        top = F.aggregate(
+            F.array_sort(g),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                        F.lit(1)
+                    ),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
         )
         dup_frac = F.when(
             total > 0,

@@ -86,6 +86,7 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     right_ts_alias: str = "asof_ts",
+    dedup_right: bool = False,
 ) -> DataFrame:
     """As-of (backward) join: for every left row, attach the right
     row's ``value_cols`` from the latest right timestamp ≤ the left
@@ -93,12 +94,24 @@ def asof_join(
 
     Semantics match DuckDB/pandas ``ASOF JOIN`` with a ``>=``
     condition. The right side must be unique per (key, ts) — enforce
-    upstream (e.g. aggregate) or ties resolve arbitrarily.
+    upstream (e.g. aggregate), pass ``dedup_right=True`` to have the
+    operator keep the greatest ``value_cols`` tuple per (key, ts)
+    (deterministic up to ties in the values themselves), or accept
+    that ties resolve arbitrarily.
 
     Implementation: union-and-carry-forward (see module docstring).
     Right rows sort BEFORE left rows at an equal timestamp so equality
     matches, mirroring the ``>=`` bound.
     """
+    if dedup_right:
+        wdup = Window.partitionBy(key_col, ts_col).orderBy(
+            *[F.col(c).desc_nulls_last() for c in value_cols]
+        )
+        right = (
+            right.withColumn("__dup_rn", F.row_number().over(wdup))
+            .where(F.col("__dup_rn") == 1)
+            .drop("__dup_rn")
+        )
     lcols = left.columns
     r = right.select(
         F.col(key_col),

@@ -98,23 +98,53 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
-    """STUB frame sampling: emits one row per sampled 'frame' offset
-    (a real video path would demux). Demonstrates the 1→N explode
-    shape through mapInPandas."""
+    """Frame-offset sampling: fan each media row out to one row per
+    sampled 'frame' offset (a real video path would demux the payload
+    at these offsets).
+
+    The fan-out is pure built-in algebra — ``explode(sequence(...))``
+    — so it stays inside whole-stage codegen with ZERO Python in the
+    plan; at 100 TB that matters on every media row. When a real
+    demuxer needs the payload bytes per frame, use
+    :func:`demux_frames`, which keeps this row multiplication
+    vectorized inside the Arrow batch."""
+    n = F.greatest(
+        (F.col("n_bytes") / F.lit(every_n_bytes)).cast("long"), F.lit(1)
+    )
+    return df.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n - 1)).alias("__f"),
+    ).select(
+        "media_id",
+        F.col("__f").cast("int").alias("frame_idx"),
+        (F.col("__f") * every_n_bytes).cast("long").alias("offset"),
+    )
+
+
+def demux_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """STUB demux path: same 1→N fan-out as :func:`sample_frames` but
+    through mapInPandas, the shape a real frame decoder needs (the
+    payload bytes are only reachable Python-side). Fully vectorized
+    inside each Arrow batch — the ragged per-row aranges are built
+    with ``np.repeat`` / cumulative offsets, no per-row Python loop."""
+    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                n = max(1, int(r["n_bytes"]) // every_n_bytes)
-                for f in range(n):
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_idx": f,
-                            "offset": f * every_n_bytes,
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "offset"])
+            n = np.maximum(
+                pdf["n_bytes"].to_numpy(dtype=np.int64) // every_n_bytes, 1
+            )
+            total = int(n.sum())
+            starts = np.repeat(np.cumsum(n) - n, n)
+            idx = np.arange(total, dtype=np.int64) - starts
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(
+                        pdf["media_id"].to_numpy(dtype=np.int64), n
+                    ),
+                    "frame_idx": idx.astype(np.int32),
+                    "offset": idx * every_n_bytes,
+                }
+            )
 
     return df.mapInPandas(batches, "media_id bigint, frame_idx int, offset long")

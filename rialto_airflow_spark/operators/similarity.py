@@ -253,15 +253,22 @@ def lsh_topk(
     hyperplanes (multi-probe LSH) — recall rises with nprobe at a cost
     of nprobe× candidate lookups, still ~nprobe/2^bits of the corpus.
 
-    The bucket join keys on a short int — at scale this is the IVF
-    pattern: partition the corpus by bucket once (bucketBy on write),
-    then probes are partition-pruned lookups instead of full scans.
+    The probe set is small by contract (it's the query batch ×
+    nprobe), so it BROADCASTS — the corpus never shuffles on the
+    2^bits-value bucket key, which is skew-prone on natural
+    embeddings (round-3 verdict #5; same shape ivf_topk uses). At
+    corpus-persisted scale the complementary move is bucketBy(bucket)
+    on write so probes become partition-pruned lookups.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        norm(F.col(vec_col)).alias("__qn"),
-        F.explode(probe_buckets(F.col(vec_col), bits, nprobe)).alias("__qb"),
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm(F.col(vec_col)).alias("__qn"),
+            F.explode(
+                probe_buckets(F.col(vec_col), bits, nprobe)
+            ).alias("__qb"),
+        )
     )
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
@@ -276,6 +283,92 @@ def lsh_topk(
         q.join(
             c,
             (F.col("__qb") == F.col("__cb"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", sim.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def write_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    bits: int = 8,
+) -> None:
+    """Materialize the corpus as a sign-bucket-PARTITIONED parquet
+    index: one directory per bucket value, vectors and precomputed
+    norms inside.
+
+    This is the persisted form of the bucketing lsh_topk computes on
+    the fly — the docstrings there prescribe exactly this layout at
+    scale. Once written, a probe touches only its bucket directories
+    (~nprobe/2^bits of the files) via static partition pruning; the
+    other 100 TB of corpus is never listed, let alone read."""
+    (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("vec_norm"),
+            sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    bits: int = 8,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k against a :func:`write_lsh_index` index.
+
+    The query batch is small by contract, so its distinct probe
+    buckets collect to the driver (≤ |Q|·nprobe ints — same contract
+    as ivf_topk's centroid collect) and become a LITERAL ``IN`` filter
+    on the index's partition column: Spark prunes the non-probed
+    bucket directories at file-listing time (``PartitionFilters`` in
+    the scan — the plan test pins this). Scoring then reuses the
+    broadcast-probe join shape of lsh_topk, so the index side is
+    never shuffled either."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm(F.col(vec_col)).alias("__qn"),
+            F.explode(
+                probe_buckets(F.col(vec_col), bits, nprobe)
+            ).alias("__qb"),
+        )
+    )
+    probed = [
+        r["__qb"] for r in q.select("__qb").distinct().collect()
+    ]  # driver-side-small by contract (query batch × nprobe)
+    idx = spark.read.parquet(index_path).where(F.col("bucket").isin(probed))
+    sim = F.round(
+        dot(F.col("__qv"), F.col("vec")) / (F.col("__qn") * F.col("vec_norm")),
+        6,
+    )
+    scored = (
+        q.join(
+            idx,
+            (F.col("__qb") == F.col("bucket"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
         .select("query_id", "neighbor_id", sim.alias("score"))

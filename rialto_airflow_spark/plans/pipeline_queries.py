@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rialto_airflow_spark.operators import curation as CUR
 from rialto_airflow_spark.operators import dedup as D
 from rialto_airflow_spark.operators import events as E
 from rialto_airflow_spark.operators import sampling as SA
@@ -670,6 +671,12 @@ _QUALITY_SQL = """
 """
 
 
+_GRAMS5 = (
+    "list_transform(range(1, greatest(len(w) - 3, 1)),"
+    " i -> array_to_string(w[i:i+4], ' '))"
+)
+
+
 @register(
     "q47_curation_pipeline",
     oracle=f"""
@@ -690,17 +697,67 @@ _QUALITY_SQL = """
       FROM corpus c LEFT JOIN clusters k ON c.doc_id = k.id
       WHERE k.id IS NULL OR k.cluster_id = c.doc_id
     ),
+    bench_grams AS (
+      SELECT DISTINCT unnest(CASE WHEN len(w) >= 5 THEN {_GRAMS5} ELSE [] END) AS g
+      FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM corpus WHERE doc_id % 97 = 0)
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id,
+                   unnest(CASE WHEN len(w) >= 5 THEN {_GRAMS5} ELSE [] END) AS g
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM survivors)) sg
+      JOIN bench_grams USING (g)
+    ),
+    decon AS (
+      SELECT * FROM survivors WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    ),
+    scrubbed AS (
+      SELECT doc_id, lang,
+             regexp_replace(regexp_replace(regexp_replace(
+               CASE doc_id % 4
+                 WHEN 0 THEN text || ' contact bob@example.com now'
+                 WHEN 1 THEN 'from 10.0.0.1 and 192.168.1.255 : ' || text
+                 WHEN 2 THEN text || ' call +1 555-867-5309 or 650-123-4567'
+                 ELSE text END,
+               '{CUR.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{CUR.IPV4_RE}', '<IP>', 'g'),
+               '{CUR.PHONE_RE}', '<PHONE>', 'g') AS text
+      FROM decon
+    ),
     gated AS (
-      SELECT doc_id, lang FROM survivors
+      SELECT doc_id, lang, text FROM scrubbed
       WHERE {_QUALITY_SQL} >= 0.5
+    ),
+    toks AS (
+      SELECT doc_id, u.line, u.pos
+      FROM (SELECT doc_id, regexp_split_to_array(text, ' ') AS arr FROM gated),
+      LATERAL (SELECT unnest(arr) AS line,
+                      generate_subscripts(arr, 1) AS pos) u
+    ),
+    common AS (
+      SELECT line FROM toks GROUP BY line
+      HAVING count(DISTINCT doc_id) >=
+             greatest(2, floor((SELECT count(*) FROM documents) * 0.4)::BIGINT)
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text
+      FROM toks WHERE line NOT IN (SELECT line FROM common)
+      GROUP BY doc_id
+    ),
+    clean AS (
+      SELECT g.doc_id, g.lang, coalesce(r.clean_text, '') AS clean_text
+      FROM gated g LEFT JOIN rebuilt r USING (doc_id)
     )
     SELECT CASE
              WHEN CAST('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 8) AS BIGINT)
                   / 4294967296.0 < 0.9 THEN 'train'
              ELSE 'eval' END AS split,
            lang,
-           count(*) AS n_docs
-    FROM gated
+           count(*) AS n_docs,
+           sum(length(clean_text))::BIGINT AS clean_chars
+    FROM clean
     GROUP BY 1, 2
     """,
     headline=True,
@@ -708,11 +765,16 @@ _QUALITY_SQL = """
 def q47_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship training-data curation pipeline, end-to-end: MinHash-
     LSH near-dup pairs → connected-components clusters → keep one doc
-    per cluster → quality gate → deterministic train/eval split →
-    corpus report. Every stage is an already-oracle-verified operator
-    (q21, q36, q27, q37); this query proves they COMPOSE — one
-    pipeline, one lineage, no intermediate materialization except the
-    clustering loop's checkpoints."""
+    per cluster → benchmark decontamination → PII scrub (deterministic
+    injected spans, the corpus itself is clean) → quality gate →
+    cross-corpus boilerplate strip → deterministic train/eval split →
+    corpus report with a clean-text checksum column. Every stage is an
+    already-oracle-verified operator (q21, q36, q27, q37, plus the
+    tests/test_curation.py oracles for decontaminate / pii_scrub /
+    boilerplate_lines — round-3 verdict #6 lifted those CTEs in here);
+    this query proves they COMPOSE — one pipeline, one lineage, no
+    intermediate materialization except the clustering loop's
+    checkpoints."""
     from rialto_airflow_spark.operators import text as T
 
     corpus = _spark_near_corpus(spark, sf_dir)
@@ -720,13 +782,62 @@ def q47_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "text", num_perm=NUM_PERM, bands=BANDS, shingle_n=3
     )
     clusters = D.connected_components(pairs)
-    survivors = D.cluster_survivors(corpus, clusters, "doc_id")
-    gated = survivors.where(F.round(T.quality_score("text"), 4) >= 0.5)
+    # survivors feeds decontaminate twice (hit derivation + the final
+    # anti join) and everything upstream of it is the MinHash+CC
+    # pipeline — persist so the expensive prefix evaluates once
+    survivors = D.cluster_survivors(corpus, clusters, "doc_id").persist()
+
+    # decontaminate against a held-out benchmark sample; the bench
+    # shingle set broadcasts, only hit ids shuffle
+    bench = corpus.where(F.col("doc_id") % 97 == 0)
+    decon = (
+        CUR.decontaminate(survivors, bench, n=5)
+        .where(~F.col("contaminated"))
+        .drop("contaminated")
+    )
+
+    # deterministic PII injection (mirrors tests/test_curation.py —
+    # the synthetic corpus is PII-clean, so the scrub needs spans to
+    # prove itself on) followed by the scrub
+    injected = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" contact bob@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("from 10.0.0.1 and 192.168.1.255 : "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.col("text"), F.lit(" call +1 555-867-5309 or 650-123-4567")),
+        )
+        .otherwise(F.col("text"))
+    )
+    scrubbed = decon.select(
+        "doc_id", "lang", CUR.pii_scrub(injected).alias("text")
+    )
+    # gated feeds the boilerplate explode (twice, inside
+    # boilerplate_lines) plus the label join — persist the post-scrub
+    # cut so the regex cascade and everything above runs once
+    gated = scrubbed.where(
+        F.round(T.quality_score("text"), 4) >= 0.5
+    ).persist()
+
+    # cross-corpus boilerplate strip at token granularity: drop tokens
+    # present in >= 40% of the base corpus size
+    n_total = load_tables(spark, sf_dir, "documents")["documents"].count()
+    clean = CUR.boilerplate_lines(
+        gated, min_docs=max(2, int(n_total * 0.4)), sep=" "
+    )
+    labeled = gated.select("doc_id", "lang").join(clean, "doc_id")
+
     split = SA.hash_split(
-        gated, "doc_id", {"train": 0.9, "eval": 0.1}, salt="split"
+        labeled, "doc_id", {"train": 0.9, "eval": 0.1}, salt="split"
     )
     return split.groupBy("split", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs")
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("clean_text")).alias("clean_chars"),
     )
 
 
@@ -745,9 +856,10 @@ def q47_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q48_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal 1→N frame sampling (operators.multimodal.
     sample_frames): each media payload fans out to one row per
-    sampled frame offset through an Arrow-batched mapInPandas — the
-    video-demux plumbing with a deterministic stand-in sampler, so
-    the fan-out shape itself is oracle-verified."""
+    sampled frame offset via built-in explode(sequence(...)) — zero
+    Python in the plan (round-3 verdict #3; the vectorized
+    mapInPandas twin for a real demuxer is demux_frames). The fan-out
+    shape itself is oracle-verified."""
     from rialto_airflow_spark.operators import multimodal as MM
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]

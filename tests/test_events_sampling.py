@@ -217,3 +217,69 @@ def test_lsh_multiprobe_recall_monotone(spark, sf_dir):
         recall[nprobe] = len(got & truth) / len(truth)
     assert recall[1] <= recall[2] <= recall[8]
     assert recall[8] > recall[1]
+
+
+def test_asof_join_dedup_right(spark):
+    """dedup_right=True collapses duplicate (key, ts) right rows to
+    the greatest value tuple, so left rows never multiply and the
+    carried value is deterministic."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1")], ["user_id", "ts", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 100.0), (1, _ts(5), 300.0), (1, _ts(5), 200.0)],
+        ["user_id", "ts", "v"],
+    )
+    out = E.asof_join(
+        left, right, "user_id", "ts", ["v"], dedup_right=True
+    ).collect()
+    assert len(out) == 1
+    assert out[0].v == 300.0 and out[0].asof_ts == _ts(5)
+
+
+def test_ensure_parallelism_conf_gate(spark):
+    """With the check conf off, ensure_parallelism is an identity —
+    no partition probe, no repartition (round-3 verdict #8)."""
+    from rialto_airflow_spark.functions.perf import (
+        PARALLELISM_CHECK_CONF,
+        ensure_parallelism,
+    )
+
+    df = spark.range(0, 10).coalesce(1)
+    assert ensure_parallelism(df).rdd.getNumPartitions() > 1
+    spark.conf.set(PARALLELISM_CHECK_CONF, "false")
+    try:
+        assert ensure_parallelism(df) is df
+    finally:
+        spark.conf.unset(PARALLELISM_CHECK_CONF)
+
+
+def test_lsh_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
+    """The persisted sign-bucket index must return the identical
+    top-k as the in-memory lsh_topk, and its scan must be partition-
+    pruned to the probed buckets (the 100-TB read path: non-probed
+    directories are never listed)."""
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    qs = emb.where(F.col("vec_id") < 20)
+    path = str(tmp_path / "lsh_index")
+    S.write_lsh_index(emb, path, "vec_id", "embedding", bits=8)
+
+    got = S.lsh_topk_indexed(
+        spark, path, qs, "vec_id", "embedding", k=3, bits=8, nprobe=2
+    )
+    want = S.lsh_topk(
+        emb, qs, "vec_id", "embedding", k=3, bits=8, nprobe=2
+    )
+    assert got.exceptAll(want).unionAll(want.exceptAll(got)).count() == 0
+
+    # the probed-bucket filter lands in PartitionFilters, not a
+    # post-scan Filter: pruning happens at file-listing time
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "lsh_index" in l
+    )
+    part = scan.split("PartitionFilters")[1]
+    assert "bucket" in part.split("]")[0]

@@ -97,3 +97,28 @@ def test_q38_ivf_assignment_is_map_only(spark, sf_dir):
         l for l in plan.splitlines() if l.lstrip("+- :*(0123456789) ").startswith("Window ")
     ]
     assert len(window_nodes) == 1, window_nodes
+
+
+def test_q48_fanout_has_no_python_node(spark, sf_dir):
+    """The frame-sample fan-out is built-in explode(sequence(...)):
+    no Python crossing of any flavor in the plan (round-3 verdict #3
+    — the old mapInPandas+iterrows paid a per-row Python tax on every
+    media row)."""
+    plan = _plan(spark, sf_dir, "q48_frame_sample")
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan, node
+    assert "Generate explode" in plan
+
+
+def test_q25_lsh_probes_broadcast_not_corpus(spark, sf_dir):
+    """lsh_topk broadcasts the exploded probe set (query batch ×
+    nprobe — small by contract), so the corpus never shuffles on the
+    2^bits-value bucket key, which skews badly on natural embeddings
+    (round-3 verdict #5; mirrors ivf_topk's shape)."""
+    plan = _plan(spark, sf_dir, "q25_ann_lsh")
+    assert "BroadcastHashJoin" in plan
+    # the broadcast side carries the probe-bucket column
+    bc_idx = plan.index("BroadcastExchange")
+    assert "__qb" in plan[bc_idx : bc_idx + 600]
+    # no shuffle keyed on the corpus bucket
+    assert "hashpartitioning(__cb" not in plan
