@@ -105,9 +105,19 @@ def q34_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select("user_id", F.col("w.start").alias("session_start"), "n")
     )
-    sym_diff = twin.exceptAll(builtin).unionByName(builtin.exceptAll(twin))
+    # multiset equality via signed counts: one aggregation over the
+    # union instead of two exceptAll passes (each of those is its own
+    # aggregation over both inputs — 4 passes where 1 suffices)
+    signed = twin.withColumn("__s", F.lit(1)).unionByName(
+        builtin.withColumn("__s", F.lit(-1))
+    )
+    diff = (
+        signed.groupBy("user_id", "session_start", "n")
+        .agg(F.sum("__s").alias("__d"))
+        .where(F.col("__d") != 0)
+    )
     agree = F.broadcast(
-        sym_diff.agg((F.count(F.lit(1)) == 0).alias("builtin_agrees"))
+        diff.agg((F.count(F.lit(1)) == 0).alias("builtin_agrees"))
     )
     return out.crossJoin(agree)
 

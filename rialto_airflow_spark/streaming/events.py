@@ -154,6 +154,41 @@ def dedup_stream(
     )
 
 
+def session_counts_stream(
+    events: DataFrame, gap: str = "30 minutes", late: str | None = None
+) -> DataFrame:
+    """Streaming sessionization via the built-in ``F.session_window``:
+    per-user sessions close after ``gap`` of inactivity; with a
+    watermark, a session's state is emitted and evicted once the
+    watermark passes its close (bounded state — the streaming twin of
+    the batch q34/q51 sessionization). ``late=None`` omits the
+    watermark for complete-mode drains, where the emitted set equals
+    the batch ``session_window`` aggregation exactly."""
+    src = events.withWatermark("ts", late) if late is not None else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n",
+        )
+    )
+
+
+def session_counts_batch(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Batch twin of session_counts_stream — verification oracle."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n",
+        )
+    )
+
+
 def running_user_counts(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     a per-user running event count that survives across micro-batches

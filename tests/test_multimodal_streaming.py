@@ -84,3 +84,42 @@ def test_streaming_available_now(spark, sf_dir):
     SE.run_available_now(SE.windowed_counts(stream2), ckpt, out_dir)
     assert spark.read.parquet(out_dir).count() == n1
     shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_demux_frames_matches_builtin_fanout(spark, sf_dir):
+    """The vectorized mapInPandas demux path (the shape a real frame
+    decoder needs) must emit the identical row set as the built-in
+    explode fan-out."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"].limit(50)
+    media = MM.attach_binary(docs, "doc_id", "text", "video")
+    a = MM.sample_frames(media, every_n_bytes=64)
+    b = MM.demux_frames(media, every_n_bytes=64)
+    # same names and types (nullability flags differ: codegen proves
+    # explode output non-null, mapInPandas can't)
+    assert [(f.name, f.dataType) for f in a.schema] == [
+        (f.name, f.dataType) for f in b.schema
+    ]
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+
+
+def test_streaming_sessionization_matches_batch(spark, sf_dir):
+    """session_window over a stream (complete-mode drain, no
+    watermark) must emit exactly the batch session_window aggregation
+    — the streaming sessionization twin of q34/q51."""
+    workdir = tempfile.mkdtemp(prefix="rspark_sess_")
+    in_dir, ckpt = f"{workdir}/in", f"{workdir}/ckpt"
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ev.write.parquet(in_dir)
+
+    stream = SE.read_event_stream(spark, in_dir)
+    SE.run_available_now_memory(
+        SE.session_counts_stream(stream, "30 minutes", late=None),
+        ckpt,
+        "sess_drain",
+        mode="complete",
+    )
+    got = spark.table("sess_drain")
+    want = SE.session_counts_batch(ev, "30 minutes")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).unionAll(want.exceptAll(got)).count() == 0
+    shutil.rmtree(workdir, ignore_errors=True)
