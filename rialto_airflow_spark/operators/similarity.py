@@ -88,8 +88,13 @@ def ivf_topk(
     k: int = 3,
     n_centroids: int = 8,
     nprobe: int = 1,
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
+
+    ``centroids`` optionally supplies a trained (cids, cmat, cnorms)
+    triple — e.g. from :func:`kmeans_centroids` — in place of the
+    default lowest-id quantizer.
 
     Coarse quantizer: ``n_centroids`` centroids picked
     deterministically (the lowest-id corpus vectors — swap for k-means
@@ -119,57 +124,14 @@ def ivf_topk(
     before ranking to keep assignment identical (ties then break on
     centroid_id ascending via the stable sort, as the oracle does).
     """
-    import math
-
-    import numpy as np
-    import pandas as pd
-
-    cent_rows = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ctr"))
-        .collect()
+    cids, cmat, cnorms = centroids or _pick_centroids(
+        corpus, id_col, vec_col, n_centroids
     )
-    # ascending cid order → stable argsort tie-breaks on cid, like the oracle
-    cids = np.array([int(r.cid) for r in cent_rows], dtype=np.int64)
-    cmat = np.array([[float(x) for x in r.ctr] for r in cent_rows], dtype=np.float64)
-    cnorms = []
-    for row in cmat:
-        acc = 0.0  # same left-to-right fold as norm() — bit-identical
-        for x in row:
-            acc += x * x
-        cnorms.append(math.sqrt(acc))
-    cnorms = np.array(cnorms, dtype=np.float64)
     top = min(nprobe, len(cids))
 
     def assign(side: DataFrame, out_id: str, top_n: int) -> DataFrame:
-        inp = side.select(
-            F.col(id_col).cast("long").alias(out_id),
-            F.col(vec_col).cast("array<double>").alias("__v"),
-            norm(F.col(vec_col)).alias("__vn"),
-        )
-
-        def batches(it):
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                vecs = np.vstack(pdf["__v"].to_numpy())
-                vn = pdf["__vn"].to_numpy(dtype=np.float64)
-                scores = (vecs @ cmat.T) / (vn[:, None] * cnorms[None, :])
-                scores = np.where(np.isnan(scores), np.inf, scores)
-                order = np.argsort(-scores, axis=1, kind="stable")[:, :top_n]
-                rows = np.repeat(np.arange(len(pdf)), top_n)
-                yield pd.DataFrame(
-                    {
-                        out_id: pdf[out_id].to_numpy()[rows],
-                        "centroid_id": cids[order.reshape(-1)],
-                        "__v": pdf["__v"].to_numpy()[rows],
-                        "__vn": vn[rows],
-                    }
-                )
-
-        return inp.mapInPandas(
-            batches, f"{out_id} long, centroid_id long, __v array<double>, __vn double"
+        return _centroid_assign(
+            side, id_col, vec_col, out_id, top_n, cids, cmat, cnorms
         )
 
     # no ensure_parallelism here: the assignment is batch-vectorized
@@ -381,3 +343,269 @@ def lsh_topk_indexed(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def _pick_centroids(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int):
+    """Deterministic coarse quantizer: the ``n_centroids`` lowest-id
+    corpus vectors (swap for offline k-means without changing any
+    consumer's plan). Returns (cids, cmat, cnorms) numpy arrays in
+    ascending cid order so stable argsorts tie-break on cid, exactly
+    as the SQL oracles do."""
+    import math
+
+    import numpy as np
+
+    cent_rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ctr"))
+        .collect()
+    )
+    cids = np.array([int(r.cid) for r in cent_rows], dtype=np.int64)
+    cmat = np.array(
+        [[float(x) for x in r.ctr] for r in cent_rows], dtype=np.float64
+    )
+    cnorms = []
+    for row in cmat:
+        acc = 0.0  # same left-to-right fold as norm() — bit-identical
+        for x in row:
+            acc += x * x
+        cnorms.append(math.sqrt(acc))
+    return cids, cmat, np.array(cnorms, dtype=np.float64)
+
+
+def _centroid_assign(
+    side: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    top_n: int,
+    cids,
+    cmat,
+    cnorms,
+) -> DataFrame:
+    """Vectorized inverted-list assignment: one numpy matmul + stable
+    argsort per Arrow batch (mapInPandas), emitting each vector's
+    ``top_n`` nearest centroids. Map-only — the input never shuffles.
+    NaN scores (zero-norm vectors) map to +inf so ranking matches the
+    SQL oracles' NaN-first DESC order."""
+    import numpy as np
+    import pandas as pd
+
+    inp = side.select(
+        F.col(id_col).cast("long").alias(out_id),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        norm(F.col(vec_col)).alias("__vn"),
+    )
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vecs = np.vstack(pdf["__v"].to_numpy())
+            vn = pdf["__vn"].to_numpy(dtype=np.float64)
+            scores = (vecs @ cmat.T) / (vn[:, None] * cnorms[None, :])
+            scores = np.where(np.isnan(scores), np.inf, scores)
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :top_n]
+            rows = np.repeat(np.arange(len(pdf)), top_n)
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[out_id].to_numpy()[rows],
+                    "centroid_id": cids[order.reshape(-1)],
+                    "__v": pdf["__v"].to_numpy()[rows],
+                    "__vn": vn[rows],
+                }
+            )
+
+    return inp.mapInPandas(
+        batches, f"{out_id} long, centroid_id long, __v array<double>, __vn double"
+    )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    centroids=None,
+) -> None:
+    """Materialize an IVF index: inverted lists as parquet PARTITIONED
+    by ``centroid_id`` (``{path}/lists``) plus the centroid table
+    (``{path}/centroids``) — the persisted layout ivf_topk's docstring
+    prescribes at 100 TB. Probes then read nprobe/n_centroids of the
+    list files via static partition pruning instead of scanning the
+    corpus. ``centroids`` optionally supplies a trained (cids, cmat,
+    cnorms) triple (:func:`kmeans_centroids`)."""
+    cids, cmat, cnorms = centroids or _pick_centroids(
+        corpus, id_col, vec_col, n_centroids
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in row]) for c, row in zip(cids, cmat)],
+        "cid long, ctr array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        _centroid_assign(
+            corpus, id_col, vec_col, "neighbor_id", 1, cids, cmat, cnorms
+        )
+        .select(
+            "neighbor_id",
+            F.col("__v").alias("vec"),
+            F.col("__vn").alias("vec_norm"),
+            "centroid_id",
+        )
+        .repartition("centroid_id")
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(f"{path}/lists")
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k against a :func:`write_ivf_index` index.
+
+    Centroids reload from the index (n_centroids rows — driver-side
+    small by contract), queries assign to their ``nprobe`` nearest
+    lists in one vectorized pass and broadcast; the probed list ids
+    become a LITERAL ``IN`` filter on the lists' partition column, so
+    non-probed inverted lists are pruned at file-listing time."""
+    import math
+
+    import numpy as np
+
+    cent_rows = sorted(
+        spark.read.parquet(f"{index_path}/centroids").collect(),
+        key=lambda r: int(r.cid),
+    )
+    cids = np.array([int(r.cid) for r in cent_rows], dtype=np.int64)
+    cmat = np.array(
+        [[float(x) for x in r.ctr] for r in cent_rows], dtype=np.float64
+    )
+    cnorms = []
+    for row in cmat:
+        acc = 0.0  # same fold as norm()
+        for x in row:
+            acc += x * x
+        cnorms.append(math.sqrt(acc))
+    cnorms = np.array(cnorms, dtype=np.float64)
+
+    q = F.broadcast(
+        _centroid_assign(
+            queries,
+            id_col,
+            vec_col,
+            "query_id",
+            min(nprobe, len(cids)),
+            cids,
+            cmat,
+            cnorms,
+        ).select(
+            "query_id",
+            "centroid_id",
+            F.col("__v").alias("__qv"),
+            F.col("__vn").alias("__qn"),
+        )
+    )
+    probed = [
+        r["centroid_id"] for r in q.select("centroid_id").distinct().collect()
+    ]  # |queries| × nprobe ids at most — driver-side small by contract
+    idx = spark.read.parquet(f"{index_path}/lists").where(
+        F.col("centroid_id").isin(probed)
+    )
+    sim = F.round(
+        dot(F.col("__qv"), F.col("vec")) / (F.col("__qn") * F.col("vec_norm")),
+        6,
+    )
+    scored = q.join(
+        idx,
+        (q["centroid_id"] == idx["centroid_id"])
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("query_id", "neighbor_id", sim.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    max_iters: int = 5,
+):
+    """Deterministic Lloyd's k-means producing the (cids, cmat,
+    cnorms) triple ivf_topk / write_ivf_index accept as ``centroids``
+    — the offline-trained coarse quantizer their docstrings prescribe.
+
+    Spark-first iteration shape: every round assigns vectors with the
+    SAME one-matmul-per-Arrow-batch pass the IVF operators use
+    (map-only, corpus never shuffles), and reduces (sum, count)
+    PARTIALS inside each batch — so what leaves the executors is
+    ≤ batches × k tiny rows, not the vectors. Driver state is the
+    k × dim centroid matrix. Seeds are the k lowest-id vectors (no
+    RNG → reruns identical); an emptied cluster keeps its previous
+    centroid. Assignment is by cosine, matching the probe-time
+    metric."""
+    import numpy as np
+    import pandas as pd
+
+    cids, cmat, cnorms = _pick_centroids(corpus, id_col, vec_col, k)
+    kk, dim = cmat.shape
+    vecs_df = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
+
+    for _ in range(max_iters):
+        cm, cn = cmat, cnorms  # bind this round's centroids
+
+        def batches(it):
+            sums = np.zeros((kk, dim), dtype=np.float64)
+            counts = np.zeros(kk, dtype=np.int64)
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.vstack(pdf["__v"].to_numpy())
+                vn = np.sqrt((vecs * vecs).sum(axis=1))
+                scores = (vecs @ cm.T) / (vn[:, None] * cn[None, :])
+                scores = np.where(np.isnan(scores), np.inf, scores)
+                nearest = np.argmax(scores, axis=1)
+                np.add.at(sums, nearest, vecs)
+                np.add.at(counts, nearest, 1)
+            hit = np.nonzero(counts)[0]
+            if len(hit) == 0:
+                return  # empty partition — nothing to contribute
+            yield pd.DataFrame(
+                {
+                    "c": hit.astype("int32"),
+                    "s": [row.tolist() for row in sums[hit]],
+                    "n": counts[hit],
+                }
+            )
+
+        partials = vecs_df.mapInPandas(
+            batches, "c int, s array<double>, n long"
+        ).collect()  # ≤ batches × k rows — driver-side small by contract
+        sums = np.zeros((kk, dim), dtype=np.float64)
+        counts = np.zeros(kk, dtype=np.int64)
+        for r in partials:
+            sums[r.c] += np.asarray(r.s, dtype=np.float64)
+            counts[r.c] += r.n
+        new = cmat.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        cmat = new
+        cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+
+    return np.arange(kk, dtype=np.int64), cmat, cnorms

@@ -283,3 +283,77 @@ def test_lsh_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
     )
     part = scan.split("PartitionFilters")[1]
     assert "bucket" in part.split("]")[0]
+
+
+def test_ivf_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
+    """The persisted IVF index (inverted lists partitioned by
+    centroid_id + centroid table) must return the identical top-k as
+    the in-memory ivf_topk, with the probe scan partition-pruned to
+    the probed lists."""
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    qs = emb.where(F.col("vec_id") < 20)
+    path = str(tmp_path / "ivf_index")
+    S.write_ivf_index(emb, path, "vec_id", "embedding", n_centroids=8)
+
+    got = S.ivf_topk_indexed(
+        spark, path, qs, "vec_id", "embedding", k=3, nprobe=2
+    )
+    want = S.ivf_topk(
+        emb, qs, "vec_id", "embedding", k=3, n_centroids=8, nprobe=2
+    )
+    assert got.exceptAll(want).unionAll(want.exceptAll(got)).count() == 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the inverted-list scan is the one carrying vec_norm; its probed
+    # centroid filter must be a PartitionFilter (file-listing prune)
+    scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "vec_norm" in l
+    ]
+    assert scans, plan
+    part = scans[0].split("PartitionFilters")[1]
+    assert "centroid_id" in part.split("]")[0]
+
+
+def test_kmeans_centroids_recover_separated_clusters(spark):
+    """On three well-separated direction clusters, the trained
+    quantizer aligns one centroid with each true direction (cosine
+    > 0.99), and the triple plugs into ivf_topk unchanged."""
+    import numpy as np
+
+    rng = [
+        # three orthogonal base directions with tiny deterministic jitter
+        ([10.0, 0.1, 0.0, 0.0], 0),
+        ([10.0, -0.1, 0.1, 0.0], 1),
+        ([10.0, 0.0, -0.1, 0.1], 2),
+        ([0.0, 10.0, 0.1, 0.0], 3),
+        ([0.1, 10.0, 0.0, -0.1], 4),
+        ([0.0, 10.0, -0.1, 0.1], 5),
+        ([0.0, 0.1, 10.0, 0.0], 6),
+        ([0.1, 0.0, 10.0, -0.1], 7),
+        ([-0.1, 0.0, 10.0, 0.1], 8),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for v, i in rng],
+        "vec_id long, embedding array<double>",
+    )
+    cids, cmat, cnorms = S.kmeans_centroids(
+        df, "vec_id", "embedding", k=3, max_iters=4
+    )
+    assert cmat.shape == (3, 4) and np.isfinite(cmat).all()
+    bases = np.eye(4)[:3] * 10.0
+    used = set()
+    for b in bases:
+        cos = (cmat @ b) / (np.sqrt((cmat * cmat).sum(1)) * np.sqrt(b @ b))
+        j = int(np.argmax(cos))
+        assert cos[j] > 0.99 and j not in used
+        used.add(j)
+
+    out = S.ivf_topk(
+        df, df.where(F.col("vec_id") < 2), "vec_id", "embedding",
+        k=2, centroids=(cids, cmat, cnorms),
+    )
+    # neighbors of cluster-0 members come from cluster 0
+    assert {r.neighbor_id for r in out.collect()} <= {0, 1, 2}

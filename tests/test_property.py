@@ -1,0 +1,165 @@
+"""Property-based tests (hypothesis) for the custom operators whose
+semantics have a clean independent reference: as-of join vs pandas
+``merge_asof``, sessionization vs a pure-Python fold, hash_split's
+partition-of-input law, repetition_stats vs a Counter-based oracle.
+
+The reference has no property tests (SURVEY §5 'not present'); these
+cover the randomized-input gap its golden fixtures leave — each
+example is tiny (Spark round-trip per example), so example counts
+stay low and deadlines are disabled.
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections import Counter
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rialto_airflow_spark.operators import curation as C
+from rialto_airflow_spark.operators import events as E
+from rialto_airflow_spark.operators import sampling as SA
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_EPOCH = datetime.datetime(2024, 1, 1)
+
+
+def _dt(s: int) -> datetime.datetime:
+    return _EPOCH + datetime.timedelta(seconds=s)
+
+
+# (key, ts-seconds) event streams: few keys so sequences share keys
+_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 10000)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(left=_events, right=_events)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join ≡ pandas merge_asof(direction='backward',
+    allow_exact_matches=True) for any unique-right input."""
+    # unique (key, ts) on the right — the operator's contract
+    rseen = {}
+    for i, (k, t) in enumerate(right):
+        rseen[(k, t)] = float(i)
+    ldf = spark.createDataFrame(
+        [(i, k, _dt(t)) for i, (k, t) in enumerate(left)],
+        ["row_id", "k", "ts"],
+    )
+    rdf = spark.createDataFrame(
+        [(k, _dt(t), v) for (k, t), v in rseen.items()],
+        ["k", "ts", "v"],
+    )
+    got = {
+        r.row_id: (r.v, r.asof_ts)
+        for r in E.asof_join(ldf, rdf, "k", "ts", ["v"]).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, _dt(t)) for i, (k, t) in enumerate(left)],
+        columns=["row_id", "k", "ts"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        [(k, _dt(t), v) for (k, t), v in rseen.items()],
+        columns=["k", "ts", "v"],
+    ).sort_values("ts", kind="stable")
+    want = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="backward", suffixes=("", "_r")
+    )
+    assert len(got) == len(left)
+    for _, row in want.iterrows():
+        gv, _gts = got[row.row_id]
+        if pd.isna(row.v):
+            assert gv is None
+        else:
+            assert gv == row.v
+
+
+@settings(**_SETTINGS)
+@given(events=_events, gap=st.integers(1, 3600))
+def test_sessionize_matches_python_fold(spark, events, gap):
+    """Session count and numbering per key equal a pure-Python fold
+    with the same strict-> gap rule on whole seconds."""
+    rows = [(k, _dt(t), i) for i, (k, t) in enumerate(events)]
+    df = spark.createDataFrame(rows, ["k", "ts", "event_id"])
+    got = {
+        r.event_id: r.session_seq
+        for r in E.sessionize(df, "k", "ts", gap, ["event_id"]).collect()
+    }
+
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for i, (k, t) in enumerate(events):
+        by_key.setdefault(k, []).append((t, i))
+    for k, seq in by_key.items():
+        seq.sort()  # (ts, event_id) — same order the operator uses
+        sess, prev = 0, None
+        for t, i in seq:
+            if prev is None or t - prev > gap:
+                sess += 1
+            assert got[i] == sess, (k, i, t)
+            prev = t
+
+
+@settings(**_SETTINGS)
+@given(
+    n=st.integers(1, 200),
+    weights=st.lists(st.floats(0.05, 1.0), min_size=2, max_size=4),
+)
+def test_hash_split_partitions_input(spark, n, weights):
+    """hash_split is a partition of its input for any weights: every
+    row lands in exactly one split, and the same row always lands in
+    the same split."""
+    total = sum(weights)
+    shares = {f"s{i}": w / total for i, w in enumerate(weights)}
+    df = spark.range(0, n).withColumnRenamed("id", "k")
+    out = SA.hash_split(df, "k", shares, salt="prop")
+    got = [(r.k, r.split) for r in out.collect()]
+    assert len(got) == n
+    assert {k for k, _ in got} == set(range(n))
+    again = {
+        r.k: r.split
+        for r in SA.hash_split(df.repartition(3), "k", shares, salt="prop").collect()
+    }
+    assert dict(got) == again
+
+
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=30
+    )
+)
+def test_repetition_stats_matches_counter(spark, toks):
+    """dup/top n-gram fractions equal a Counter-based oracle on any
+    token sequence, and both stay within [0, 1]."""
+    text = " ".join(toks)
+    row = (
+        spark.createDataFrame([(text,)], ["text"])
+        .select(C.repetition_stats("text", n=2).alias("r"))
+        .select("r.dup_ngram_frac", "r.top_ngram_frac")
+        .first()
+    )
+    grams = [
+        f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+    ] if len(toks) >= 2 else []
+    if not grams:
+        assert row.dup_ngram_frac == 0.0 and row.top_ngram_frac == 0.0
+        return
+    cnt = Counter(grams)
+    dup = round(1.0 - len(cnt) / len(grams), 6)
+    top = round(max(cnt.values()) / len(grams), 6)
+    assert abs(row.dup_ngram_frac - dup) < 1e-9
+    assert abs(row.top_ngram_frac - top) < 1e-9
+    assert 0.0 <= row.dup_ngram_frac <= 1.0
+    assert 0.0 <= row.top_ngram_frac <= 1.0
