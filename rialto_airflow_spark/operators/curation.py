@@ -138,6 +138,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Flag documents sharing any word n-gram with a benchmark set.
 
@@ -148,16 +149,25 @@ def decontaminate(
     corpus data), and the surviving (doc, shingle) hits reduce to a
     distinct doc-id set — so the only Exchange is over the HIT ids,
     a vanishingly small fraction of the corpus at real scale.
+
+    ``hash_shingles=True`` compares xxhash64 codes instead of shingle
+    strings — same result up to 64-bit collisions (a collision can
+    only over-flag, never miss), with a ~10× smaller broadcast; use
+    it when the benchmark set is large. Default stays strings so the
+    DuckDB oracles can replay the comparison exactly.
     """
+
+    def grams(col: str):
+        g = ngram_strings(col, n)
+        if hash_shingles:
+            g = F.transform(g, lambda s: F.xxhash64(s))
+        return g
+
     bench = F.broadcast(
-        benchmark.select(
-            F.explode(ngram_strings(text_col, n)).alias("g")
-        ).distinct()
+        benchmark.select(F.explode(grams(text_col)).alias("g")).distinct()
     )
     hits = (
-        docs.select(
-            F.col(id_col), F.explode(ngram_strings(text_col, n)).alias("g")
-        )
+        docs.select(F.col(id_col), F.explode(grams(text_col)).alias("g"))
         .join(bench, "g", "left_semi")
         .select(id_col)
         .distinct()

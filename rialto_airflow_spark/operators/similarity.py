@@ -1,6 +1,6 @@
 """Similarity search over embedding columns.
 
-Two paths:
+Search paths:
   * brute_force_topk — exact: queries × corpus blocked join. Correct
     baseline at any scale where |queries| is small (broadcast the
     queries, never the corpus); cost |Q|·|corpus|, fully partition-
@@ -11,6 +11,16 @@ Two paths:
     tunable with multi-probe (``nprobe`` > 1 probes Hamming-adjacent
     buckets across the least-confident hyperplanes, see
     probe_buckets).
+  * ivf_topk — approximate: inverted lists under a centroid coarse
+    quantizer (lowest-id seeds by default, or kmeans_centroids for a
+    trained one); corpus-side zero shuffles.
+
+Persistence: write_lsh_index / write_ivf_index materialize the
+bucketed corpus partitioned by bucket/list id, and the *_indexed
+variants read it back with probe sets as literal partition filters —
+at 100 TB a probe lists ~nprobe/2^bits of the files instead of
+scanning the corpus. quantize_embeddings / dequantize_embeddings
+shrink stored vectors to int8 codes + a per-vector scale.
 
 Cosine runs in double precision with deterministic summation order so
 the DuckDB oracle reproduces scores exactly; ranks tie-break on the
@@ -609,3 +619,48 @@ def kmeans_centroids(
         cnorms = np.sqrt((cmat * cmat).sum(axis=1))
 
     return np.arange(kk, dtype=np.int64), cmat, cnorms
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v|/127``,
+    ``q[i] = round(v[i]/scale)`` — 4× (float32) / 8× (float64) smaller
+    embedding storage with bounded elementwise error ≤ scale/2. Pure
+    Column algebra (``transform``), no UDF, map-only; the scale rides
+    next to the codes so dequantization needs no side table. A
+    zero vector quantizes against scale 1 to all-zero codes."""
+    c = F.col(vec_col)
+    amax = F.array_max(F.transform(c, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, amax / 127.0).otherwise(F.lit(1.0))
+
+    def quant(s: Column) -> Column:
+        return F.transform(
+            c, lambda x: F.round(x.cast("double") / s).cast("tinyint")
+        )
+
+    from rialto_airflow_spark.functions.perf import bind_once
+
+    return df.withColumn(out_col, bind_once(scale, quant)).withColumn(
+        scale_col, scale
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+    out_col: str = "vec",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``v[i] ≈ q[i]·scale``.
+    Reconstruction error per element is ≤ scale/2 by construction."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(qvec_col),
+            lambda x: x.cast("double") * F.col(scale_col),
+        ),
+    )

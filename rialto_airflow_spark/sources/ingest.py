@@ -13,12 +13,16 @@ set-based engine. This module defines that boundary:
     (mapPartitions over id lists — S4/S5/S6/S9's 40-200-DOI
     batches);
   * ``RetryPolicy`` — the per-source retry/backoff/rate-limit
-    parameters (BASELINE.md table), carried as data so a real
-    network connector can honor them.
+    parameters (BASELINE.md table), carried as data;
+  * ``retrying_fetch`` / ``paged_fetch`` — the retry-with-backoff
+    and cursor-paging LOOPS those policies drive, transport-injected:
+    a production deployment supplies only ``transport(ids) ->
+    payloads`` (an HTTP client), and the wrapped fetch plugs into
+    ``fetch_batches`` to run on the executors.
 
 No network code lives here (or anywhere in the engine) — tests and
-the driver run entirely file-backed, exactly like the reference's
-requests-mock test strategy (SURVEY §5).
+the driver run entirely file-backed with fake transports, exactly
+like the reference's requests-mock test strategy (SURVEY §5).
 """
 
 from __future__ import annotations
@@ -135,6 +139,63 @@ def fetch_batches(
                 yield Row(json=payload)
 
     return batches.rdd.mapPartitions(run).toDF("json string")
+
+
+def retrying_fetch(
+    transport: Callable[[list[str]], list[str]],
+    policy: RetryPolicy,
+    sleep: Callable[[float], None] | None = None,
+) -> Callable[[list[str]], list[str]]:
+    """Wrap a transport callable with the source's retry/backoff/
+    rate-limit discipline (the HTTP loop the reference hand-writes per
+    source — openalex.py:117-144, wos.py:278-364): exponential backoff
+    capped at 60 s, ``policy.max_retries`` attempts, and the polite
+    inter-call sleep. The transport is the ONLY part a production
+    deployment supplies (an HTTP client); everything here is
+    executor-safe pure Python, so the wrapped fetch plugs straight
+    into :func:`fetch_batches`. ``sleep`` is injectable for tests."""
+    import time as _time
+
+    do_sleep = sleep or _time.sleep
+
+    def fetch(ids: list[str]) -> list[str]:
+        attempt = 0
+        while True:
+            try:
+                out = transport(ids)
+            except Exception:
+                attempt += 1
+                if attempt > policy.max_retries:
+                    raise
+                do_sleep(min(2.0**attempt, 60.0))
+                continue
+            if policy.sleep_seconds:
+                do_sleep(policy.sleep_seconds)
+            return out
+
+    return fetch
+
+
+def paged_fetch(
+    transport: Callable[[str | None, int], tuple[list[str], str | None]],
+    policy: RetryPolicy,
+) -> Callable[[], Iterator[str]]:
+    """Drive cursor paging (the reference's per-source page loops,
+    e.g. openalex cursor paging / WoS firstRecord windows): transport
+    takes (cursor, page_size) and returns (payloads, next_cursor);
+    iteration ends when next_cursor is None. Returns a thunk yielding
+    every payload — compose with :func:`retrying_fetch`'s transport
+    for retry inside each page call."""
+
+    def run() -> Iterator[str]:
+        cursor: str | None = None
+        while True:
+            payloads, cursor = transport(cursor, policy.page_size)
+            yield from payloads
+            if cursor is None:
+                return
+
+    return run
 
 
 def format_wos_timespan(days: int) -> str:

@@ -243,3 +243,15 @@ def test_mixture_resample_oracle(spark, sf_dir):
     for s, share in shares.items():
         if s in mix:
             assert abs(mix[s] / total - share) < 0.10, (s, mix, shares)
+
+
+def test_decontaminate_hashed_matches_strings(spark, sf_dir):
+    """hash_shingles=True (xxhash64 codes, ~10x smaller broadcast)
+    must flag the identical doc set as the string comparison."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    a = C.decontaminate(docs, bench, n=5).select("doc_id", "contaminated")
+    b = C.decontaminate(docs, bench, n=5, hash_shingles=True).select(
+        "doc_id", "contaminated"
+    )
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0

@@ -357,3 +357,56 @@ def test_kmeans_centroids_recover_separated_clusters(spark):
     )
     # neighbors of cluster-0 members come from cluster 0
     assert {r.neighbor_id for r in out.collect()} <= {0, 1, 2}
+
+
+def test_quantize_embeddings_roundtrip_bounded_error(spark, sf_dir):
+    """int8 codes carry per-element error <= scale/2, zero vectors
+    stay zero, and top-1 neighbors on a well-separated set survive
+    quantization."""
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].limit(200)
+    q = S.quantize_embeddings(emb, "embedding")
+    dq = S.dequantize_embeddings(q)
+    err = dq.select(
+        F.array_max(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("vec"),
+                lambda a, b: F.abs(a.cast("double") - b),
+            )
+        ).alias("e"),
+        (F.col("qscale") / 2.0 + F.lit(1e-12)).alias("bound"),
+    )
+    assert err.where(F.col("e") > F.col("bound")).count() == 0
+    # codes are genuinely int8
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+
+    zero = spark.createDataFrame([(1, [0.0, 0.0])], ["vec_id", "embedding"])
+    zr = S.dequantize_embeddings(
+        S.quantize_embeddings(zero, "embedding")
+    ).first()
+    assert zr.qvec == [0, 0] and zr.vec == [0.0, 0.0]
+
+    # separated clusters: the quantized corpus returns the same top-1
+    sep = spark.createDataFrame(
+        [
+            (0, [10.0, 0.0, 0.1, 0.0]),
+            (1, [10.0, 0.1, 0.0, 0.0]),
+            (2, [0.0, 10.0, 0.0, 0.1]),
+            (3, [0.1, 10.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    deq = S.dequantize_embeddings(
+        S.quantize_embeddings(sep, "embedding")
+    ).select("vec_id", F.col("vec").alias("embedding"))
+    want = {
+        r.query_id: r.neighbor_id
+        for r in S.brute_force_topk(sep, sep, "vec_id", "embedding", k=1).collect()
+    }
+    got = {
+        r.query_id: r.neighbor_id
+        for r in S.brute_force_topk(deq, deq, "vec_id", "embedding", k=1).collect()
+    }
+    assert got == want == {0: 1, 1: 0, 2: 3, 3: 2}

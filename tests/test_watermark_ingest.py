@@ -136,3 +136,83 @@ def test_format_wos_timespan():
     assert I.format_wos_timespan(364) == "52W"
     assert I.format_wos_timespan(365) == "1Y"
     assert I.format_wos_timespan(366) == "2Y"
+
+
+def test_retrying_fetch_backoff_and_rate_limit():
+    """Two failures then success: backoff sleeps 2s, 4s; the polite
+    inter-call sleep follows success; attempts beyond max_retries
+    re-raise."""
+    from rialto_airflow_spark.sources.ingest import RetryPolicy, retrying_fetch
+
+    calls, naps = [], []
+
+    def flaky(ids):
+        calls.append(list(ids))
+        if len(calls) < 3:
+            raise RuntimeError("503")
+        return [f"payload:{i}" for i in ids]
+
+    fetch = retrying_fetch(
+        flaky, RetryPolicy(page_size=10, sleep_seconds=0.5), sleep=naps.append
+    )
+    assert fetch(["a", "b"]) == ["payload:a", "payload:b"]
+    assert len(calls) == 3
+    assert naps == [2.0, 4.0, 0.5]
+
+    def always_down(ids):
+        raise RuntimeError("504")
+
+    hard = retrying_fetch(
+        always_down,
+        RetryPolicy(page_size=10, max_retries=2),
+        sleep=naps.append,
+    )
+    try:
+        hard(["x"])
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError:
+        pass
+
+
+def test_paged_fetch_drains_cursor():
+    from rialto_airflow_spark.sources.ingest import RetryPolicy, paged_fetch
+
+    pages = {None: (["p1", "p2"], "c1"), "c1": (["p3"], "c2"), "c2": ([], None)}
+    sizes = []
+
+    def transport(cursor, page_size):
+        sizes.append(page_size)
+        return pages[cursor]
+
+    run = paged_fetch(transport, RetryPolicy(page_size=2))
+    assert list(run()) == ["p1", "p2", "p3"]
+    assert sizes == [2, 2, 2]
+
+
+def test_fetch_batches_with_retrying_transport(spark):
+    """End-to-end executor-side loop: id batches -> retrying fetch
+    (fails once per batch) -> payload rows."""
+    from rialto_airflow_spark.sources import ingest as I
+
+    ids = spark.createDataFrame([(f"d{i}",) for i in range(7)], ["doi"])
+    b = I.batched(ids, "doi", batch_size=3)
+
+    seen = set()
+
+    def flaky_once(batch):
+        key = tuple(batch)
+        if key not in seen:
+            seen.add(key)
+            raise RuntimeError("first try fails")
+        return [f"json:{d}" for d in batch]
+
+    out = I.fetch_batches(
+        b,
+        I.retrying_fetch(
+            flaky_once,
+            I.POLICIES["openalex"],
+            sleep=lambda s: None,
+        ),
+    )
+    got = sorted(r.json for r in out.collect())
+    assert got == sorted(f"json:d{i}" for i in range(7))
