@@ -189,6 +189,66 @@ def session_counts_batch(events: DataFrame, gap: str = "30 minutes") -> DataFram
     )
 
 
+def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful sessionizer via ``applyInPandasWithState`` —
+    the from-scratch twin of :func:`session_counts_stream` for when
+    the built-in ``session_window`` can't express the semantics
+    (e.g. reference-style strict-``>`` gaps on floor seconds, which
+    is exactly what this implements, matching batch
+    ``operators.events.session_stats``).
+
+    Emits one row per CLOSED session (user_id, start_s, end_s,
+    n_events — epoch floor-seconds); the open tail session rides in
+    state (3 longs per user) until a later event closes it. State is
+    bounded by the live-user count; production would add an
+    event-time timeout to flush tails past the watermark — kept
+    NoTimeout here so an availableNow drain is deterministic: emitted
+    rows are precisely every session except each user's last, which
+    the equivalence test pins against the batch operator."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed_start, closed_end, closed_n = [], [], []
+        parts = [pdf["ts"] for pdf in pdf_iter]
+        ts = pd.concat(parts).sort_values() if parts else pd.Series([], dtype="datetime64[ns]")
+        for t in ts.astype("int64") // 1_000_000_000:  # floor seconds
+            t = int(t)
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_seconds:
+                closed_start.append(start)
+                closed_end.append(last)
+                closed_n.append(n)
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if start is not None:
+            state.update((start, last, n))
+        if closed_start:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed_start),
+                    "start_s": closed_start,
+                    "end_s": closed_end,
+                    "n_events": closed_n,
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType="user_id bigint, start_s bigint, end_s bigint, n_events bigint",
+        stateStructType="start_s bigint, last_s bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_user_counts(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     a per-user running event count that survives across micro-batches

@@ -123,3 +123,47 @@ def test_streaming_sessionization_matches_batch(spark, sf_dir):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).unionAll(want.exceptAll(got)).count() == 0
     shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_stateful_sessionizer_matches_batch_minus_tails(spark, sf_dir):
+    """The applyInPandasWithState sessionizer emits exactly the batch
+    operator's sessions MINUS each user's final (still-open) one —
+    same strict-> floor-seconds gap rule as operators.events."""
+    from rialto_airflow_spark.operators import events as EV
+
+    workdir = tempfile.mkdtemp(prefix="rspark_sess_state_")
+    in_dir, ckpt = f"{workdir}/in", f"{workdir}/ckpt"
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ev.write.parquet(in_dir)
+
+    stream = SE.read_event_stream(spark, in_dir)
+    SE.run_available_now_memory(
+        SE.sessionize_stateful(stream, gap_seconds=1800),
+        ckpt,
+        "sess_state",
+        mode="append",
+    )
+    got = {
+        (r.user_id, r.start_s, r.end_s, r.n_events)
+        for r in spark.table("sess_state").collect()
+    }
+
+    stats = EV.session_stats(ev, "user_id", "ts", 1800)
+    last = stats.groupBy("user_id").agg(
+        F.max("session_seq").alias("last_seq")
+    )
+    want = {
+        (r.user_id, r.start_s, r.end_s, r.n_events)
+        for r in stats.join(last, "user_id")
+        .where(F.col("session_seq") < F.col("last_seq"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_start").alias("start_s"),
+            F.unix_timestamp("session_end").alias("end_s"),
+            "n_events",
+        )
+        .collect()
+    }
+    assert len(got) > 0
+    assert got == want
+    shutil.rmtree(workdir, ignore_errors=True)
