@@ -163,3 +163,75 @@ def test_repetition_stats_matches_counter(spark, toks):
     assert abs(row.top_ngram_frac - top) < 1e-9
     assert 0.0 <= row.dup_ngram_frac <= 1.0
     assert 0.0 <= row.top_ngram_frac <= 1.0
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label + pointer-jumping CC equals a pure-Python union-find
+    with min-id labels on any random edge set (self-loops included)."""
+    from rialto_airflow_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    # normalize: label every node by the min id in its component
+    comp: dict[int, int] = {}
+    for x, r in want.items():
+        comp[r] = min(comp.get(r, x), x)
+    want = {x: comp[find(x)] for x in parent}
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    existing=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 99)),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    batch=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 99)),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_on_key_idempotent(spark, existing, batch):
+    """Applying the same (null-key-free, unique-keyed) batch twice is
+    a no-op: merge(merge(E,B),B) == merge(E,B), and the once-merged
+    result contains exactly keys(E) ∪ keys(B) with batch values
+    winning on overlap."""
+    from rialto_airflow_spark.operators.merge import merge_on_key
+
+    schema = "k long, v long"
+    e = spark.createDataFrame(existing, schema)
+    b = spark.createDataFrame(batch, schema)
+    once = merge_on_key(e, b, "k")
+    rows1 = {(r.k, r.v) for r in once.collect()}
+    want = dict(existing)
+    want.update(dict(batch))
+    assert rows1 == set(want.items())
+    twice = merge_on_key(once, b, "k")
+    assert {(r.k, r.v) for r in twice.collect()} == rows1
