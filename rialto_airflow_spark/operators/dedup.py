@@ -501,3 +501,49 @@ def embedding_near_dups(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def winnow_near_dups(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    window: int = 4,
+    k: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """MOSS-style near-dup candidate pairs: documents sharing at least
+    ``min_shared`` winnowing fingerprint hashes (Schleimer et al.) —
+    the positional-coverage complement to MinHash banding: a winnow
+    hash is the minimum over a LOCAL window of shingles, so two
+    documents collide exactly where they share a passage, and an
+    inserted paragraph can't hide between sketch samples.
+
+    Scale shape mirrors ``lsh_candidate_pairs``: fingerprints explode
+    map-side (k small hashes per doc), one shuffle buckets them by
+    hash value, pairs form inside buckets only (sum of squared bucket
+    sizes, never all-pairs), and the shared-hash count aggregates on
+    the pair key. Boilerplate-heavy hashes make hot buckets — strip
+    boilerplate first (operators.curation.boilerplate_lines) or raise
+    ``n``; AQE skew-join covers the remainder.
+    """
+    from rialto_airflow_spark.operators.text import winnow_fingerprint
+
+    fp = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(winnow_fingerprint(F.col(text_col), n, window, k), r"\|")
+        ).alias("h"),
+    ).where(F.col("h") != "")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

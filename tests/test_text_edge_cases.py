@@ -61,3 +61,74 @@ def test_winnow_positional_coverage(spark):
     assert a != b
     overlap = len(a & b) / len(a | b)
     assert overlap > 0.5  # still recognizably the same document
+
+
+def test_winnow_near_dups_fixture(spark):
+    """Docs sharing a long passage pair up; unrelated docs don't; an
+    inserted paragraph can't break the match (positional coverage)."""
+    from rialto_airflow_spark.operators import dedup as D
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, passage),
+            (2, passage + " with a tiny suffix added"),
+            (3, "completely unrelated text about spark physical plans"),
+            (4, "INSERTED INTRO PARAGRAPH here then " + passage),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.winnow_near_dups(
+            docs, "doc_id", "text", min_shared=2
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_near_dups_oracle(spark, sf_dir):
+    """Pair set + shared counts replayed by DuckDB over the near-dup
+    corpus (each tiled copy shares nearly all fingerprints with its
+    original)."""
+    from rialto_airflow_spark.operators import dedup as D
+    from rialto_airflow_spark.plans.llm_queries import (
+        SQL_NEAR_CORPUS,
+        _spark_near_corpus,
+    )
+    from tests.oracle_util import compare
+
+    corpus = _spark_near_corpus(spark, str(sf_dir))
+    out = D.winnow_near_dups(corpus, "doc_id", "text", min_shared=2)
+    sql = f"""
+    WITH corpus AS ({SQL_NEAR_CORPUS}),
+    sh AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0) + 1),
+               i -> md5(array_to_string(
+                      regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' '))
+             ) AS h
+      FROM corpus
+    ),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= 4 THEN
+               list_transform(range(1, len(h) - 2),
+                              i -> list_aggregate(h[i:i+3], 'min'))
+             WHEN len(h) > 0 THEN [list_aggregate(h, 'min')]
+             ELSE []::VARCHAR[] END AS mins
+      FROM sh
+    ),
+    fps AS (
+      SELECT doc_id, unnest(list_sort(list_distinct(mins))[1:8]) AS h
+      FROM wins
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+    FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """
+    assert out.count() > 0  # the tiled near-dups guarantee pairs
+    compare(out, sql, str(sf_dir), "winnow_near_dups")
