@@ -113,21 +113,24 @@ def asof_join(
             .drop("__dup_rn")
         )
     lcols = left.columns
+    # Carry ONE struct per right row (never null for a right row, even
+    # when every value inside it is NULL) so a single
+    # last(ignorenulls) returns the matched row WHOLESALE — a NULL
+    # value in the matched row stays NULL instead of being replaced by
+    # an older row's value, matching DuckDB/pandas ASOF exactly.
     r = right.select(
         F.col(key_col),
         F.col(ts_col),
         F.lit(0).alias("__side"),
-        F.col(ts_col).alias("__r_ts"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(
+            F.col(ts_col).alias("__ts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("__r_row"),
     )
     l = left.select(
         "*",
         F.lit(1).alias("__side"),
-        F.lit(None).cast(r.schema["__r_ts"].dataType).alias("__r_ts"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(r.schema["__r_row"].dataType).alias("__r_row"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
@@ -135,13 +138,11 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    matched = F.last("__r_row", ignorenulls=True).over(w)
     carried = u.select(
         *lcols,
         F.col("__side"),
-        F.last("__r_ts", ignorenulls=True).over(w).alias(right_ts_alias),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        matched["__ts"].alias(right_ts_alias),
+        *[matched[c].alias(c) for c in value_cols],
     )
     return carried.where(F.col("__side") == 1).drop("__side")

@@ -106,13 +106,23 @@ def test_hash_split_total_partition(spark, ids, cut):
         st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=1, max_size=12
     ),
     right=st.lists(
-        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 9)),
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 100),
+            st.one_of(st.none(), st.integers(0, 9)),
+        ),
         max_size=12,
     ),
 )
 def test_asof_join_matches_reference_model(spark, left, right):
     """asof_join output equals the O(n²) reference model (latest right
-    ts ≤ left ts per key) and always preserves left cardinality."""
+    ts ≤ left ts per key) and always preserves left cardinality.
+
+    Right values may be NULL: true ASOF semantics return the matched
+    row WHOLESALE, so a NULL value in the latest at-or-before right
+    row must come back as NULL — not an older row's non-null value.
+    Asserting ``asof_ts`` alongside ``v`` distinguishes
+    matched-with-NULL from no-match."""
     import datetime
 
     from rialto_airflow_spark.operators.events import asof_join
@@ -129,15 +139,21 @@ def test_asof_join_matches_reference_model(spark, left, right):
     )
     if not r_rows:
         rdf = rdf.limit(0)
-    out = {r.lid: r.v for r in asof_join(ldf, rdf, "k", "ts", ["v"]).collect()}
+    out = {
+        r.lid: (r.v, r.asof_ts)
+        for r in asof_join(ldf, rdf, "k", "ts", ["v"]).collect()
+    }
     assert len(out) == len(l_rows)
     for k, lts, lid in l_rows:
         cands = [
             (rts, v) for (rk, rts), v in r_dedup.items()
             if rk == k and rts <= (lts - base).total_seconds()
         ]
-        want = max(cands)[1] if cands else None
-        assert out[lid] == want, (lid, k, lts)
+        if cands:
+            wts, wv = max(cands, key=lambda p: p[0])
+            assert out[lid] == (wv, t(wts)), (lid, k, lts)
+        else:
+            assert out[lid] == (None, None), (lid, k, lts)
 
 
 @settings(
