@@ -108,17 +108,44 @@ def read_payload_batch(
     return out.withColumn(f"{source}_harvested", ts)
 
 
-def batched(ids: DataFrame, id_col: str, batch_size: int) -> DataFrame:
+def batched(
+    ids: DataFrame,
+    id_col: str,
+    batch_size: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Group ids into connector-request batches (the 40-200-DOI
     windows of S4/S5/S6/S9) — executor-parallel, deterministic:
-    (batch_idx, ids array)."""
-    w_idx = F.floor(
-        (F.row_number().over(Window.orderBy(id_col)) - 1) / batch_size
+    (batch_idx, ids array).
+
+    Ids hash-repartition on ``id_col`` across ``num_partitions`` tasks
+    (default: the session's shuffle partitions); each task sorts ONLY
+    its slice and cuts it into ``batch_size`` windows, keyed
+    (partition, window). No global sort: a plain
+    ``Window.orderBy(id)`` would funnel EVERY id through one task to
+    number it — a single-partition bottleneck at millions of fill-in
+    ids. The trade is at most one underfull batch per partition
+    (instead of one total), a bounded request-count overhead.
+    Deterministic given (ids, batch_size, num_partitions): hash
+    placement and the within-partition sort are both pure functions of
+    the id values."""
+    n = num_partitions or int(
+        ids.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    part = ids.repartition(n, F.col(id_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(id_col)
+    w_idx = F.floor((F.row_number().over(w) - 1) / batch_size)
     return (
-        ids.select(F.col(id_col), w_idx.alias("batch_idx"))
-        .groupBy("batch_idx")
+        part.select(F.col(id_col), F.col("__pid"), w_idx.alias("__win"))
+        .groupBy("__pid", "__win")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .select(
+            (F.col("__pid").cast("long") * F.lit(1 << 32) + F.col("__win"))
+            .alias("batch_idx"),
+            "ids",
+        )
     )
 
 
@@ -141,10 +168,23 @@ def fetch_batches(
     return batches.rdd.mapPartitions(run).toDF("json string")
 
 
+class TransientFetchError(Exception):
+    """Marker a transport raises for retryable failures (HTTP 429/5xx,
+    connection reset mid-body) — the statuses the reference's
+    hand-written loops retry (openalex.py:117-144, wos.py:278-364)."""
+
+
+def _default_retryable(exc: Exception) -> bool:
+    return isinstance(
+        exc, (TransientFetchError, ConnectionError, TimeoutError, OSError)
+    )
+
+
 def retrying_fetch(
     transport: Callable[[list[str]], list[str]],
     policy: RetryPolicy,
     sleep: Callable[[float], None] | None = None,
+    retryable: Callable[[Exception], bool] | None = None,
 ) -> Callable[[list[str]], list[str]]:
     """Wrap a transport callable with the source's retry/backoff/
     rate-limit discipline (the HTTP loop the reference hand-writes per
@@ -153,17 +193,27 @@ def retrying_fetch(
     inter-call sleep. The transport is the ONLY part a production
     deployment supplies (an HTTP client); everything here is
     executor-safe pure Python, so the wrapped fetch plugs straight
-    into :func:`fetch_batches`. ``sleep`` is injectable for tests."""
+    into :func:`fetch_batches`. ``sleep`` is injectable for tests.
+
+    Only TRANSIENT failures retry: ``retryable`` (default:
+    :class:`TransientFetchError`, ``ConnectionError``,
+    ``TimeoutError``, ``OSError``) decides; deterministic
+    programming/auth errors fail fast instead of burning
+    ``max_retries`` sleeps — matching the reference loops, which
+    retry only specific transient statuses."""
     import time as _time
 
     do_sleep = sleep or _time.sleep
+    is_retryable = retryable or _default_retryable
 
     def fetch(ids: list[str]) -> list[str]:
         attempt = 0
         while True:
             try:
                 out = transport(ids)
-            except Exception:
+            except Exception as exc:
+                if not is_retryable(exc):
+                    raise
                 attempt += 1
                 if attempt > policy.max_retries:
                     raise

@@ -119,14 +119,34 @@ def test_read_payload_batch(spark, tmp_path):
 def test_batched_and_fetch(spark):
     ids = spark.createDataFrame([(f"10.1/{i:03d}",) for i in range(10)], "doi string")
     b = I.batched(ids, "doi", 4)
-    sizes = sorted(r["ids"].__len__() for r in b.collect())
-    assert sizes == [2, 4, 4]
+    rows = b.collect()
+    # partition-of-input: every id in exactly one batch, none invented
+    got = sorted(d for r in rows for d in r["ids"])
+    assert got == sorted(f"10.1/{i:03d}" for i in range(10))
+    assert all(1 <= len(r["ids"]) <= 4 for r in rows)
+    # deterministic: same input -> identical batches (keys and members)
+    again = {r["batch_idx"]: list(r["ids"]) for r in I.batched(ids, "doi", 4).collect()}
+    assert {r["batch_idx"]: list(r["ids"]) for r in rows} == again
 
     def fake_fetch(batch):
         return [json.dumps({"doi": d}) for d in batch]
 
     fetched = I.fetch_batches(b, fake_fetch)
     assert fetched.count() == 10
+
+
+def test_batched_has_no_single_partition_sort(spark):
+    """The batching window is keyed per hash-partition — the plan must
+    not move all ids to one task (no Exchange SinglePartition), the
+    round-4 scale wart this operator had with a global orderBy."""
+    ids = spark.createDataFrame([(f"d{i}",) for i in range(50)], "doi string")
+    plan = (
+        I.batched(ids, "doi", 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan
 
 
 def test_format_wos_timespan():
@@ -142,14 +162,18 @@ def test_retrying_fetch_backoff_and_rate_limit():
     """Two failures then success: backoff sleeps 2s, 4s; the polite
     inter-call sleep follows success; attempts beyond max_retries
     re-raise."""
-    from rialto_airflow_spark.sources.ingest import RetryPolicy, retrying_fetch
+    from rialto_airflow_spark.sources.ingest import (
+        RetryPolicy,
+        TransientFetchError,
+        retrying_fetch,
+    )
 
     calls, naps = [], []
 
     def flaky(ids):
         calls.append(list(ids))
         if len(calls) < 3:
-            raise RuntimeError("503")
+            raise TransientFetchError("503")
         return [f"payload:{i}" for i in ids]
 
     fetch = retrying_fetch(
@@ -160,7 +184,7 @@ def test_retrying_fetch_backoff_and_rate_limit():
     assert naps == [2.0, 4.0, 0.5]
 
     def always_down(ids):
-        raise RuntimeError("504")
+        raise TransientFetchError("504")
 
     hard = retrying_fetch(
         always_down,
@@ -169,9 +193,30 @@ def test_retrying_fetch_backoff_and_rate_limit():
     )
     try:
         hard(["x"])
-        raise AssertionError("expected RuntimeError")
-    except RuntimeError:
+        raise AssertionError("expected TransientFetchError")
+    except TransientFetchError:
         pass
+
+
+def test_retrying_fetch_fails_fast_on_non_transient():
+    """Deterministic errors (bad auth, programming bugs) must NOT
+    retry — one attempt, zero sleeps, exception propagates."""
+    from rialto_airflow_spark.sources.ingest import RetryPolicy, retrying_fetch
+
+    calls, naps = [], []
+
+    def broken(ids):
+        calls.append(list(ids))
+        raise ValueError("401 bad token")
+
+    fetch = retrying_fetch(broken, RetryPolicy(page_size=10), sleep=naps.append)
+    try:
+        fetch(["a"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    assert calls == [["a"]]
+    assert naps == []
 
 
 def test_paged_fetch_drains_cursor():
@@ -203,7 +248,7 @@ def test_fetch_batches_with_retrying_transport(spark):
         key = tuple(batch)
         if key not in seen:
             seen.add(key)
-            raise RuntimeError("first try fails")
+            raise I.TransientFetchError("first try fails")
         return [f"json:{d}" for d in batch]
 
     out = I.fetch_batches(
