@@ -189,7 +189,9 @@ def session_counts_batch(events: DataFrame, gap: str = "30 minutes") -> DataFram
     )
 
 
-def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def sessionize_stateful(
+    events: DataFrame, gap_seconds: int = 1800, timeout: bool = False
+) -> DataFrame:
     """Custom stateful sessionizer via ``applyInPandasWithState`` —
     the from-scratch twin of :func:`session_counts_stream` for when
     the built-in ``session_window`` can't express the semantics
@@ -199,17 +201,48 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
 
     Emits one row per CLOSED session (user_id, start_s, end_s,
     n_events — epoch floor-seconds); the open tail session rides in
-    state (3 longs per user) until a later event closes it. State is
-    bounded by the live-user count; production would add an
-    event-time timeout to flush tails past the watermark — kept
-    NoTimeout here so an availableNow drain is deterministic: emitted
-    rows are precisely every session except each user's last, which
-    the equivalence test pins against the batch operator."""
+    state (3 longs per user) until a later event closes it.
+
+    Two flush disciplines:
+
+    * ``timeout=False`` (default, ``NoTimeout``): tails only close on
+      a later event — an availableNow drain is deterministic (emitted
+      = every session except each user's last, pinned against the
+      batch operator by the equivalence test). State is bounded by
+      the live-user count.
+    * ``timeout=True`` (``EventTimeTimeout``): the input MUST carry
+      ``withWatermark("ts", ...)``; each update arms a timeout at
+      ``last + gap`` event-time, so when the watermark passes a
+      session's close the tail is emitted and its state evicted —
+      the production-complete mode for continuous streams (bounded
+      state even for users that go silent forever).
+
+    Out-of-order arrivals ACROSS micro-batches (events are sorted
+    within one call only): an event not after the stored tail extends
+    it with ``start=min``/``last=max`` instead of dragging ``last``
+    backwards and corrupting later gap decisions. An event older than
+    an already-EMITTED session cannot be re-attached; with
+    ``timeout=True`` the watermark drops such rows before they reach
+    the state function, and in ``NoTimeout`` drains batches are
+    assumed in event-time order (the file-source staging here
+    delivers them so)."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update_fn(key, pdf_iter, state: GroupState):
+        if timeout and state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "start_s": [start],
+                    "end_s": [last],
+                    "n_events": [n],
+                }
+            )
+            return
         if state.exists:
             start, last, n = state.get
         else:
@@ -227,9 +260,15 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
                 closed_n.append(n)
                 start, last, n = t, t, 1
             else:
-                last, n = t, n + 1
+                start, last, n = min(start, t), max(last, t), n + 1
         if start is not None:
             state.update((start, last, n))
+            if timeout:
+                # arm the event-time flush; Spark rejects timestamps
+                # at-or-before the current watermark, so clamp forward
+                due_ms = (last + gap_seconds) * 1000 + 1000
+                wm_ms = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(due_ms, wm_ms + 1))
         if closed_start:
             yield pd.DataFrame(
                 {
@@ -245,7 +284,11 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
         outputStructType="user_id bigint, start_s bigint, end_s bigint, n_events bigint",
         stateStructType="start_s bigint, last_s bigint, n bigint",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

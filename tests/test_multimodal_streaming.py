@@ -167,3 +167,151 @@ def test_stateful_sessionizer_matches_batch_minus_tails(spark, sf_dir):
     assert len(got) > 0
     assert got == want
     shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_stateful_sessionizer_event_time_timeout_flushes_tails(spark):
+    """timeout=True: a user's OPEN tail session emits once the
+    event-time watermark passes its close + gap — the flush NoTimeout
+    can't do — and matches the batch session_stats row exactly.
+    Three single-file micro-batches: user 1's only session arrives in
+    batch 1, batches 2-3 advance the watermark far past it."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rialto_airflow_spark.operators import events as EV
+
+    workdir = tempfile.mkdtemp(prefix="rspark_sess_timeout_")
+    in_dir, ckpt = f"{workdir}/in", f"{workdir}/ckpt"
+    os.makedirs(in_dir)
+
+    def write(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [
+                        datetime.datetime(1970, 1, 1)
+                        + datetime.timedelta(seconds=r[1])
+                        for r in rows
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["x"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        p = os.path.join(in_dir, name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    # gap=100s, watermark delay=10s
+    write("b1.parquet", [(1, 1000, 1), (2, 1010, 1)], 1_700_000_000)
+    write("b2.parquet", [(3, 100_000, 2)], 1_700_000_100)
+    # batch 3 runs with watermark ~99_990 >> 1010+100 -> user 1 times out
+    write("b3.parquet", [(4, 200_000, 2)], 1_700_000_200)
+
+    stream = (
+        spark.readStream.schema(SE.EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = SE.sessionize_stateful(
+        stream.withWatermark("ts", "10 seconds"), gap_seconds=100, timeout=True
+    )
+    with SE.few_state_partitions(spark):
+        SE.run_available_now_memory(agg, ckpt, "sess_timeout", mode="append")
+    got = {
+        (r.user_id, r.start_s, r.end_s, r.n_events)
+        for r in spark.table("sess_timeout").collect()
+    }
+
+    # batch oracle over the same files
+    ev = spark.read.schema(SE.EVENTS_DDL).parquet(in_dir)
+    stats = {
+        (r.user_id, r.start_s, r.end_s, r.n_events)
+        for r in EV.session_stats(ev, "user_id", "ts", 100)
+        .select(
+            "user_id",
+            F.unix_timestamp("session_start").alias("start_s"),
+            F.unix_timestamp("session_end").alias("end_s"),
+            "n_events",
+        )
+        .collect()
+    }
+    # user 1's tail flushed by the timeout, matching batch exactly
+    assert (1, 1000, 1010, 2) in got
+    # user 2's first session closed normally by the batch-3 event
+    assert (2, 100_000, 100_000, 1) in got
+    # user 2's final session is still open (watermark never passed it)
+    assert (2, 200_000, 200_000, 1) not in got
+    # everything emitted agrees with the batch operator
+    assert got <= stats
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_stateful_sessionizer_out_of_order_across_batches(spark):
+    """An event OLDER than the stored tail (cross-batch out-of-order
+    arrival inside the same session) must extend the session with
+    last=max — not drag `last` backwards and split what follows."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    workdir = tempfile.mkdtemp(prefix="rspark_sess_ooo_")
+    in_dir, ckpt = f"{workdir}/in", f"{workdir}/ckpt"
+    os.makedirs(in_dir)
+
+    def write(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [
+                        datetime.datetime(1970, 1, 1)
+                        + datetime.timedelta(seconds=r[1])
+                        for r in rows
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["x"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        p = os.path.join(in_dir, name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    # gap=100. Batch 1 leaves tail last=1050; batch 2's event at 1000
+    # is older than the tail but within the session. With the old
+    # `last = t` bug the tail would regress to 1000 and the batch-3
+    # event at 1120 (gap 120 > 100 from 1000, but only 70 from 1050)
+    # would wrongly open a NEW session.
+    write("b1.parquet", [(1, 950, 7), (2, 1050, 7)], 1_700_000_000)
+    write("b2.parquet", [(3, 1000, 7)], 1_700_000_100)
+    write("b3.parquet", [(4, 1120, 7), (5, 9000, 7)], 1_700_000_200)
+
+    stream = (
+        spark.readStream.schema(SE.EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = SE.sessionize_stateful(stream, gap_seconds=100)
+    with SE.few_state_partitions(spark):
+        SE.run_available_now_memory(agg, ckpt, "sess_ooo", mode="append")
+    got = {
+        (r.user_id, r.start_s, r.end_s, r.n_events)
+        for r in spark.table("sess_ooo").collect()
+    }
+    # one closed session spanning all four early events (950..1120);
+    # the event at 9000 opened the (unemitted) tail that closed it
+    assert got == {(7, 950, 1120, 4)}
+    shutil.rmtree(workdir, ignore_errors=True)
