@@ -15,7 +15,7 @@ and tested.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -59,14 +59,25 @@ def decode_media(content: bytes, kind: str) -> dict:
     return {"magic_int": magic, "feature": f"{kind}:{hashlib.md5(content).hexdigest()[:8]}"}
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def extract_features(
+    df: DataFrame,
+    decode: Callable[[bytes, str], dict] | None = None,
+) -> DataFrame:
     """Arrow-batched feature extraction over media rows
     (mapInPandas): one Python crossing per batch, schema declared up
-    front so the plan stays typed."""
+    front so the plan stays typed.
+
+    The decoder is TRANSPORT-INJECTED, mirroring the connector seam in
+    ``sources.ingest``: ``decode(content_bytes, kind) -> {"magic_int":
+    int, "feature": str}``. The default is the container-limitation
+    stub :func:`decode_media`; a production deployment passes a real
+    PIL/ffmpeg/soundfile callable (serialized to executors with the
+    closure) without touching any plan code."""
+    decode = decode or decode_media
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [decode_media(c, k) for c, k in zip(pdf["content"], pdf["kind"])]
+            feats = [decode(c, k) for c, k in zip(pdf["content"], pdf["kind"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -81,15 +92,30 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, FEATURE_DDL)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB pipeline stage — real implementation would decode, resize
-    (PIL), re-encode inside the same mapInPandas pass. The plumbing
-    (pass-through schema + target-size metadata) is real."""
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resize: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize pipeline stage with an injected codec, same seam as
+    :func:`extract_features`: ``resize(content, w, h) -> bytes``
+    (decode + resize + re-encode in one call). Default is a
+    pass-through fake (no codec libs in this container); the
+    pass-through schema + target-size metadata plumbing is real either
+    way, and byte-length/hash metadata are recomputed from the
+    returned payload."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = pdf.copy()
-            # deterministic fake: a real resize would replace content
+            if resize is not None:
+                new_content = [resize(c, width, height) for c in pdf["content"]]
+                out["content"] = new_content
+                out["n_bytes"] = [len(c) for c in new_content]
+                out["content_md5"] = [
+                    hashlib.md5(c).hexdigest() for c in new_content
+                ]
             out["target"] = f"{width}x{height}"
             yield out
 

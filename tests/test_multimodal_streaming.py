@@ -315,3 +315,40 @@ def test_stateful_sessionizer_out_of_order_across_batches(spark):
     # the event at 9000 opened the (unemitted) tail that closed it
     assert got == {(7, 950, 1120, 4)}
     shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_extract_features_injected_decoder(spark, sf_dir):
+    """A user-supplied decoder drops into extract_features without
+    touching plan code — the connector-style injection seam."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"].limit(10)
+    media = MM.attach_binary(docs, "doc_id", "text", "image")
+
+    def fake_decoder(content, kind):
+        return {"magic_int": len(content) * 2, "feature": f"real:{kind}:{len(content)}"}
+
+    rows = {r["media_id"]: r for r in MM.extract_features(media, decode=fake_decoder).collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(rows) == set(src)
+    for i, text in src.items():
+        b = text.encode("utf-8")
+        assert rows[i]["magic_int"] == len(b) * 2
+        assert rows[i]["feature"] == f"real:image:{len(b)}"
+
+
+def test_resize_images_injected_codec(spark, sf_dir):
+    """An injected resize callable replaces the payload and the
+    byte-length/hash metadata are recomputed from the new bytes."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"].limit(5)
+    media = MM.attach_binary(docs, "doc_id", "text", "image")
+
+    def fake_resize(content, w, h):
+        return content[: w * h]  # deterministic truncation stands in
+
+    out = {r["media_id"]: r for r in MM.resize_images(media, 4, 8, resize=fake_resize).collect()}
+    src = {r["doc_id"]: r["text"].encode("utf-8") for r in docs.collect()}
+    for i, b in src.items():
+        want = b[:32]
+        assert bytes(out[i]["content"]) == want
+        assert out[i]["n_bytes"] == len(want)
+        assert out[i]["content_md5"] == hashlib.md5(want).hexdigest()
+        assert out[i]["target"] == "4x8"
