@@ -60,7 +60,9 @@ NUM_PERM, BANDS = 12, 4  # mirror q21 so the pair graph is identical
     """,
     headline=True,
 )
-def q34_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_sessionize(
+    spark: SparkSession, sf_dir: str, self_check: bool = True
+) -> DataFrame:
     """Sessionization (operators.events.session_stats): 30-minute
     inactivity gap, per-user session stats. Lag + running sum +
     group-by all share one shuffle on user_id.
@@ -75,13 +77,22 @@ def q34_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference-style strict-``>`` floor-seconds sessionization. The
     oracle pins the flag to TRUE, so any divergence between the
     built-in and manual paths fails the driver's value hash on every
-    row."""
+    row.
+
+    ``self_check=False`` (the bench variant — round-4 verdict #6)
+    skips the twin and emits ``builtin_agrees`` as a literal TRUE, so
+    the headline sessionization number measures ``session_stats``
+    alone instead of tripling the aggregation passes with its own
+    verification; the driver's correctness run keeps the default and
+    still asserts the twin on every row."""
     from pyspark.sql.window import Window
 
     ev = load_tables(spark, sf_dir, "events")["events"]
     out = E.session_stats(
         ev, "user_id", "ts", gap_seconds=1800, order_cols=["event_id"]
     ).withColumn("session_seq", F.col("session_seq").cast("long"))
+    if not self_check:
+        return out.withColumn("builtin_agrees", F.lit(True))
 
     # manual >=-semantics twin on exact timestamps. ts reads as
     # TIMESTAMP_NTZ, which Spark refuses to cast to DOUBLE (and an
@@ -835,7 +846,12 @@ def q47_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
 
     # cross-corpus boilerplate strip at token granularity: drop tokens
-    # present in >= 40% of the base corpus size
+    # present in >= 40% of the base corpus size. boilerplate_lines
+    # needs the threshold as a driver-side int; counting the RAW
+    # parquet read compiles to a zero-column scan (ReadSchema: struct<>,
+    # row counts come from footer metadata) — deliberately cheaper than
+    # counting the persisted survivors, which would force that whole
+    # lineage before the threshold exists.
     n_total = load_tables(spark, sf_dir, "documents")["documents"].count()
     clean = CUR.boilerplate_lines(
         gated, min_docs=max(2, int(n_total * 0.4)), sep=" "
@@ -877,17 +893,19 @@ def q48_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(media, every_n_bytes=64)
 
 
-@register(
-    "q50_winnow_fingerprint",
-    oracle=r"""
-    WITH sh AS (
+def _q50_oracle() -> str:
+    from rialto_airflow_spark.plans.llm_queries import SQL_NEAR_CORPUS
+
+    return rf"""
+    WITH corpus AS ({SQL_NEAR_CORPUS}),
+    sh AS (
       SELECT doc_id,
              list_transform(
                range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
                i -> md5(array_to_string(
                       regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
              ) AS h
-      FROM documents
+      FROM corpus
     ),
     wins AS (
       SELECT doc_id,
@@ -897,26 +915,65 @@ def q48_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN len(h) > 0 THEN [list_aggregate(h, 'min')]
              ELSE []::VARCHAR[] END AS mins
       FROM sh
+    ),
+    fp AS (
+      SELECT doc_id,
+             coalesce(array_to_string(
+               list_sort(list_distinct(mins))[1:8], '|'), '') AS wfp
+      FROM wins
+    ),
+    fps AS (
+      SELECT doc_id, unnest(list_sort(list_distinct(mins))[1:8]) AS h
+      FROM wins
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    partners AS (
+      SELECT doc_id, count(*) AS n_near_dups
+      FROM (SELECT id_a AS doc_id FROM pairs
+            UNION ALL SELECT id_b FROM pairs)
+      GROUP BY 1
     )
-    SELECT doc_id,
-           coalesce(array_to_string(
-             list_sort(list_distinct(mins))[1:8], '|'), '') AS wfp
-    FROM wins
-    """,
-)
-def q50_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint (operators.text.winnow_fingerprint):
-    rolling min-hash over sliding windows of shingle hashes — the
-    positional-coverage sketch (MOSS) that a k-min sketch lacks."""
-    from rialto_airflow_spark.functions.perf import ensure_parallelism
-    from rialto_airflow_spark.operators import text as T
+    SELECT f.doc_id, f.wfp,
+           coalesce(p.n_near_dups, 0) AS n_near_dups
+    FROM fp f LEFT JOIN partners p USING (doc_id)
+    """
 
-    docs = ensure_parallelism(
-        load_tables(spark, sf_dir, "documents")["documents"]
-    )
-    return docs.select(
+
+@register("q50_winnow_fingerprint", oracle=_q50_oracle())
+def q50_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint (operators.text.winnow_fingerprint) AND
+    MOSS-style near-dup pairing (operators.dedup.winnow_near_dups) in
+    one driver-gated row: per-doc fingerprints over the tiled near-dup
+    corpus, each annotated with its count of near-dup partners (pairs
+    sharing >= 2 winnow hashes). The tiled copies guarantee a
+    non-trivial pair set, and the oracle replays the full
+    explode -> bucket-join -> shared-count chain."""
+    from rialto_airflow_spark.functions.perf import ensure_parallelism
+    from rialto_airflow_spark.operators import dedup as D
+    from rialto_airflow_spark.operators import text as T
+    from rialto_airflow_spark.plans.llm_queries import _spark_near_corpus
+
+    corpus = ensure_parallelism(_spark_near_corpus(spark, sf_dir))
+    fp = corpus.select(
         "doc_id",
         T.winnow_fingerprint("text", n=3, window=4, k=8).alias("wfp"),
+    )
+    pairs = D.winnow_near_dups(corpus, "doc_id", "text", min_shared=2)
+    partners = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near_dups"))
+    )
+    return fp.join(partners, "doc_id", "left").select(
+        "doc_id",
+        "wfp",
+        F.coalesce("n_near_dups", F.lit(0)).cast("long").alias("n_near_dups"),
     )
 
 
