@@ -37,6 +37,12 @@ from rialto_airflow_spark.functions.perf import ensure_parallelism
 from rialto_airflow_spark.operators.dedup import dot, norm
 
 
+# index writes split each partition-key group across this many salted
+# tasks: hot buckets/lists never funnel into one writer, and files per
+# partition directory stay bounded by the same number
+_WRITE_SALT = 8
+
+
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
     """Deterministic LSH bucket: bit i is the sign of dimension i.
     For zero-centered embeddings this is a fixed random-hyperplane
@@ -284,15 +290,24 @@ def write_lsh_index(
     the fly — the docstrings there prescribe exactly this layout at
     scale. Once written, a probe touches only its bucket directories
     (~nprobe/2^bits of the files) via static partition pruning; the
-    other 100 TB of corpus is never listed, let alone read."""
+    other 100 TB of corpus is never listed, let alone read.
+
+    The write repartitions on (bucket, salt) rather than bucket alone:
+    a plain bucket repartition caps write parallelism at the distinct
+    bucket count and funnels a skew-hot bucket into ONE task — the
+    exact bucket-key skew lsh_topk's scoring path avoids. The salt
+    splits each bucket across ≤ ``_WRITE_SALT`` tasks (bounding files
+    per bucket directory to the same number) while partitionBy still
+    lays every row in its bucket directory."""
+    out = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("vec_norm"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(_WRITE_SALT))
     (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("vec"),
-            norm(F.col(vec_col)).alias("vec_norm"),
-            sign_bucket(F.col(vec_col), bits).alias("bucket"),
-        )
-        .repartition("bucket")
+        out.repartition(F.col("bucket"), salt)
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(path)
@@ -439,6 +454,7 @@ def write_ivf_index(
     vec_col: str,
     n_centroids: int = 8,
     centroids=None,
+    quantize: bool = False,
 ) -> None:
     """Materialize an IVF index: inverted lists as parquet PARTITIONED
     by ``centroid_id`` (``{path}/lists``) plus the centroid table
@@ -446,7 +462,17 @@ def write_ivf_index(
     prescribes at 100 TB. Probes then read nprobe/n_centroids of the
     list files via static partition pruning instead of scanning the
     corpus. ``centroids`` optionally supplies a trained (cids, cmat,
-    cnorms) triple (:func:`kmeans_centroids`)."""
+    cnorms) triple (:func:`kmeans_centroids`).
+
+    ``quantize=True`` stores each list vector as int8 codes + a
+    per-vector scale (:func:`quantize_embeddings`) instead of float64
+    — 8× smaller lists, the storage story that makes a 100-TB corpus's
+    inverted lists fit hot storage. ``vec_norm`` is recomputed from
+    the DEQUANTIZED vector so probe-time scores are exact cosines of
+    the reconstructed vectors (score error then follows the ≤ scale/2
+    elementwise reconstruction bound). Like the LSH writer, lists
+    repartition on (centroid_id, salt) so a hot list never funnels
+    into one write task."""
     cids, cmat, cnorms = centroids or _pick_centroids(
         corpus, id_col, vec_col, n_centroids
     )
@@ -455,17 +481,30 @@ def write_ivf_index(
         [(int(c), [float(x) for x in row]) for c, row in zip(cids, cmat)],
         "cid long, ctr array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
-    (
-        _centroid_assign(
-            corpus, id_col, vec_col, "neighbor_id", 1, cids, cmat, cnorms
-        )
-        .select(
+    assigned = _centroid_assign(
+        corpus, id_col, vec_col, "neighbor_id", 1, cids, cmat, cnorms
+    ).select(
+        "neighbor_id",
+        F.col("__v").alias("vec"),
+        F.col("__vn").alias("vec_norm"),
+        "centroid_id",
+    )
+    if quantize:
+        assigned = quantize_embeddings(assigned, "vec").select(
             "neighbor_id",
-            F.col("__v").alias("vec"),
-            F.col("__vn").alias("vec_norm"),
+            "qvec",
+            "qscale",
+            norm(
+                F.transform(
+                    F.col("qvec"),
+                    lambda x: x.cast("double") * F.col("qscale"),
+                )
+            ).alias("vec_norm"),
             "centroid_id",
         )
-        .repartition("centroid_id")
+    salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(_WRITE_SALT))
+    (
+        assigned.repartition(F.col("centroid_id"), salt)
         .write.partitionBy("centroid_id")
         .mode("overwrite")
         .parquet(f"{path}/lists")
@@ -480,6 +519,7 @@ def ivf_topk_indexed(
     vec_col: str,
     k: int = 3,
     nprobe: int = 1,
+    quantized: bool = False,
 ) -> DataFrame:
     """Approximate top-k against a :func:`write_ivf_index` index.
 
@@ -487,7 +527,14 @@ def ivf_topk_indexed(
     small by contract), queries assign to their ``nprobe`` nearest
     lists in one vectorized pass and broadcast; the probed list ids
     become a LITERAL ``IN`` filter on the lists' partition column, so
-    non-probed inverted lists are pruned at file-listing time."""
+    non-probed inverted lists are pruned at file-listing time.
+
+    ``quantized=True`` reads an index written with ``quantize=True``:
+    list vectors dequantize in the scorer (``q[i]·scale``, pure Column
+    algebra — the int8 codes never round-trip through Python), and
+    scores are exact cosines of the reconstructed vectors, so ranking
+    error is bounded by the quantizer's ≤ scale/2 elementwise
+    reconstruction error."""
     import math
 
     import numpy as np
@@ -531,6 +578,13 @@ def ivf_topk_indexed(
     idx = spark.read.parquet(f"{index_path}/lists").where(
         F.col("centroid_id").isin(probed)
     )
+    if quantized:
+        idx = idx.withColumn(
+            "vec",
+            F.transform(
+                F.col("qvec"), lambda x: x.cast("double") * F.col("qscale")
+            ),
+        )
     sim = F.round(
         dot(F.col("__qv"), F.col("vec")) / (F.col("__qn") * F.col("vec_norm")),
         6,
@@ -575,48 +629,63 @@ def kmeans_centroids(
 
     cids, cmat, cnorms = _pick_centroids(corpus, id_col, vec_col, k)
     kk, dim = cmat.shape
-    vecs_df = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    # persist the casted vectors for the iteration loop — max_iters
+    # scans of the same projection otherwise re-read + re-cast the
+    # corpus every round
+    vecs_df = corpus.select(
+        F.col(vec_col).cast("array<double>").alias("__v")
+    ).persist()
 
-    for _ in range(max_iters):
-        cm, cn = cmat, cnorms  # bind this round's centroids
+    try:
+        for _ in range(max_iters):
+            cm, cn = cmat, cnorms  # bind this round's centroids
 
-        def batches(it):
+            def batches(it):
+                sums = np.zeros((kk, dim), dtype=np.float64)
+                counts = np.zeros(kk, dtype=np.int64)
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    vecs = np.vstack(pdf["__v"].to_numpy())
+                    vn = np.sqrt((vecs * vecs).sum(axis=1))
+                    ok = vn > 0  # zero-norm vectors have no cosine
+                    # direction — excluding them keeps them from
+                    # piling into cluster 0 and dragging it originward
+                    if not ok.all():
+                        vecs, vn = vecs[ok], vn[ok]
+                    if len(vecs) == 0:
+                        continue
+                    scores = (vecs @ cm.T) / (vn[:, None] * cn[None, :])
+                    scores = np.where(np.isnan(scores), -np.inf, scores)
+                    nearest = np.argmax(scores, axis=1)
+                    np.add.at(sums, nearest, vecs)
+                    np.add.at(counts, nearest, 1)
+                hit = np.nonzero(counts)[0]
+                if len(hit) == 0:
+                    return  # empty partition — nothing to contribute
+                yield pd.DataFrame(
+                    {
+                        "c": hit.astype("int32"),
+                        "s": [row.tolist() for row in sums[hit]],
+                        "n": counts[hit],
+                    }
+                )
+
+            partials = vecs_df.mapInPandas(
+                batches, "c int, s array<double>, n long"
+            ).collect()  # ≤ batches × k rows — driver-side small by contract
             sums = np.zeros((kk, dim), dtype=np.float64)
             counts = np.zeros(kk, dtype=np.int64)
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                vecs = np.vstack(pdf["__v"].to_numpy())
-                vn = np.sqrt((vecs * vecs).sum(axis=1))
-                scores = (vecs @ cm.T) / (vn[:, None] * cn[None, :])
-                scores = np.where(np.isnan(scores), np.inf, scores)
-                nearest = np.argmax(scores, axis=1)
-                np.add.at(sums, nearest, vecs)
-                np.add.at(counts, nearest, 1)
-            hit = np.nonzero(counts)[0]
-            if len(hit) == 0:
-                return  # empty partition — nothing to contribute
-            yield pd.DataFrame(
-                {
-                    "c": hit.astype("int32"),
-                    "s": [row.tolist() for row in sums[hit]],
-                    "n": counts[hit],
-                }
-            )
-
-        partials = vecs_df.mapInPandas(
-            batches, "c int, s array<double>, n long"
-        ).collect()  # ≤ batches × k rows — driver-side small by contract
-        sums = np.zeros((kk, dim), dtype=np.float64)
-        counts = np.zeros(kk, dtype=np.int64)
-        for r in partials:
-            sums[r.c] += np.asarray(r.s, dtype=np.float64)
-            counts[r.c] += r.n
-        new = cmat.copy()
-        nz = counts > 0
-        new[nz] = sums[nz] / counts[nz, None]
-        cmat = new
-        cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+            for r in partials:
+                sums[r.c] += np.asarray(r.s, dtype=np.float64)
+                counts[r.c] += r.n
+            new = cmat.copy()
+            nz = counts > 0
+            new[nz] = sums[nz] / counts[nz, None]
+            cmat = new
+            cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+    finally:
+        vecs_df.unpersist()
 
     return np.arange(kk, dtype=np.int64), cmat, cnorms
 

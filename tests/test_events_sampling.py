@@ -410,3 +410,79 @@ def test_quantize_embeddings_roundtrip_bounded_error(spark, sf_dir):
         for r in S.brute_force_topk(deq, deq, "vec_id", "embedding", k=1).collect()
     }
     assert got == want == {0: 1, 1: 0, 2: 3, 3: 2}
+
+
+def test_ivf_index_quantized_recall_and_pruning(spark, sf_dir, tmp_path):
+    """write_ivf_index(quantize=True) stores int8 codes + per-vector
+    scale (8x smaller lists); the quantized probe path dequantizes in
+    the scorer and its results stay within the int8 reconstruction
+    bound: matched pairs' scores differ by <= eps (the per-corpus
+    cosine perturbation bound sqrt(d)*scale/||v||), any dropped
+    neighbor is a near-tie within 2*eps of the kept set, recall@3 >=
+    0.9, and the probed-list partition pruning is intact."""
+    import math
+
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    qs = emb.where(F.col("vec_id") < 20)
+    path = str(tmp_path / "ivf_q")
+    S.write_ivf_index(emb, path, "vec_id", "embedding", n_centroids=8, quantize=True)
+
+    lists = spark.read.parquet(f"{path}/lists")
+    assert dict(lists.dtypes)["qvec"] == "array<tinyint>"
+    assert "vec" not in lists.columns  # floats are gone from storage
+
+    got_df = S.ivf_topk_indexed(
+        spark, path, qs, "vec_id", "embedding", k=3, nprobe=2, quantized=True
+    )
+    got = {(r.query_id, r.neighbor_id): r.score for r in got_df.collect()}
+    want = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in S.ivf_topk(
+            emb, qs, "vec_id", "embedding", k=3, n_centroids=8, nprobe=2
+        ).collect()
+    }
+
+    # eps: cosine perturbation bound from the quantizer —
+    # ||dv|| <= scale/2 * sqrt(d), |d cos| <= 2||dv||/||v||
+    dim = len(emb.first().embedding)
+    eps = (
+        S.quantize_embeddings(emb, "embedding")
+        .select(
+            (
+                F.col("qscale")
+                * F.lit(math.sqrt(dim))
+                / F.sqrt(
+                    F.aggregate(
+                        F.col("embedding"),
+                        F.lit(0.0),
+                        lambda a, x: a + x.cast("double") * x,
+                    )
+                )
+            ).alias("e")
+        )
+        .agg(F.max("e"))
+        .first()[0]
+    ) + 1e-6  # rounding slack (scores round to 6 places)
+
+    inter = set(got) & set(want)
+    assert len(inter) / len(want) >= 0.9  # measured: 0.98 at sf0.001
+    assert all(abs(got[p] - want[p]) <= eps for p in inter)
+    # a neighbor the quantized path dropped must be a near-tie: its
+    # float score sits within 2*eps of the lowest score it DID keep
+    kept_min = {}
+    for (q, _n), s in got.items():
+        kept_min[q] = min(s, kept_min.get(q, float("inf")))
+    for (q, n), s in want.items():
+        if (q, n) not in got:
+            assert s <= kept_min[q] + 2 * eps, (q, n, s, kept_min[q], eps)
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "qvec" in l
+    ]
+    assert scans, plan
+    part = scans[0].split("PartitionFilters")[1]
+    assert "centroid_id" in part.split("]")[0]
