@@ -690,6 +690,252 @@ def kmeans_centroids(
     return np.arange(kk, dtype=np.int64), cmat, cnorms
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 16,
+    max_iters: int = 5,
+):
+    """Product-quantization codebooks (Jégou et al., 'Product
+    Quantization for Nearest Neighbor Search'): split each vector into
+    ``m`` subvectors and k-means (L2) each subspace independently,
+    giving ``m`` codebooks of ``ksub`` centroids. A vector then stores
+    as ``m`` one-byte codes — for m=8 over 64 float64 dims that is
+    64× smaller than the raw vector, the compression level that makes
+    100-TB inverted lists cache-resident (int8 scalar quantization
+    tops out at 8×).
+
+    Distributed with the same shape as :func:`kmeans_centroids`: every
+    Lloyd round is ONE map-only pass (all m subspaces assigned per
+    Arrow batch), reducing (sum, count) partials per (subspace, code)
+    inside the batch, so the shuffle carries ≤ batches × m × ksub tiny
+    rows and the driver holds only the m × ksub × (dim/m) codebook
+    tensor. Seeds are the ``ksub`` lowest-``id_col`` vectors'
+    subvectors — deterministic, no RNG. Requires ``dim % m == 0`` and
+    ``ksub ≤ 128`` (codes ride in a tinyint array).
+
+    Returns a numpy array of shape (m, ksub, dim//m).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if ksub > 128:
+        raise ValueError("ksub must fit a tinyint code (<= 128)")
+    seed_rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(ksub)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    seeds = np.array([r.v for r in seed_rows], dtype=np.float64)
+    n_seed, dim = seeds.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    if n_seed < ksub:  # tiny corpus: tile the seeds
+        seeds = np.tile(seeds, (ksub // n_seed + 1, 1))[:ksub]
+    books = seeds.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+
+    vecs_df = corpus.select(
+        F.col(vec_col).cast("array<double>").alias("__v")
+    ).persist()
+    try:
+        for _ in range(max_iters):
+            cb = books  # bind this round's codebooks
+
+            def batches(it):
+                sums = np.zeros((m, ksub, dsub), dtype=np.float64)
+                counts = np.zeros((m, ksub), dtype=np.int64)
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    vecs = np.vstack(pdf["__v"].to_numpy())
+                    sub = vecs.reshape(len(vecs), m, dsub)
+                    for j in range(m):
+                        # ||x-c||² argmin via -2x·c + ||c||² (||x||² constant per row)
+                        d = -2.0 * (sub[:, j, :] @ cb[j].T) + (
+                            cb[j] * cb[j]
+                        ).sum(axis=1)[None, :]
+                        code = np.argmin(d, axis=1)
+                        np.add.at(sums[j], code, sub[:, j, :])
+                        np.add.at(counts[j], code, 1)
+                j_idx, c_idx = np.nonzero(counts)
+                if len(j_idx) == 0:
+                    return
+                yield pd.DataFrame(
+                    {
+                        "j": j_idx.astype("int32"),
+                        "c": c_idx.astype("int32"),
+                        "s": [sums[a, b].tolist() for a, b in zip(j_idx, c_idx)],
+                        "n": counts[j_idx, c_idx],
+                    }
+                )
+
+            partials = vecs_df.mapInPandas(
+                batches, "j int, c int, s array<double>, n long"
+            ).collect()  # ≤ batches × m × ksub rows — driver-small
+            sums = np.zeros((m, ksub, dsub), dtype=np.float64)
+            counts = np.zeros((m, ksub), dtype=np.int64)
+            for r in partials:
+                sums[r.j, r.c] += np.asarray(r.s, dtype=np.float64)
+                counts[r.j, r.c] += r.n
+            new = books.copy()
+            nz = counts > 0
+            new[nz] = sums[nz] / counts[nz][:, None]
+            books = new
+    finally:
+        vecs_df.unpersist()
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks,
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, pq_codes array<tinyint> of
+    length m, vec_norm). Map-only, one argmin-per-subspace numpy pass
+    per Arrow batch; ``vec_norm`` is the TRUE vector norm, carried so
+    ADC cosine can normalize the query side against the original
+    magnitude (the standard IVF-PQ layout stores exactly this
+    triple)."""
+    import numpy as np
+    import pandas as pd
+
+    m, ksub, dsub = codebooks.shape
+    cb = codebooks
+
+    inp = df.select(
+        F.col(id_col).cast("long").alias("pq_id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        norm(F.col(vec_col)).alias("vec_norm"),
+    )
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vecs = np.vstack(pdf["__v"].to_numpy())
+            sub = vecs.reshape(len(vecs), m, dsub)
+            codes = np.empty((len(vecs), m), dtype=np.int8)
+            for j in range(m):
+                d = -2.0 * (sub[:, j, :] @ cb[j].T) + (cb[j] * cb[j]).sum(
+                    axis=1
+                )[None, :]
+                codes[:, j] = np.argmin(d, axis=1).astype(np.int8)
+            yield pd.DataFrame(
+                {
+                    "pq_id": pdf["pq_id"],
+                    "pq_codes": list(codes),
+                    "vec_norm": pdf["vec_norm"],
+                }
+            )
+
+    return inp.mapInPandas(
+        batches, "pq_id long, pq_codes array<tinyint>, vec_norm double"
+    )
+
+
+def pq_reconstruct(codes, codebooks):
+    """Driver/test helper: decode PQ codes back to the reconstructed
+    vector (numpy). The ADC score identity is
+    ``adc_dot(q, codes) == q · pq_reconstruct(codes)`` exactly."""
+    import numpy as np
+
+    m, _, dsub = codebooks.shape
+    return np.concatenate(
+        [codebooks[j, int(codes[j])] for j in range(m)]
+    )
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks,
+    k: int = 5,
+    batch_topk: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes a lookup table ``LUT[j][c] = q_sub_j · C[j][c]`` so a
+    corpus vector scores with m table gathers and one sum — no
+    reconstruction, no float vectors read. Scores are cosines of the
+    query against the RECONSTRUCTED vector (ADC identity), normalized
+    by the reconstruction's norm (also a table gather — cross-subspace
+    terms don't exist because subspaces are orthogonal slices).
+
+    Scale shape: the LUT tensor (|Q| × m × ksub doubles) broadcasts
+    with the task closure; the corpus codes stream map-only, each
+    Arrow batch emitting only its per-query ``batch_topk`` best rows
+    (default k), so the final ranking shuffle carries ≤ batches × |Q|
+    × k rows — never |Q| × |corpus|. Queries are small by contract
+    (same as brute_force_topk)."""
+    import numpy as np
+    import pandas as pd
+
+    m, ksub, dsub = codebooks.shape
+    cb = codebooks
+    take = batch_topk or k
+
+    q_rows = queries.select(
+        F.col(id_col).cast("long").alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()  # queries are driver-small by contract
+    qids = np.array([int(r.qid) for r in q_rows], dtype=np.int64)
+    qmat = np.array([r.qv for r in q_rows], dtype=np.float64)
+    nq, dim = qmat.shape
+    qsub = qmat.reshape(nq, m, dsub)
+    # LUT[q, j, c] = q_sub_j · C[j][c];  qnorms for the cosine
+    lut = np.einsum("qjd,jcd->qjc", qsub, cb)
+    qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+    # ||reconstruction||² = Σ_j ||C[j][code_j]||² (orthogonal slices)
+    cnorm2 = (cb * cb).sum(axis=2)  # (m, ksub)
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(pdf["pq_codes"].to_numpy()).astype(np.int64)
+            ids = pdf["pq_id"].to_numpy(dtype=np.int64)
+            n = len(ids)
+            # gather: scores[q, i] = Σ_j LUT[q, j, codes[i, j]]
+            gathered = lut[:, np.arange(m)[None, :], codes]  # (nq, n, m)
+            dots = gathered.sum(axis=2)
+            rn = np.sqrt(cnorm2[np.arange(m)[None, :], codes].sum(axis=1))
+            denom = qnorms[:, None] * rn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dots / denom, 0.0)
+            cos = np.where(qids[:, None] == ids[None, :], -np.inf, cos)
+            t = min(take, n)
+            top = np.argpartition(-cos, t - 1, axis=1)[:, :t]
+            rows_q = np.repeat(np.arange(nq), t)
+            rows_i = top.reshape(-1)
+            keep = np.isfinite(cos[rows_q, rows_i])
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[rows_q[keep]],
+                    "neighbor_id": ids[rows_i[keep]],
+                    "score": np.round(cos[rows_q[keep], rows_i[keep]], 6),
+                }
+            )
+
+    scored = corpus_codes.select("pq_id", "pq_codes").mapInPandas(
+        batches, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str,

@@ -12,6 +12,7 @@ Default scales: sf0.01, sf0.1, sf1.0x10tile=/tmp/rspark_scaled_x10.
 
 from __future__ import annotations
 
+import inspect
 import json
 import os
 import sys
@@ -47,8 +48,16 @@ def main() -> None:
         timings: dict[str, float] = {}
         for _ in range(RUNS):
             for name in headline:
+                fn = REGISTRY[name].fn
+                # same rule as bench.py: measure the operator, not its
+                # self-verification twin
+                kwargs = (
+                    {"self_check": False}
+                    if "self_check" in inspect.signature(fn).parameters
+                    else {}
+                )
                 t0 = time.perf_counter()
-                REGISTRY[name].fn(spark, d).collect()
+                fn(spark, d, **kwargs).collect()
                 dt = round(time.perf_counter() - t0, 3)
                 if name not in timings or dt < timings[name]:
                     timings[name] = dt
