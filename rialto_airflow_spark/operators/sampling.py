@@ -65,6 +65,38 @@ def deterministic_sample(
     return df.where(hash_uniform(id_col, salt) < fraction)
 
 
+def cap_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    k: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep EXACTLY min(k, |group|) rows per group, chosen by
+    deterministic hash order — the no-RNG equivalent of per-group
+    reservoir sampling, for hard per-source caps in mixture control
+    (a training run that wants "at most N docs from domain X"
+    regardless of how skewed the crawl is).
+
+    One shuffle on the group key; the per-group selection is a
+    row_number window over (hash, id), so results are identical on
+    any partitioning/engine. Unlike the fraction-based samplers the
+    KEPT SET can change when a group grows past ``k`` (new rows can
+    hash below the current cut) — use :func:`deterministic_sample`
+    when grow-stability matters more than an exact count.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_uniform(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

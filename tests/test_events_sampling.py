@@ -568,3 +568,48 @@ def test_pq_topk_separated_clusters_exact(spark):
     # each query's top-2 stay inside its own cluster
     for (q, _rk), n in got.items():
         assert n // 4 == q // 4, (q, n)
+
+
+def test_cap_per_group_oracle_and_properties(spark, sf_dir):
+    """cap_per_group: exactly min(k, |group|) rows per group, subset
+    of input, stable under repartitioning, and bit-identical to the
+    DuckDB replay of the same salted-hash order."""
+    from rialto_airflow_spark.operators import sampling as SA
+    from rialto_airflow_spark.session import load_tables
+    from tests.oracle_util import compare
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = SA.cap_per_group(docs, "doc_id", ["source"], k=5).select(
+        "doc_id", "source"
+    )
+    rows = out.collect()
+
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    got_sizes = {}
+    for r in rows:
+        got_sizes[r.source] = got_sizes.get(r.source, 0) + 1
+    assert got_sizes == {s: min(5, n) for s, n in sizes.items()}
+
+    # subset of input + stability under a different partitioning
+    ids = {r.doc_id for r in rows}
+    assert ids <= {r.doc_id for r in docs.select("doc_id").collect()}
+    again = {
+        r.doc_id
+        for r in SA.cap_per_group(
+            docs.repartition(3, "doc_id"), "doc_id", ["source"], k=5
+        ).collect()
+    }
+    assert again == ids
+
+    sql = """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST('0x' || substr(md5(doc_id::VARCHAR || '#cap'), 1, 8) AS BIGINT)
+                        / 4294967296.0, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """
+    compare(out, sql, str(sf_dir), "cap_per_group")
