@@ -178,6 +178,65 @@ def decontaminate(
     )
 
 
+def semantic_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Embedding-space decontamination: flag documents whose vector is
+    within cosine ``threshold`` of ANY benchmark vector — catches the
+    paraphrased/translated eval leakage n-gram
+    :func:`decontaminate` can't see.
+
+    Same 100-TB shape as the n-gram version: the benchmark side is
+    SMALL by contract, so its vectors explode to their ``nprobe``
+    multi-probe LSH buckets and BROADCAST; each corpus vector computes
+    its own sign bucket map-side and joins the broadcast, so the
+    corpus never shuffles — the only Exchange is the distinct over HIT
+    ids. The bucket match restricts candidates (approximate recall,
+    tunable with nprobe/bits — an identical vector always collides
+    because the base bucket is probed); the cosine test on survivors
+    is exact, so flagged docs are NEVER false positives w.r.t. the
+    threshold.
+    """
+    from rialto_airflow_spark.operators.dedup import dot, norm
+    from rialto_airflow_spark.operators.similarity import (
+        probe_buckets,
+        sign_bucket,
+    )
+
+    bench = F.broadcast(
+        benchmark.select(
+            F.col(vec_col).alias("__bv"),
+            norm(F.col(vec_col)).alias("__bn"),
+            F.explode(
+                probe_buckets(F.col(vec_col), bits, nprobe)
+            ).alias("__bb"),
+        )
+    )
+    c = docs.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+        sign_bucket(F.col(vec_col), bits).alias("__cb"),
+    )
+    sim = dot(F.col("__cv"), F.col("__bv")) / (F.col("__cn") * F.col("__bn"))
+    hits = (
+        c.join(bench, F.col("__cb") == F.col("__bb"))
+        .where(sim >= threshold)
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return docs.join(hits, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+    )
+
+
 def boilerplate_lines(
     docs: DataFrame,
     id_col: str = "doc_id",

