@@ -455,6 +455,7 @@ def write_ivf_index(
     n_centroids: int = 8,
     centroids=None,
     quantize: bool = False,
+    pq_codebooks=None,
 ) -> None:
     """Materialize an IVF index: inverted lists as parquet PARTITIONED
     by ``centroid_id`` (``{path}/lists``) plus the centroid table
@@ -472,7 +473,16 @@ def write_ivf_index(
     the reconstructed vectors (score error then follows the ≤ scale/2
     elementwise reconstruction bound). Like the LSH writer, lists
     repartition on (centroid_id, salt) so a hot list never funnels
-    into one write task."""
+    into one write task.
+
+    ``pq_codebooks`` (a trained :func:`train_pq_codebooks` tensor,
+    exclusive with ``quantize``) stores each list entry as m one-byte
+    PQ codes + the true norm instead of the vector — the FAISS-style
+    IVF-PQ layout (codebooks persist at ``{path}/pq_codebooks``) that
+    compresses 64-dim float64 lists 64×; probe with
+    :func:`ivf_pq_topk_indexed`."""
+    if quantize and pq_codebooks is not None:
+        raise ValueError("quantize and pq_codebooks are exclusive")
     cids, cmat, cnorms = centroids or _pick_centroids(
         corpus, id_col, vec_col, n_centroids
     )
@@ -500,6 +510,25 @@ def write_ivf_index(
                     lambda x: x.cast("double") * F.col("qscale"),
                 )
             ).alias("vec_norm"),
+            "centroid_id",
+        )
+    elif pq_codebooks is not None:
+        m, ksub, _ = pq_codebooks.shape
+        spark.createDataFrame(
+            [
+                (j, c, pq_codebooks[j, c].tolist())
+                for j in range(m)
+                for c in range(ksub)
+            ],
+            "j int, c int, ctr array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+        assigned = pq_encode(
+            assigned, "neighbor_id", "vec", pq_codebooks,
+            keep_cols=("centroid_id",),
+        ).select(
+            F.col("pq_id").alias("neighbor_id"),
+            "pq_codes",
+            "vec_norm",
             "centroid_id",
         )
     salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(_WRITE_SALT))
@@ -602,6 +631,67 @@ def ivf_topk_indexed(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k against an IVF-PQ index
+    (:func:`write_ivf_index` with ``pq_codebooks``): queries assign to
+    their ``nprobe`` nearest centroids (vectorized, driver-small
+    collect of the probed list ids → partition-pruned list read), then
+    ADC-score the pruned lists with :func:`pq_topk` — m one-byte
+    gathers per candidate, no float vectors read anywhere. The
+    FAISS-style read path: at 100 TB a probe touches
+    nprobe/n_centroids of files that are themselves 64× smaller than
+    float lists."""
+    import math
+
+    import numpy as np
+
+    books_rows = spark.read.parquet(f"{index_path}/pq_codebooks").collect()
+    m = max(r.j for r in books_rows) + 1
+    ksub = max(r.c for r in books_rows) + 1
+    dsub = len(books_rows[0].ctr)
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in books_rows:
+        books[r.j, r.c] = np.asarray(r.ctr, dtype=np.float64)
+
+    cent_rows = sorted(
+        spark.read.parquet(f"{index_path}/centroids").collect(),
+        key=lambda r: int(r.cid),
+    )
+    cids = np.array([int(r.cid) for r in cent_rows], dtype=np.int64)
+    cmat = np.array(
+        [[float(x) for x in r.ctr] for r in cent_rows], dtype=np.float64
+    )
+    cnorms = []
+    for row in cmat:
+        acc = 0.0  # same fold as norm()
+        for x in row:
+            acc += x * x
+        cnorms.append(math.sqrt(acc))
+    cnorms = np.array(cnorms, dtype=np.float64)
+
+    qa = _centroid_assign(
+        queries, id_col, vec_col, "query_id", min(nprobe, len(cids)),
+        cids, cmat, cnorms,
+    )
+    probed = [
+        r["centroid_id"] for r in qa.select("centroid_id").distinct().collect()
+    ]  # driver-small by contract
+    lists = (
+        spark.read.parquet(f"{index_path}/lists")
+        .where(F.col("centroid_id").isin(probed))
+        .select(F.col("neighbor_id").alias("pq_id"), "pq_codes")
+    )
+    return pq_topk(lists, queries, id_col, vec_col, books, k=k)
 
 
 def kmeans_centroids(
@@ -795,13 +885,15 @@ def pq_encode(
     id_col: str,
     vec_col: str,
     codebooks,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode vectors to PQ codes: (id, pq_codes array<tinyint> of
-    length m, vec_norm). Map-only, one argmin-per-subspace numpy pass
-    per Arrow batch; ``vec_norm`` is the TRUE vector norm, carried so
-    ADC cosine can normalize the query side against the original
-    magnitude (the standard IVF-PQ layout stores exactly this
-    triple)."""
+    length m, vec_norm, *keep_cols). Map-only, one argmin-per-subspace
+    numpy pass per Arrow batch; ``vec_norm`` is the TRUE vector norm,
+    carried so ADC cosine can normalize the query side against the
+    original magnitude (the standard IVF-PQ layout stores exactly this
+    triple). ``keep_cols`` ride through the crossing untouched (e.g.
+    the centroid_id an IVF build has already assigned)."""
     import numpy as np
     import pandas as pd
 
@@ -812,6 +904,12 @@ def pq_encode(
         F.col(id_col).cast("long").alias("pq_id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
         norm(F.col(vec_col)).alias("vec_norm"),
+        *[F.col(c) for c in keep_cols],
+    )
+    keep_ddl = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in inp.schema.fields
+        if f.name in keep_cols
     )
 
     def batches(it):
@@ -826,16 +924,18 @@ def pq_encode(
                     axis=1
                 )[None, :]
                 codes[:, j] = np.argmin(d, axis=1).astype(np.int8)
-            yield pd.DataFrame(
-                {
-                    "pq_id": pdf["pq_id"],
-                    "pq_codes": list(codes),
-                    "vec_norm": pdf["vec_norm"],
-                }
-            )
+            out = {
+                "pq_id": pdf["pq_id"],
+                "pq_codes": list(codes),
+                "vec_norm": pdf["vec_norm"],
+            }
+            for c in keep_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     return inp.mapInPandas(
-        batches, "pq_id long, pq_codes array<tinyint>, vec_norm double"
+        batches,
+        f"pq_id long, pq_codes array<tinyint>, vec_norm double{keep_ddl}",
     )
 
 

@@ -613,3 +613,45 @@ def test_cap_per_group_oracle_and_properties(spark, sf_dir):
     ) WHERE rn <= 5
     """
     compare(out, sql, str(sf_dir), "cap_per_group")
+
+
+def test_ivf_pq_index_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """IVF-PQ: lists persist as m tinyint codes + true norm (no float
+    vectors); probing EVERY list reproduces exactly the full-corpus
+    ADC ranking (IVF adds no error when nothing is pruned), and a
+    1-probe query reads partition-pruned lists."""
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    qs = emb.where(F.col("vec_id") < 10)
+    books = S.train_pq_codebooks(emb, "vec_id", "embedding", m=8, ksub=16, max_iters=3)
+    path = str(tmp_path / "ivf_pq")
+    S.write_ivf_index(
+        emb, path, "vec_id", "embedding", n_centroids=8, pq_codebooks=books
+    )
+
+    lists = spark.read.parquet(f"{path}/lists")
+    assert dict(lists.dtypes)["pq_codes"] == "array<tinyint>"
+    assert "vec" not in lists.columns and "qvec" not in lists.columns
+
+    # probe all 8 lists -> identical to full-corpus ADC
+    got = S.ivf_pq_topk_indexed(
+        spark, path, qs, "vec_id", "embedding", k=3, nprobe=8
+    )
+    codes = S.pq_encode(emb, "vec_id", "embedding", books)
+    want = S.pq_topk(codes, qs, "vec_id", "embedding", books, k=3)
+    assert got.exceptAll(want).unionAll(want.exceptAll(got)).count() == 0
+
+    # single probe: pruned read, results a subset-shaped approximation
+    one = S.ivf_pq_topk_indexed(
+        spark, path, qs, "vec_id", "embedding", k=3, nprobe=1
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "pq_codes" in l
+    ]
+    assert scans, plan
+    part = scans[0].split("PartitionFilters")[1]
+    assert "centroid_id" in part.split("]")[0]
+    assert one.count() > 0
