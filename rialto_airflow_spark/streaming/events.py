@@ -189,6 +189,42 @@ def session_counts_batch(events: DataFrame, gap: str = "30 minutes") -> DataFram
     )
 
 
+def _fold_sessions(state, ts_parts, gap_seconds: int):
+    """Shared session fold for BOTH stateful APIs (applyInPandasWithState
+    and transformWithState): feed sorted floor-second timestamps through
+    the strict-> gap rule. ``state`` is (start, last, n) or None;
+    ``ts_parts`` a list of pandas timestamp Series. Returns
+    (new_state_or_None, closed) where closed is a dict of column lists
+    for the emitted sessions. Out-of-order events within the current
+    session extend it with start=min/last=max (cross-batch hardening)."""
+    import pandas as pd
+
+    start, last, n = state if state is not None else (None, None, 0)
+    closed_start, closed_end, closed_n = [], [], []
+    ts = (
+        pd.concat(ts_parts).sort_values()
+        if ts_parts
+        else pd.Series([], dtype="datetime64[ns]")
+    )
+    for t in ts.astype("int64") // 1_000_000_000:  # floor seconds
+        t = int(t)
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > gap_seconds:
+            closed_start.append(start)
+            closed_end.append(last)
+            closed_n.append(n)
+            start, last, n = t, t, 1
+        else:
+            start, last, n = min(start, t), max(last, t), n + 1
+    new_state = (start, last, n) if start is not None else None
+    return new_state, {
+        "start_s": closed_start,
+        "end_s": closed_end,
+        "n_events": closed_n,
+    }
+
+
 def sessionize_stateful(
     events: DataFrame, gap_seconds: int = 1800, timeout: bool = False
 ) -> DataFrame:
@@ -243,40 +279,21 @@ def sessionize_stateful(
                 }
             )
             return
-        if state.exists:
-            start, last, n = state.get
-        else:
-            start, last, n = None, None, 0
-        closed_start, closed_end, closed_n = [], [], []
-        parts = [pdf["ts"] for pdf in pdf_iter]
-        ts = pd.concat(parts).sort_values() if parts else pd.Series([], dtype="datetime64[ns]")
-        for t in ts.astype("int64") // 1_000_000_000:  # floor seconds
-            t = int(t)
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last > gap_seconds:
-                closed_start.append(start)
-                closed_end.append(last)
-                closed_n.append(n)
-                start, last, n = t, t, 1
-            else:
-                start, last, n = min(start, t), max(last, t), n + 1
-        if start is not None:
-            state.update((start, last, n))
+        prev = tuple(state.get) if state.exists else None
+        new_state, closed = _fold_sessions(
+            prev, [pdf["ts"] for pdf in pdf_iter], gap_seconds
+        )
+        if new_state is not None:
+            state.update(new_state)
             if timeout:
                 # arm the event-time flush; Spark rejects timestamps
                 # at-or-before the current watermark, so clamp forward
-                due_ms = (last + gap_seconds) * 1000 + 1000
+                due_ms = (new_state[1] + gap_seconds) * 1000 + 1000
                 wm_ms = state.getCurrentWatermarkMs()
                 state.setTimeoutTimestamp(max(due_ms, wm_ms + 1))
-        if closed_start:
+        if closed["start_s"]:
             yield pd.DataFrame(
-                {
-                    "user_id": [key[0]] * len(closed_start),
-                    "start_s": closed_start,
-                    "end_s": closed_end,
-                    "n_events": closed_n,
-                }
+                {"user_id": [key[0]] * len(closed["start_s"]), **closed}
             )
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -289,6 +306,60 @@ def sessionize_stateful(
             if timeout
             else GroupStateTimeout.NoTimeout
         ),
+    )
+
+
+def sessionize_tws(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """The :func:`sessionize_stateful` semantics re-expressed on
+    Spark 4's ``transformWithStateInPandas`` — the successor stateful
+    API (SPARK-49564 'state v2'): state lives in named typed handles
+    (a ValueState of 3 longs here) instead of one tuple, timers and
+    TTL are first-class, and the processor is an object with a
+    lifecycle rather than a closure. Kept alongside the
+    applyInPandasWithState version so both API generations stay
+    covered; the equivalence test drains both against the batch
+    operator (skipped where the runtime lacks ``google.protobuf``,
+    which Spark's state-v2 Python worker requires — this container
+    does; the applyInPandasWithState twin stays the always-runnable
+    path).
+
+    Emits one row per CLOSED session; the open tail rides in state
+    (same NoTimeout/availableNow determinism contract as the
+    applyInPandasWithState twin, including the cross-batch
+    ``start=min``/``last=max`` out-of-order hardening)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._sess = handle.getValueState(
+                "sess", "start_s bigint, last_s bigint, n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = tuple(self._sess.get()) if self._sess.exists() else None
+            new_state, closed = _fold_sessions(
+                prev, [pdf["ts"] for pdf in rows], gap_seconds
+            )
+            if new_state is not None:
+                self._sess.update(new_state)
+            if closed["start_s"]:
+                yield pd.DataFrame(
+                    {"user_id": [key[0]] * len(closed["start_s"]), **closed}
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType="user_id bigint, start_s bigint, end_s bigint, n_events bigint",
+        outputMode="append",
+        timeMode="none",
     )
 
 

@@ -352,3 +352,65 @@ def test_resize_images_injected_codec(spark, sf_dir):
         assert out[i]["n_bytes"] == len(want)
         assert out[i]["content_md5"] == hashlib.md5(want).hexdigest()
         assert out[i]["target"] == "4x8"
+
+
+def test_tws_sessionizer_matches_applyinpandaswithstate(spark, sf_dir):
+    """The transformWithStateInPandas (state v2) sessionizer must emit
+    the identical closed-session set as the applyInPandasWithState
+    implementation on an availableNow drain — both equal the batch
+    operator minus each user's open tail.
+
+    Skipped when google.protobuf is absent: Spark's state-v2 Python
+    driver worker imports its protobuf-generated StateMessage module,
+    so the API cannot initialize without it (this container ships no
+    protobuf; the applyInPandasWithState twin covers the semantics)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    workdir = tempfile.mkdtemp(prefix="rspark_sess_tws_")
+    in_dir = f"{workdir}/in"
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ev.write.parquet(in_dir)
+
+    out = {}
+    for name, fn in [
+        ("tws", lambda s: SE.sessionize_tws(s, 1800)),
+        ("aip", lambda s: SE.sessionize_stateful(s, 1800)),
+    ]:
+        stream = SE.read_event_stream(spark, in_dir)
+        with SE.few_state_partitions(spark):
+            SE.run_available_now_memory(
+                fn(stream), f"{workdir}/ckpt_{name}", f"sess_{name}", mode="append"
+            )
+        out[name] = {
+            (r.user_id, r.start_s, r.end_s, r.n_events)
+            for r in spark.table(f"sess_{name}").collect()
+        }
+    assert len(out["tws"]) > 0
+    assert out["tws"] == out["aip"]
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_fold_sessions_unit():
+    """Pure-python unit coverage of the session fold BOTH stateful
+    APIs share (the TWS adapter's entire logic surface): closure on
+    strict->gap, out-of-order min/max extension, empty input,
+    state carry-in."""
+    import pandas as pd
+
+    from rialto_airflow_spark.streaming.events import _fold_sessions
+
+    def s(*secs):
+        return [pd.Series(pd.to_datetime(list(secs), unit="s"))]
+
+    # fresh key: two sessions close, tail stays
+    st, closed = _fold_sessions(None, s(10, 20, 200, 210, 500), gap_seconds=100)
+    assert closed == {"start_s": [10, 200], "end_s": [20, 210], "n_events": [2, 2]}
+    assert st == (500, 500, 1)
+    # carry-in state extends, out-of-order event keeps last=max
+    st2, closed2 = _fold_sessions((500, 550, 2), s(540, 560), gap_seconds=100)
+    assert closed2["start_s"] == [] and st2 == (500, 560, 4)
+    # empty batch: state unchanged, nothing closed
+    st3, closed3 = _fold_sessions((1, 2, 3), [], gap_seconds=100)
+    assert st3 == (1, 2, 3) and closed3["start_s"] == []
+    # no state, no input
+    st4, _ = _fold_sessions(None, [], gap_seconds=100)
+    assert st4 is None
