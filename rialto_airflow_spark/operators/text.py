@@ -190,3 +190,96 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("lang_guess"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Sliding character n-grams as an array column — pure Column
+    algebra (sequence + substr), no UDF. Texts shorter than ``n``
+    yield an empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_char_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int = 50_000,
+) -> DataFrame:
+    """Train a unigram-over-character-n-grams language model (the
+    CCNet/KenLM-shaped quality signal, reduced to its Spark-friendly
+    core): count every char n-gram across the corpus, keep the
+    ``top_k`` most frequent, and attach ``logp = ln(count/total)``
+    where total counts ALL grams (so the kept set is a proper
+    sub-distribution and unseen/rare grams score below every kept
+    one).
+
+    Scale shape: gram counting is one map-side-combinable groupBy on
+    the gram value (char-n-gram key space is bounded by charset^n, so
+    the shuffle is small and dense regardless of corpus size); the
+    ranked cut is deterministic (count desc, gram asc). The returned
+    model is top_k rows — broadcastable by construction."""
+    from pyspark.sql.window import Window
+
+    grams = docs.select(F.explode(char_ngrams(text_col, n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt")).first()[0] or 1
+    w = Window.orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    # the rank window sorts only the distinct-gram table (bounded by
+    # charset^n), not corpus rows — single-partition is acceptable
+    # there the same way the APC dim index is
+    return (
+        counts.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= top_k)
+        .select(
+            "gram",
+            F.round(F.log(F.col("cnt") / F.lit(float(total))), 6).alias(
+                "logp"
+            ),
+        )
+    )
+
+
+def lm_score(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    n: int = 3,
+    unk_logp: float = -20.0,
+) -> DataFrame:
+    """Score documents by mean n-gram log-probability under a
+    :func:`train_char_lm` model — higher = more fluent under the
+    training distribution, the filter CCNet applies with a wiki-side
+    LM. Returns (id, n_grams, avg_logp); documents shorter than ``n``
+    get n_grams=0 and NULL avg_logp.
+
+    Scale shape: the model broadcasts (top_k rows by construction),
+    grams explode map-side, the only shuffle is the per-doc mean on
+    ``id_col``. Unknown grams score ``unk_logp`` (a floor below any
+    kept gram's logp)."""
+    grams = docs.select(
+        F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("gram")
+    )
+    scored = grams.join(F.broadcast(model), "gram", "left")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.round(
+            F.avg(F.coalesce(F.col("logp"), F.lit(unk_logp))), 4
+        ).alias("avg_logp"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            "avg_logp",
+        )
+    )

@@ -122,3 +122,27 @@ def test_q25_lsh_probes_broadcast_not_corpus(spark, sf_dir):
     assert "__qb" in plan[bc_idx : bc_idx + 600]
     # no shuffle keyed on the corpus bucket
     assert "hashpartitioning(__cb" not in plan
+
+
+def test_semantic_decontaminate_corpus_never_shuffles(spark, sf_dir):
+    """The embedding decontamination join must be a BroadcastHashJoin
+    with the benchmark side as the build: the corpus never exchanges
+    before the candidate join — the only shuffle is the distinct over
+    hit ids."""
+    from pyspark.sql import functions as F
+
+    from rialto_airflow_spark.operators import curation as C
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    bench = emb.where(F.col("vec_id") % 50 == 0).select("embedding")
+    out = C.semantic_decontaminate(
+        emb, bench, id_col="vec_id", vec_col="embedding", threshold=0.95
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # no Exchange hashpartitioning on the bucket key anywhere — the
+    # corpus's only exchanges are the hit-id distinct and final join
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "__cb" not in line and "__bb" not in line, line

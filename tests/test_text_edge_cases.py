@@ -132,3 +132,67 @@ def test_winnow_near_dups_oracle(spark, sf_dir):
     """
     assert out.count() > 0  # the tiled near-dups guarantee pairs
     compare(out, sql, str(sf_dir), "winnow_near_dups")
+
+
+def test_char_lm_train_and_score_oracle(spark, sf_dir):
+    """train_char_lm + lm_score replayed end-to-end by DuckDB: same
+    gram extraction, same deterministic top-k cut (count desc, gram
+    asc), same unk floor, same per-doc mean. top_k=500 makes the cut
+    bite so the tie-break is exercised."""
+    from rialto_airflow_spark.operators import text as T
+    from rialto_airflow_spark.session import load_tables
+    from tests.oracle_util import compare
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    model = T.train_char_lm(docs, "text", n=3, top_k=500)
+    out = T.lm_score(docs, "doc_id", "text", model, n=3, unk_logp=-20.0)
+
+    sql = """
+    WITH grams AS (
+      SELECT doc_id, unnest(
+        CASE WHEN length(text) >= 3 THEN
+          list_transform(range(1, length(text) - 2 + 1), i -> substr(text, i, 3))
+        ELSE []::VARCHAR[] END
+      ) AS gram
+      FROM documents
+    ),
+    counts AS (
+      SELECT gram, count(*) AS cnt FROM grams GROUP BY gram
+    ),
+    model AS (
+      SELECT gram,
+             round(ln(cnt / (SELECT sum(cnt)::DOUBLE FROM counts)), 6) AS logp
+      FROM counts
+      ORDER BY cnt DESC, gram ASC
+      LIMIT 500
+    ),
+    scored AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             round(avg(coalesce(m.logp, -20.0)), 4) AS avg_logp
+      FROM grams g LEFT JOIN model m USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_grams, 0) AS n_grams,
+           s.avg_logp
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+    # sanity before the bit-compare: every doc scored, fluent docs
+    # above the unk floor
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r.avg_logp is None or -20.0 <= r.avg_logp <= 0.0 for r in rows)
+    compare(out, sql, str(sf_dir), "char_lm_score")
+
+
+def test_char_ngrams_edges(spark):
+    from rialto_airflow_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "ab"), (3, ""), (4, None)], ["i", "t"]
+    )
+    got = {r.i: r.g for r in df.select("i", T.char_ngrams("t", 3).alias("g")).collect()}
+    assert got[1] == ["abc", "bcd"]
+    assert got[2] == [] and got[3] == []
+    assert got[4] is None or got[4] == []  # null text -> null/empty, never error
