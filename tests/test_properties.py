@@ -211,3 +211,35 @@ def test_normalize_doi_idempotent(spark, s):
         assert once.startswith("10.")
         assert once == once.lower()
         assert " " not in once
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 4)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(1, 5),
+)
+def test_cap_per_group_exact_count_law(spark, rows, k):
+    """cap_per_group keeps EXACTLY min(k, |group|) rows per group, a
+    subset of the input, identically across partitionings — for any
+    ids, group assignment, and k."""
+    from collections import Counter
+
+    from rialto_airflow_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(rows, "rid int, grp int")
+    out = cap_per_group(df, "rid", ["grp"], k).collect()
+    sizes = Counter(g for _, g in rows)
+    got = Counter(r.grp for r in out)
+    assert got == Counter({g: min(k, n) for g, n in sizes.items()})
+    assert {(r.rid, r.grp) for r in out} <= set(rows)
+    again = cap_per_group(df.repartition(3, "rid"), "rid", ["grp"], k).collect()
+    assert {r.rid for r in again} == {r.rid for r in out}
