@@ -281,6 +281,7 @@ def write_lsh_index(
     id_col: str,
     vec_col: str,
     bits: int = 8,
+    quantize: bool = False,
 ) -> None:
     """Materialize the corpus as a sign-bucket-PARTITIONED parquet
     index: one directory per bucket value, vectors and precomputed
@@ -298,13 +299,31 @@ def write_lsh_index(
     exact bucket-key skew lsh_topk's scoring path avoids. The salt
     splits each bucket across ≤ ``_WRITE_SALT`` tasks (bounding files
     per bucket directory to the same number) while partitionBy still
-    lays every row in its bucket directory."""
+    lays every row in its bucket directory.
+
+    ``quantize=True`` stores int8 codes + per-vector scale instead of
+    the float vector (same contract as the IVF writer: ``vec_norm``
+    is the DEQUANTIZED vector's norm, so indexed scores are exact
+    cosines of the reconstruction)."""
     out = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("vec_norm"),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
     )
+    if quantize:
+        out = quantize_embeddings(out, "vec").select(
+            "neighbor_id",
+            "qvec",
+            "qscale",
+            norm(
+                F.transform(
+                    F.col("qvec"),
+                    lambda x: x.cast("double") * F.col("qscale"),
+                )
+            ).alias("vec_norm"),
+            "bucket",
+        )
     salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(_WRITE_SALT))
     (
         out.repartition(F.col("bucket"), salt)
@@ -323,8 +342,11 @@ def lsh_topk_indexed(
     k: int = 3,
     bits: int = 8,
     nprobe: int = 1,
+    quantized: bool = False,
 ) -> DataFrame:
     """Approximate top-k against a :func:`write_lsh_index` index.
+    ``quantized=True`` reads an int8 index, dequantizing in the scorer
+    (pure Column algebra) — same error contract as the IVF variant.
 
     The query batch is small by contract, so its distinct probe
     buckets collect to the driver (≤ |Q|·nprobe ints — same contract
@@ -348,6 +370,13 @@ def lsh_topk_indexed(
         r["__qb"] for r in q.select("__qb").distinct().collect()
     ]  # driver-side-small by contract (query batch × nprobe)
     idx = spark.read.parquet(index_path).where(F.col("bucket").isin(probed))
+    if quantized:
+        idx = idx.withColumn(
+            "vec",
+            F.transform(
+                F.col("qvec"), lambda x: x.cast("double") * F.col("qscale")
+            ),
+        )
     sim = F.round(
         dot(F.col("__qv"), F.col("vec")) / (F.col("__qn") * F.col("vec_norm")),
         6,
@@ -985,6 +1014,10 @@ def pq_topk(
         F.col(id_col).cast("long").alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).collect()  # queries are driver-small by contract
+    if not q_rows:  # empty query batch: empty result, not a crash
+        return corpus_codes.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, score double"
+        )
     qids = np.array([int(r.qid) for r in q_rows], dtype=np.int64)
     qmat = np.array([r.qv for r in q_rows], dtype=np.float64)
     nq, dim = qmat.shape

@@ -655,3 +655,68 @@ def test_ivf_pq_index_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     part = scans[0].split("PartitionFilters")[1]
     assert "centroid_id" in part.split("]")[0]
     assert one.count() > 0
+
+
+def test_pq_topk_empty_queries(spark, sf_dir):
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].limit(20)
+    books = S.train_pq_codebooks(emb, "vec_id", "embedding", m=8, ksub=4, max_iters=1)
+    codes = S.pq_encode(emb, "vec_id", "embedding", books)
+    out = S.pq_topk(
+        codes, emb.where(F.col("vec_id") < 0), "vec_id", "embedding", books, k=3
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "rank", "neighbor_id", "score"]
+
+
+def test_lsh_index_quantized_bounded_and_pruned(spark, sf_dir, tmp_path):
+    """write_lsh_index(quantize=True): int8 storage, scores within the
+    reconstruction eps of the float index on shared pairs, pruning
+    intact — the LSH twin of the quantized IVF contract."""
+    import math
+
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    qs = emb.where(F.col("vec_id") < 20)
+    path = str(tmp_path / "lsh_q")
+    S.write_lsh_index(emb, path, "vec_id", "embedding", bits=8, quantize=True)
+    idx = spark.read.parquet(path)
+    assert dict(idx.dtypes)["qvec"] == "array<tinyint>" and "vec" not in idx.columns
+
+    got_df = S.lsh_topk_indexed(
+        spark, path, qs, "vec_id", "embedding", k=3, bits=8, nprobe=2, quantized=True
+    )
+    got = {(r.query_id, r.neighbor_id): r.score for r in got_df.collect()}
+    want = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in S.lsh_topk(emb, qs, "vec_id", "embedding", k=3, bits=8, nprobe=2).collect()
+    }
+    dim = len(emb.first().embedding)
+    eps = (
+        S.quantize_embeddings(emb, "embedding")
+        .select(
+            (
+                F.col("qscale") * F.lit(math.sqrt(dim))
+                / F.sqrt(
+                    F.aggregate(
+                        F.col("embedding"), F.lit(0.0),
+                        lambda a, x: a + x.cast("double") * x,
+                    )
+                )
+            ).alias("e")
+        )
+        .agg(F.max("e"))
+        .first()[0]
+    ) + 1e-6
+    inter = set(got) & set(want)
+    assert len(inter) / len(want) >= 0.9
+    assert all(abs(got[p] - want[p]) <= eps for p in inter)
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "lsh_q" in l
+    )
+    assert "bucket" in scan.split("PartitionFilters")[1].split("]")[0]
