@@ -342,11 +342,13 @@ def lsh_topk_indexed(
     k: int = 3,
     bits: int = 8,
     nprobe: int = 1,
-    quantized: bool = False,
+    quantized: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k against a :func:`write_lsh_index` index.
-    ``quantized=True`` reads an int8 index, dequantizing in the scorer
-    (pure Column algebra) — same error contract as the IVF variant.
+    ``quantized`` defaults to AUTO-DETECT from the index schema (int8
+    indexes carry ``qvec``, float ones ``vec``); when int8, the scorer
+    dequantizes in pure Column algebra — same error contract as the
+    IVF variant.
 
     The query batch is small by contract, so its distinct probe
     buckets collect to the driver (≤ |Q|·nprobe ints — same contract
@@ -370,6 +372,8 @@ def lsh_topk_indexed(
         r["__qb"] for r in q.select("__qb").distinct().collect()
     ]  # driver-side-small by contract (query batch × nprobe)
     idx = spark.read.parquet(index_path).where(F.col("bucket").isin(probed))
+    if quantized is None:
+        quantized = "qvec" in idx.columns
     if quantized:
         idx = idx.withColumn(
             "vec",
@@ -577,7 +581,7 @@ def ivf_topk_indexed(
     vec_col: str,
     k: int = 3,
     nprobe: int = 1,
-    quantized: bool = False,
+    quantized: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k against a :func:`write_ivf_index` index.
 
@@ -587,12 +591,12 @@ def ivf_topk_indexed(
     become a LITERAL ``IN`` filter on the lists' partition column, so
     non-probed inverted lists are pruned at file-listing time.
 
-    ``quantized=True`` reads an index written with ``quantize=True``:
-    list vectors dequantize in the scorer (``q[i]·scale``, pure Column
-    algebra — the int8 codes never round-trip through Python), and
-    scores are exact cosines of the reconstructed vectors, so ranking
-    error is bounded by the quantizer's ≤ scale/2 elementwise
-    reconstruction error."""
+    ``quantized`` AUTO-DETECTS from the list schema by default (int8
+    lists carry ``qvec``): list vectors dequantize in the scorer
+    (``q[i]·scale``, pure Column algebra — the int8 codes never
+    round-trip through Python), and scores are exact cosines of the
+    reconstructed vectors, so ranking error is bounded by the
+    quantizer's ≤ scale/2 elementwise reconstruction error."""
     import math
 
     import numpy as np
@@ -636,6 +640,8 @@ def ivf_topk_indexed(
     idx = spark.read.parquet(f"{index_path}/lists").where(
         F.col("centroid_id").isin(probed)
     )
+    if quantized is None:
+        quantized = "qvec" in idx.columns
     if quantized:
         idx = idx.withColumn(
             "vec",

@@ -720,3 +720,21 @@ def test_lsh_index_quantized_bounded_and_pruned(spark, sf_dir, tmp_path):
         if "FileScan parquet" in l and "lsh_q" in l
     )
     assert "bucket" in scan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_indexed_readers_autodetect_quantized(spark, sf_dir, tmp_path):
+    """Reading a quantized index without passing quantized=True must
+    auto-detect from the schema and return the same results."""
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].limit(100)
+    qs = emb.where(F.col("vec_id") < 5)
+    p1 = str(tmp_path / "lshq"); p2 = str(tmp_path / "ivfq")
+    S.write_lsh_index(emb, p1, "vec_id", "embedding", bits=8, quantize=True)
+    S.write_ivf_index(emb, p2, "vec_id", "embedding", n_centroids=4, quantize=True)
+    a = S.lsh_topk_indexed(spark, p1, qs, "vec_id", "embedding", k=3, bits=8)
+    b = S.lsh_topk_indexed(spark, p1, qs, "vec_id", "embedding", k=3, bits=8, quantized=True)
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+    c = S.ivf_topk_indexed(spark, p2, qs, "vec_id", "embedding", k=3)
+    d = S.ivf_topk_indexed(spark, p2, qs, "vec_id", "embedding", k=3, quantized=True)
+    assert c.exceptAll(d).unionAll(d.exceptAll(c)).count() == 0
