@@ -225,18 +225,15 @@ def train_char_lm(
     the shuffle is small and dense regardless of corpus size); the
     ranked cut is deterministic (count desc, gram asc). The returned
     model is top_k rows — broadcastable by construction."""
-    from pyspark.sql.window import Window
-
     grams = docs.select(F.explode(char_ngrams(text_col, n)).alias("gram"))
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt")).first()[0] or 1
-    w = Window.orderBy(F.col("cnt").desc(), F.col("gram").asc())
-    # the rank window sorts only the distinct-gram table (bounded by
-    # charset^n), not corpus rows — single-partition is acceptable
-    # there the same way the APC dim index is
+    # deterministic top-k via orderBy+limit: compiles to
+    # TakeOrderedAndProject (per-partition heaps + driver merge), never
+    # a single-partition sort of the gram table
     return (
-        counts.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= top_k)
+        counts.orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        .limit(top_k)
         .select(
             "gram",
             F.round(F.log(F.col("cnt") / F.lit(float(total))), 6).alias(
