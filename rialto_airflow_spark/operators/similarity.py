@@ -668,6 +668,63 @@ def ivf_topk_indexed(
     )
 
 
+def append_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Incrementally extend a float :func:`write_ivf_index` index with
+    a new vector batch — the daily-ingest maintenance path: at 100 TB
+    nobody rebuilds the index per batch, they assign the new vectors
+    under the EXISTING centroids and append to the inverted lists.
+
+    Loads the persisted centroid table (n_centroids rows), runs the
+    same map-only assignment pass as the original build, and appends
+    partitioned parquet — new files land inside the existing
+    centroid_id directories, so probes see old + new rows with no
+    reader change and partition pruning intact. Quantizer drift is the
+    operator's documented trade: appended vectors use the original
+    centroids (exactly like FAISS add()); retrain + rebuild when the
+    distribution moves."""
+    import math
+
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: int(r.cid),
+    )
+    cids = np.array([int(r.cid) for r in cent_rows], dtype=np.int64)
+    cmat = np.array(
+        [[float(x) for x in r.ctr] for r in cent_rows], dtype=np.float64
+    )
+    cnorms = []
+    for row in cmat:
+        acc = 0.0  # same fold as norm()
+        for x in row:
+            acc += x * x
+        cnorms.append(math.sqrt(acc))
+    cnorms = np.array(cnorms, dtype=np.float64)
+
+    assigned = _centroid_assign(
+        corpus, id_col, vec_col, "neighbor_id", 1, cids, cmat, cnorms
+    ).select(
+        "neighbor_id",
+        F.col("__v").alias("vec"),
+        F.col("__vn").alias("vec_norm"),
+        "centroid_id",
+    )
+    salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(_WRITE_SALT))
+    (
+        assigned.repartition(F.col("centroid_id"), salt)
+        .write.partitionBy("centroid_id")
+        .mode("append")
+        .parquet(f"{path}/lists")
+    )
+
+
 def ivf_pq_topk_indexed(
     spark,
     index_path: str,

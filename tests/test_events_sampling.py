@@ -738,3 +738,34 @@ def test_indexed_readers_autodetect_quantized(spark, sf_dir, tmp_path):
     c = S.ivf_topk_indexed(spark, p2, qs, "vec_id", "embedding", k=3)
     d = S.ivf_topk_indexed(spark, p2, qs, "vec_id", "embedding", k=3, quantized=True)
     assert c.exceptAll(d).unionAll(d.exceptAll(c)).count() == 0
+
+
+def test_append_ivf_index_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Building an index on half the corpus then appending the other
+    half must answer probes identically to an index built on the full
+    corpus with the SAME centroids (append assigns under the persisted
+    quantizer, exactly like FAISS add())."""
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    qs = emb.where(F.col("vec_id") < 10)
+
+    # the incremental index: build on half, append the rest
+    inc = str(tmp_path / "ivf_inc")
+    S.write_ivf_index(first, inc, "vec_id", "embedding", n_centroids=8)
+    S.append_ivf_index(second, inc, "vec_id", "embedding")
+
+    # the oracle: one build over everything, pinned to the SAME
+    # centroids the incremental index persisted (first-half lowest ids)
+    cents = S._pick_centroids(first, "vec_id", "embedding", 8)
+    full = str(tmp_path / "ivf_full")
+    S.write_ivf_index(emb, full, "vec_id", "embedding", centroids=cents)
+
+    a = S.ivf_topk_indexed(spark, inc, qs, "vec_id", "embedding", k=3, nprobe=2)
+    b = S.ivf_topk_indexed(spark, full, qs, "vec_id", "embedding", k=3, nprobe=2)
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+    # appended rows really landed in the partitioned layout
+    n = spark.read.parquet(f"{inc}/lists").count()
+    assert n == emb.count()

@@ -146,3 +146,20 @@ def test_semantic_decontaminate_corpus_never_shuffles(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "__cb" not in line and "__bb" not in line, line
+
+
+def test_train_char_lm_topk_is_takeordered(spark, sf_dir):
+    """The model cut must compile to TakeOrderedAndProject, never an
+    unpartitioned rank window (single-partition sort)."""
+    from rialto_airflow_spark.operators import text as T
+    from rialto_airflow_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    plan = (
+        T.train_char_lm(docs, "text", n=3, top_k=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
