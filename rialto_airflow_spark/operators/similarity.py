@@ -674,19 +674,23 @@ def append_ivf_index(
     id_col: str,
     vec_col: str,
 ) -> None:
-    """Incrementally extend a float :func:`write_ivf_index` index with
-    a new vector batch — the daily-ingest maintenance path: at 100 TB
-    nobody rebuilds the index per batch, they assign the new vectors
-    under the EXISTING centroids and append to the inverted lists.
+    """Incrementally extend a :func:`write_ivf_index` index with a new
+    vector batch — the daily-ingest maintenance path: at 100 TB nobody
+    rebuilds the index per batch, they assign the new vectors under
+    the EXISTING centroids and append to the inverted lists.
 
     Loads the persisted centroid table (n_centroids rows), runs the
     same map-only assignment pass as the original build, and appends
     partitioned parquet — new files land inside the existing
     centroid_id directories, so probes see old + new rows with no
-    reader change and partition pruning intact. Quantizer drift is the
-    operator's documented trade: appended vectors use the original
-    centroids (exactly like FAISS add()); retrain + rebuild when the
-    distribution moves."""
+    reader change and partition pruning intact. The storage format
+    AUTO-MATCHES the existing lists' schema: float, int8
+    (``quantize=True`` builds), or PQ codes (the persisted codebooks
+    re-encode the batch) — appending can never mix formats within one
+    index. Quantizer drift is the operator's documented trade:
+    appended vectors use the original centroids/codebooks (exactly
+    like FAISS add()); retrain + rebuild when the distribution
+    moves."""
     import math
 
     import numpy as np
@@ -716,6 +720,36 @@ def append_ivf_index(
         F.col("__vn").alias("vec_norm"),
         "centroid_id",
     )
+    existing = spark.read.parquet(f"{path}/lists").columns
+    if "qvec" in existing:
+        assigned = quantize_embeddings(assigned, "vec").select(
+            "neighbor_id",
+            "qvec",
+            "qscale",
+            norm(
+                F.transform(
+                    F.col("qvec"),
+                    lambda x: x.cast("double") * F.col("qscale"),
+                )
+            ).alias("vec_norm"),
+            "centroid_id",
+        )
+    elif "pq_codes" in existing:
+        books_rows = spark.read.parquet(f"{path}/pq_codebooks").collect()
+        m = max(r.j for r in books_rows) + 1
+        ksub = max(r.c for r in books_rows) + 1
+        dsub = len(books_rows[0].ctr)
+        books = np.zeros((m, ksub, dsub), dtype=np.float64)
+        for r in books_rows:
+            books[r.j, r.c] = np.asarray(r.ctr, dtype=np.float64)
+        assigned = pq_encode(
+            assigned, "neighbor_id", "vec", books, keep_cols=("centroid_id",)
+        ).select(
+            F.col("pq_id").alias("neighbor_id"),
+            "pq_codes",
+            "vec_norm",
+            "centroid_id",
+        )
     salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(_WRITE_SALT))
     (
         assigned.repartition(F.col("centroid_id"), salt)

@@ -769,3 +769,41 @@ def test_append_ivf_index_equals_full_rebuild(spark, sf_dir, tmp_path):
     # appended rows really landed in the partitioned layout
     n = spark.read.parquet(f"{inc}/lists").count()
     assert n == emb.count()
+
+
+def test_append_ivf_index_matches_existing_format(spark, sf_dir, tmp_path):
+    """Appending to an int8 or PQ index re-encodes the batch in the
+    index's own format — schemas never mix, and probes over the
+    combined index equal a full build with the same quantizer state."""
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    qs = emb.where(F.col("vec_id") < 6)
+    cents = S._pick_centroids(first, "vec_id", "embedding", 8)
+
+    # int8 variant
+    inc = str(tmp_path / "q_inc"); full = str(tmp_path / "q_full")
+    S.write_ivf_index(first, inc, "vec_id", "embedding", centroids=cents, quantize=True)
+    S.append_ivf_index(second, inc, "vec_id", "embedding")
+    lists = spark.read.parquet(f"{inc}/lists")
+    assert dict(lists.dtypes)["qvec"] == "array<tinyint>" and "vec" not in lists.columns
+    assert lists.count() == emb.count()
+    S.write_ivf_index(emb, full, "vec_id", "embedding", centroids=cents, quantize=True)
+    a = S.ivf_topk_indexed(spark, inc, qs, "vec_id", "embedding", k=3, nprobe=2)
+    b = S.ivf_topk_indexed(spark, full, qs, "vec_id", "embedding", k=3, nprobe=2)
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+
+    # PQ variant
+    books = S.train_pq_codebooks(first, "vec_id", "embedding", m=8, ksub=8, max_iters=2)
+    pinc = str(tmp_path / "pq_inc"); pfull = str(tmp_path / "pq_full")
+    S.write_ivf_index(first, pinc, "vec_id", "embedding", centroids=cents, pq_codebooks=books)
+    S.append_ivf_index(second, pinc, "vec_id", "embedding")
+    plists = spark.read.parquet(f"{pinc}/lists")
+    assert dict(plists.dtypes)["pq_codes"] == "array<tinyint>"
+    assert plists.count() == emb.count()
+    S.write_ivf_index(emb, pfull, "vec_id", "embedding", centroids=cents, pq_codebooks=books)
+    c = S.ivf_pq_topk_indexed(spark, pinc, qs, "vec_id", "embedding", k=3, nprobe=8)
+    d = S.ivf_pq_topk_indexed(spark, pfull, qs, "vec_id", "embedding", k=3, nprobe=8)
+    assert c.exceptAll(d).unionAll(d.exceptAll(c)).count() == 0
