@@ -280,3 +280,71 @@ def lm_score(
             "avg_logp",
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a query string
+    (Robertson/Okapi, the idf variant with the +1 floor so scores are
+    never negative) — corpus search / labeling-set retrieval without
+    building a posting-list index.
+
+    Distributed shape: the query's terms are LITERALS, so per-term
+    frequencies are map-side ``size(filter(tokens, = term))`` columns
+    — no corpus-wide explode, no posting lists, no shuffle for tf.
+    Document frequencies, N, and the average doc length reduce in ONE
+    map-side-combinable aggregation (a single driver row); the final
+    score is a second map-only pass over the same projection. Two
+    corpus scans total, zero Python, zero joins.
+
+    Returns (id, doc_len, score) for every document, score rounded to
+    4 places (0.0 for documents matching no term). Blank documents
+    count as length 0."""
+    terms = list(dict.fromkeys(t for t in query.split() if t))
+    if not terms:
+        raise ValueError("query must contain at least one term")
+    toks = tokens(text_col)
+    dl = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    def _tf(term: str) -> Column:
+        # factory keeps the filter lambda strictly 1-arg: a 2-arg HOF
+        # lambda receives the element INDEX as its second parameter
+        # (same pitfall lang_id documents)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"__tf{i}") for i, t in enumerate(terms)]
+    base = docs.select(
+        F.col(id_col), dl.cast("long").alias("doc_len"), *tf_cols
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"__tf{i}") > 0, 1)).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    ).first()  # one row — driver-small by construction
+    n = stats["n"] or 0
+    avgdl = float(stats["avgdl"] or 0.0) or 1.0
+
+    import math
+
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        dfi = stats[f"df{i}"]
+        idf = math.log((n - dfi + 0.5) / (dfi + 0.5) + 1.0)
+        tf = F.col(f"__tf{i}").cast("double")
+        score = score + F.lit(idf) * (
+            tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(avgdl)))
+        )
+    return base.select(
+        id_col, "doc_len", F.round(score, 4).alias("score")
+    )

@@ -100,3 +100,17 @@ def test_pack_sequences_rejects_oversized(spark):
         raise AssertionError("expected failure for oversized item")
     except Exception as exc:  # Py4J wraps the executor ValueError
         assert "exceeds budget" in str(exc)
+
+
+def test_chunk_documents_plan_has_no_python(spark, sf_dir):
+    """The 1->N chunk fan-out must stay whole-stage-codegen Column
+    algebra — no Python evaluation node anywhere in the plan."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    plan = (
+        P.chunk_documents(docs, "doc_id", "text", 16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan, node

@@ -196,3 +196,65 @@ def test_char_ngrams_edges(spark):
     assert got[1] == ["abc", "bcd"]
     assert got[2] == [] and got[3] == []
     assert got[4] is None or got[4] == []  # null text -> null/empty, never error
+
+
+def test_bm25_scores_oracle(spark, sf_dir):
+    """bm25_scores replayed by DuckDB end-to-end: same literal-term
+    tf columns, same one-row df/N/avgdl stats, same Robertson idf with
+    the +1 floor, same k1/b saturation."""
+    from rialto_airflow_spark.operators import text as T
+    from rialto_airflow_spark.session import load_tables
+    from tests.oracle_util import compare
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = T.bm25_scores(docs, "doc_id", "text", "hash join missingterm")
+
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    sql = f"""
+    WITH base AS (
+      SELECT doc_id,
+             (CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END)::BIGINT AS doc_len,
+             len(list_filter({toks}, x -> x = 'hash')) AS tf0,
+             len(list_filter({toks}, x -> x = 'join')) AS tf1,
+             len(list_filter({toks}, x -> x = 'missingterm')) AS tf2
+      FROM documents
+    ),
+    st AS (
+      SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl,
+             count(*) FILTER (tf0 > 0)::BIGINT AS df0,
+             count(*) FILTER (tf1 > 0)::BIGINT AS df1,
+             count(*) FILTER (tf2 > 0)::BIGINT AS df2
+      FROM base
+    )
+    SELECT b.doc_id, b.doc_len,
+           round(
+               ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                 * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * b.doc_len / avgdl)))
+             + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                 * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * b.doc_len / avgdl)))
+             + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                 * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * b.doc_len / avgdl))),
+           4) AS score
+    FROM base b CROSS JOIN st
+    """
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert any(r.score > 0 for r in rows)  # the query terms do occur
+    compare(out, sql, str(sf_dir), "bm25_scores")
+
+
+def test_bm25_ranks_term_density(spark):
+    """A short doc dense in the query term outranks a long one with a
+    single occurrence; docs without the term score 0."""
+    from rialto_airflow_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),
+            (2, "spark " + "filler " * 50),
+            (3, "nothing relevant here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.score for r in T.bm25_scores(df, "doc_id", "text", "spark").collect()}
+    assert got[1] > got[2] > got[3] == 0.0
