@@ -1,10 +1,11 @@
-"""Event-stream batch operators: sessionization and as-of join.
+"""Event-stream batch operators: sessionization, as-of join, and
+interval range join.
 
-Neither exists in the reference (its incrementality is a batch
-watermark, SURVEY §2.11), but both are core event-pipeline operators
-a training-data platform needs, and both are expressed as
-compositions of built-in window functions — no UDFs, no custom
-physical operator.
+None exist in the reference (its incrementality is a batch
+watermark, SURVEY §2.11), but all are core event-pipeline operators
+a training-data platform needs, and all are expressed as
+compositions of built-in operators — no UDFs, no custom physical
+operator.
 
 Scale design:
   * ``sessionize`` is one shuffle on the entity key; the gap detection
@@ -146,3 +147,64 @@ def asof_join(
         *[matched[c].alias(c) for c in value_cols],
     )
     return carried.where(F.col("__side") == 1).drop("__side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval containment join: every left row pairs with the right
+    rows whose ``[start, end]`` window contains its timestamp, per
+    key — the point-in-interval join behind promo attribution,
+    maintenance-window filtering, validity-interval lookups.
+
+    Spark has no range-join physical strategy, so the naive
+    formulation is a per-key theta join: O(|L|·|R|) comparisons per
+    key. This factorization BUCKETIZES time instead: left rows key to
+    their one ``bucket_seconds`` bucket, right intervals explode to
+    every bucket they overlap, and the join becomes an EQUI-join on
+    (key, bucket) that Spark hash-partitions like any other, with the
+    exact containment predicate as a post-join filter. A left row has
+    exactly one bucket and an interval's exploded buckets are
+    distinct, so a (row, interval) pair can match at most once — no
+    dedup needed.
+
+    Cost: candidates per left row are bounded by the intervals
+    overlapping ONE bucket; right fan-out is interval_length /
+    bucket_seconds rows per interval. Tune ``bucket_seconds`` toward
+    the typical interval length (fan-out ~2 buckets); pathological
+    long intervals fan out proportionally — split those upstream or
+    raise the bucket size.
+    """
+    ts_s = F.unix_timestamp(F.col(ts_col))
+    lb = left.withColumn("__b", F.floor(ts_s / bucket_seconds))
+    rb = right.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds),
+                F.floor(F.unix_timestamp(F.col(end_col)) / bucket_seconds),
+            )
+        ),
+    )
+    lcols = [F.col(f"l.{c}") for c in left.columns]
+    rcols = [F.col(f"r.{c}") for c in right.columns if c != key_col]
+    out = (
+        lb.alias("l")
+        .join(
+            rb.alias("r"),
+            (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+            & (F.col("l.__b") == F.col("r.__b")),
+        )
+        .where(
+            (F.col(f"l.{ts_col}") >= F.col(f"r.{start_col}"))
+            & (F.col(f"l.{ts_col}") <= F.col(f"r.{end_col}"))
+        )
+        .select(*lcols, *rcols)
+    )
+    return out

@@ -1,8 +1,12 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
 All pure Column expressions (JVM-side, whole-stage codegen) — no
-Python UDFs — so they scale linearly with partitions: every operator
-here is embarrassingly parallel per-row, no shuffle at all.
+Python UDFs — so they scale linearly with partitions. The per-row
+operators (counts, ratios, lang-ID, fingerprints, char_ngrams) are
+embarrassingly parallel with no shuffle at all; the corpus-statistics
+operators (train_char_lm, bm25_scores) add exactly the
+map-side-combinable aggregations their statistics require (gram
+counts; one stats row).
 
 Determinism contract: anything hash-based uses md5 over explicit
 string encodings so results are reproducible across engines (the

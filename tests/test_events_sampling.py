@@ -807,3 +807,64 @@ def test_append_ivf_index_matches_existing_format(spark, sf_dir, tmp_path):
     c = S.ivf_pq_topk_indexed(spark, pinc, qs, "vec_id", "embedding", k=3, nprobe=8)
     d = S.ivf_pq_topk_indexed(spark, pfull, qs, "vec_id", "embedding", k=3, nprobe=8)
     assert c.exceptAll(d).unionAll(d.exceptAll(c)).count() == 0
+
+
+def test_range_join_fixture_boundaries(spark):
+    """Containment is inclusive on both ends; intervals spanning
+    multiple buckets still match exactly once; zero-length intervals
+    match their instant; non-overlapping rows drop."""
+    left = spark.createDataFrame(
+        [
+            (1, 7, _ts(10)),     # inside w1
+            (2, 7, _ts(0)),      # == w1 start (inclusive)
+            (3, 7, _ts(20)),     # == w1 end (inclusive)
+            (4, 7, _ts(21)),     # past w1
+            (5, 7, _ts(40)),     # inside long w2 (spans many buckets)
+            (6, 8, _ts(10)),     # other key, no windows
+            (7, 7, _ts(30)),     # == zero-length w3 instant
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (7, "w1", _ts(0), _ts(20)),
+            (7, "w2", _ts(35), _ts(59)),
+            (7, "w3", _ts(30), _ts(30)),
+        ],
+        ["user_id", "win", "w_start", "w_end"],
+    )
+    out = E.range_join(
+        left, right, "user_id", "ts", "w_start", "w_end", bucket_seconds=120
+    )
+    got = sorted((r.event_id, r.win) for r in out.collect())
+    assert got == [(1, "w1"), (2, "w1"), (3, "w1"), (5, "w2"), (7, "w3")]
+
+
+def test_range_join_matches_bruteforce_on_sessions(spark, sf_dir):
+    """Purchases range-joined to session windows equal the O(n*m)
+    per-key brute-force model — every purchase lands back inside a
+    session window of its own user (windows from session_stats)."""
+    from rialto_airflow_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    wins = E.session_stats(ev, "user_id", "ts", 1800).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = E.range_join(
+        purch, wins, "user_id", "ts", "session_start", "session_end",
+        bucket_seconds=900,
+    )
+    got = {(r.event_id, r.session_seq) for r in out.collect()}
+
+    wrows = {}
+    for r in wins.collect():
+        wrows.setdefault(r.user_id, []).append(r)
+    want = set()
+    for p in purch.collect():
+        for w in wrows.get(p.user_id, []):
+            if w.session_start <= p.ts <= w.session_end:
+                want.add((p.event_id, w.session_seq))
+    assert got == want and len(got) > 0
