@@ -1,0 +1,162 @@
+"""Mergeable-summary operators: HLL cardinality sketches and
+Misra–Gries heavy hitters.
+
+The 100-TB motivation is *mergeability* (Agarwal et al., "Mergeable
+Summaries", PODS 2012): a sketch computed per partition / per day /
+per source can be unioned later without rescanning the data, so
+incremental pipelines keep one tiny sketch row per group instead of
+re-aggregating history.
+
+  * distinct_sketches / merge_distinct_sketches — Apache DataSketches
+    HLL via the Spark 3.5+ built-ins (`hll_sketch_agg`,
+    `hll_union_agg`, `hll_sketch_estimate`). The sketch column is a
+    few KB per group regardless of cardinality; the union is an
+    ordinary aggregation, so rolling a year of daily sketches into a
+    yearly distinct count is |days| rows of input, not 100 TB.
+  * heavy_hitters — frequent items without a full groupBy on a
+    high-cardinality key. Pass 1 runs Misra–Gries summaries
+    per physical partition (mapInPandas, zero shuffle; per-Arrow-batch
+    `value_counts` keeps the Python work vectorized — the counter
+    dict never exceeds ~k + batch-distinct entries). The MG guarantee
+    composes across partitions: if an item's global count exceeds
+    n/k, then in at least one partition its local count exceeds
+    n_p/k (else summing the per-partition bounds contradicts the
+    global count), and MG retains every such item — so the union of
+    per-partition candidates contains every global heavy hitter.
+    Pass 2 recounts ONLY the candidate set exactly (broadcast semi
+    join + groupBy over ≤ partitions×k values), removing MG's
+    undercount so reported counts are exact.
+
+Neither operator ships data to the driver beyond the group/candidate
+rows the caller asked for. The reference has no sketch surface; this
+extends SURVEY §2.4's aggregation family the way a training-data
+pipeline needs (url/domain/license cardinality tracking, hot-token
+audits) at corpus scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-group HLL sketch + point estimate of distinct ``value_col``.
+
+    Output: ``group_cols + [hll_sketch (binary), approx_distinct]``.
+    ``lgk`` is the DataSketches log2(registers) knob: relative
+    standard error ≈ 1.04 / sqrt(2^lgk) (~1.6% at the default 12),
+    sketch size ≈ 2^lgk bytes. The aggregation is map-side
+    combinable — partial sketches merge in the combiner like any
+    algebraic agg, so the shuffle carries one sketch per
+    (partition, group), never raw values.
+
+    Persist the sketch column (parquet binary) to make later windows
+    incremental: tomorrow's rollup unions today's stored sketch with
+    the new day's sketch via :func:`merge_distinct_sketches`.
+    """
+    sk = F.hll_sketch_agg(value_col, F.lit(lgk)).alias("hll_sketch")
+    out = df.groupBy(*group_cols).agg(sk)
+    return out.withColumn(
+        "approx_distinct", F.hll_sketch_estimate("hll_sketch")
+    )
+
+
+def merge_distinct_sketches(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Union stored HLL sketches (optionally rolled up to coarser
+    groups) and re-estimate — the incremental path: input is sketch
+    ROWS (one per fine group), not data.
+
+    ``allowDifferentLgConfigK=True`` so sketches built at different
+    lgk (e.g. a config change mid-history) still union, degrading to
+    the smaller register set as DataSketches specifies.
+    """
+    agg = F.hll_union_agg(sketch_col, F.lit(True)).alias(sketch_col)
+    if group_cols:
+        out = sketches.groupBy(*group_cols).agg(agg)
+    else:
+        out = sketches.agg(agg)
+    return out.withColumn(
+        "approx_distinct", F.hll_sketch_estimate(sketch_col)
+    )
+
+
+def _mg_merge(counters: dict, batch: pd.Series, k: int) -> dict:
+    """Merge one Arrow batch's exact value_counts into a Misra–Gries
+    summary, then shrink back to ≤ k counters by subtracting the
+    (k+1)-th largest count from every counter and dropping the
+    non-positive ones (the mergeable-summaries MG reduction — it
+    preserves the count-undercount bound n/ (k+1) ≤ n/k)."""
+    for v, c in batch.items():
+        counters[v] = counters.get(v, 0) + int(c)
+    if len(counters) > k:
+        # (k+1)-th largest value is the decrement
+        cuts = sorted(counters.values(), reverse=True)
+        dec = cuts[k]
+        counters = {v: c - dec for v, c in counters.items() if c > dec}
+    return counters
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 50,
+    candidates_per_partition: int | None = None,
+) -> DataFrame:
+    """Top-``k`` most frequent values of ``value_col`` with EXACT
+    counts, without shuffling the full distinct-value space.
+
+    Two passes (see module docstring for the guarantee):
+
+      1. mapInPandas Misra–Gries per partition with
+         ``candidates_per_partition`` counters (default ``4·k`` for
+         slack against near-threshold items) → candidate values.
+         Zero shuffle; Python work is per-batch ``value_counts`` +
+         a bounded dict merge.
+      2. Exact recount of candidates only: the candidate set
+         (≤ partitions × counters rows) broadcasts into a semi join,
+         then an ordinary groupBy over the filtered rows. Both the
+         join and the agg touch only rows whose value is a candidate.
+
+    Output: ``value_col, freq`` — top-k by exact frequency,
+    descending, ties broken by value for determinism. Exactness
+    caveat: an item whose true count ≤ n/counters may be missed (the
+    MG bound); raise ``candidates_per_partition`` to push that
+    threshold down.
+    """
+    counters_k = candidates_per_partition or 4 * k
+
+    def mg(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in it:
+            counters = _mg_merge(
+                counters, pdf[value_col].dropna().value_counts(), counters_k
+            )
+        yield pd.DataFrame({value_col: list(counters.keys())})
+
+    field = df.schema[value_col]
+    cand = (
+        df.select(value_col)
+        .mapInPandas(mg, schema=f"{value_col} {field.dataType.simpleString()}")
+        .distinct()
+    )
+    exact = (
+        df.join(F.broadcast(cand), value_col, "left_semi")
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # top-k via TakeOrderedAndProject — no global sort
+    return exact.orderBy(F.col("freq").desc(), F.col(value_col).asc()).limit(k)

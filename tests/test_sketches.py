@@ -1,0 +1,113 @@
+"""Mergeable-summary operators: HLL sketches vs exact DuckDB
+cardinalities, union-vs-whole identity, Misra–Gries heavy hitters vs
+exact top-k."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from rialto_airflow_spark.operators.sketches import (
+    distinct_sketches,
+    heavy_hitters,
+    merge_distinct_sketches,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_hll_estimate_within_error(spark, sf_dir):
+    got = {
+        r["l_returnflag"]: r["approx_distinct"]
+        for r in distinct_sketches(
+            _lineitem(spark, sf_dir), ["l_returnflag"], "l_orderkey"
+        ).collect()
+    }
+    exact = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"""SELECT l_returnflag, count(DISTINCT l_orderkey)
+                FROM read_parquet('{sf_dir}/lineitem.parquet')
+                GROUP BY 1"""
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        # lgk=12 → rse ≈ 1.6%; 5% is the 3σ bound
+        assert est == pytest.approx(exact[k], rel=0.05)
+
+
+def test_hll_union_equals_whole(spark, sf_dir):
+    """The incremental contract: sketch halves independently (two
+    'days'), union the stored sketches — the estimate must equal the
+    single-pass whole-table sketch (HLL registers are max-merged, so
+    union-of-sketches ≡ sketch-of-union)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "word", F.explode(F.split("text", r"\s+"))
+    )
+    whole = {
+        r["lang"]: r["approx_distinct"]
+        for r in distinct_sketches(docs, ["lang"], "word").collect()
+    }
+    halves = [
+        distinct_sketches(
+            docs.where(F.col("doc_id") % 2 == i), ["lang"], "word"
+        ).select("lang", "hll_sketch")
+        for i in (0, 1)
+    ]
+    merged = {
+        r["lang"]: r["approx_distinct"]
+        for r in merge_distinct_sketches(
+            halves[0].unionByName(halves[1]), ["lang"]
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_merge_without_groups_gives_global(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    per_lang = distinct_sketches(docs, ["lang"], "doc_id")
+    row = merge_distinct_sketches(per_lang).collect()[0]
+    exact = docs.select("doc_id").distinct().count()
+    assert row["approx_distinct"] == pytest.approx(exact, rel=0.05)
+
+
+def test_heavy_hitters_match_exact_topk(spark, sf_dir):
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", r"\s+")).alias("word")
+    )
+    got = [(r["word"], r["freq"]) for r in heavy_hitters(words, "word", k=10).collect()]
+    want = duckdb.sql(
+        f"""SELECT w AS word, count(*) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM read_parquet('{sf_dir}/documents.parquet'))
+            GROUP BY 1 ORDER BY freq DESC, word ASC LIMIT 10"""
+    ).fetchall()
+    assert got == want
+
+
+def test_heavy_hitters_skewed_partitions(spark):
+    """The MG-across-partitions guarantee: a 30%-hot key spread over
+    many partitions with tiny per-partition counters is still found,
+    with its exact count."""
+    n = 4000
+    rows = [(i, "hot" if i % 10 < 3 else f"cold{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "i long, v string").repartition(8)
+    got = heavy_hitters(df, "v", k=1, candidates_per_partition=4).collect()
+    assert got[0]["v"] == "hot"
+    assert got[0]["freq"] == sum(1 for i in range(n) if i % 10 < 3)
+
+
+def test_heavy_hitters_null_safe(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "v string"
+    )
+    got = heavy_hitters(df, "v", k=2).collect()
+    assert [(r["v"], r["freq"]) for r in got] == [("a", 2), ("b", 1)]
