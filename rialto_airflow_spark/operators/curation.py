@@ -285,6 +285,114 @@ def boilerplate_lines(
     )
 
 
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    blocklist: tuple[str, ...] = ("lorem ipsum",),
+    drop_brace: bool = True,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) as pure
+    Column algebra — the published rules, parameterized:
+
+      * keep only lines that end in terminal punctuation
+        (``. ! ? "``) and contain ≥ ``min_words_per_line`` words;
+        drop lines mentioning ``javascript`` (case-insensitive);
+      * drop the whole document if the ORIGINAL text contains any
+        ``blocklist`` phrase or (optionally) a curly brace, or if the
+        cleaned text has fewer than ``min_sentences`` terminal
+        punctuation marks.
+
+    Output: ``id_col, clean_text, n_sentences, keep`` — kept text for
+    every row (callers filter on ``keep`` so the decision is
+    auditable). Entirely line-local per document: no shuffle, no
+    Python, whole-stage codegen end-to-end — the cheapest possible
+    100-TB pass. Complementary to :func:`boilerplate_lines` (which
+    needs corpus-wide line frequencies); C4 runs both.
+    """
+    lines = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(r'[.!?"]$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words_per_line)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    clean = F.array_join(kept, sep)
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), F.lit(0)))
+    low = F.lower(F.col(text_col))
+    blocked = F.lit(False)
+    for phrase in blocklist:
+        blocked = blocked | low.contains(phrase.lower())
+    if drop_brace:
+        blocked = blocked | F.col(text_col).contains("{")
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_sent.alias("n_sentences"),
+        (~blocked & (n_sent >= min_sentences)).alias("keep"),
+    )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup, keep-first (the MassiveText
+    / Gopher repetition-removal granularity between C4's lines and
+    whole-document dedup): every paragraph that already occurred in
+    an earlier (doc, position) — ordered by ``(id_col, pos)`` — is
+    removed; each document is rebuilt from its surviving paragraphs
+    in original order.
+
+    Distributed shape: posexplode paragraphs, shuffle ONCE on
+    ``md5(paragraph)`` (the 32-char digest, so the exchange never
+    carries paragraph text twice) to pick the global first occurrence
+    as ``min(struct(id, pos))``, join survivors back on the digest,
+    rebuild per document (second shuffle, on the doc id — same shape
+    as :func:`boilerplate_lines`). Hot digests are exactly the
+    heavily-duplicated paragraphs, whose groups aggregate to one row
+    via the map-side-combinable ``min`` before the exchange.
+
+    Documents reduced to nothing come back as ``''`` (kept rows,
+    filterable). ``md5`` collisions (2^-64 birthday at corpus scale)
+    would merge distinct paragraphs; acceptable for curation, noted
+    for auditors.
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("h", F.md5(F.col("para")))
+    first = paras.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "f"
+        )
+    )
+    kept = paras.join(first, "h").where(
+        (F.col(id_col) == F.col("f.i")) & (F.col("pos") == F.col("f.p"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text")
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col, F.coalesce("clean_text", F.lit("")).alias("clean_text")
+        )
+    )
+
+
 def mixture_resample(
     df: DataFrame,
     source_col: str,

@@ -293,3 +293,97 @@ def test_semantic_decontaminate_flags_and_soundness(spark, sf_dir):
     # difference must be bucket misses, not scoring errors
     above = {i for i, v in vecs.items() if maxcos(v) >= 0.95}
     assert flagged <= above
+
+
+def _py_c4(text: str, min_words=5, min_sent=3, blocklist=("lorem ipsum",)) -> tuple:
+    """Pure-Python model of c4_line_filter."""
+    import re
+
+    kept = [
+        ln
+        for ln in text.split("\n")
+        if re.search(r'[.!?"]$', ln.strip())
+        and len(re.split(r"\s+", ln.strip())) >= min_words
+        and "javascript" not in ln.lower()
+    ]
+    clean = "\n".join(kept)
+    n_sent = len(re.findall(r"[.!?]", clean))
+    low = text.lower()
+    blocked = any(p in low for p in blocklist) or "{" in text
+    return clean, n_sent, (not blocked) and n_sent >= min_sent
+
+
+def test_c4_line_filter_fixture(spark):
+    docs = [
+        (1, "This line has five good words.\nshort.\nno terminal punct here at all\n"
+            'He said "stop right there now."\nKeep javascript out of here please.'),
+        (2, "Lorem Ipsum dolor sit amet filler.\nA perfectly fine sentence right here."),
+        (3, "function() { return 1; } is code.\nAnother good sentence is right here."),
+        (4, "One good sentence stands alone here.\nA second terminal sentence sits here!\n"
+            "And a third one closes it out?"),
+    ]
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_sentences"], r["keep"])
+        for r in C.c4_line_filter(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    for i, text in docs:
+        assert out[i] == _py_c4(text), f"doc {i}"
+    assert out[4][2] is True  # three clean sentences → kept
+    assert out[2][2] is False  # brace → dropped
+    assert out[1][2] is False  # lorem ipsum → dropped
+
+
+def test_c4_line_filter_model_on_corpus(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_sentences"], r["keep"])
+        for r in C.c4_line_filter(docs).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        assert got[row["doc_id"]] == _py_c4(row["text"]), row["doc_id"]
+
+
+def _py_dedup_paragraphs(rows, sep="\n\n") -> dict:
+    """Keep-first model ordered by (doc_id, pos)."""
+    seen: set[str] = set()
+    out = {}
+    for doc_id, text in sorted(rows):
+        kept = []
+        for p in text.split(sep):
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        out[doc_id] = sep.join(kept)
+    return out
+
+
+def test_dedup_paragraphs_fixture(spark):
+    rows = [
+        (1, "alpha beta\n\nshared para\n\ngamma"),
+        (2, "shared para\n\ndelta\n\nalpha beta"),
+        (3, "shared para"),
+        (4, "delta"),
+    ]
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in C.dedup_paragraphs(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got == _py_dedup_paragraphs(rows)
+    assert got[3] == ""  # fully-duplicated doc survives as empty row
+    assert got[1] == rows[0][1]  # first doc keeps everything
+
+
+def test_dedup_paragraphs_model_on_corpus(spark, sf_dir):
+    """Sentence-ish granularity on the synthetic corpus (docs are one
+    line, so split on '. ' to get real cross-doc duplicates)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in C.dedup_paragraphs(docs, sep=" ").collect()
+    }
+    assert got == _py_dedup_paragraphs(rows, sep=" ")
