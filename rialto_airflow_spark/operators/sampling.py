@@ -97,6 +97,110 @@ def cap_per_group(
     )
 
 
+def _gram_buckets(text_col: Column | str, n_buckets: int) -> Column:
+    """Hashed unigram+bigram feature buckets for a whitespace-token
+    document: pmod(xxhash64(gram), n_buckets). Pure Column algebra —
+    tokens via split, bigrams via a transform over the token range."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(c), r"\s+")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )
+    grams = F.concat(toks, bigrams)
+    return F.transform(
+        grams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets))
+    )
+
+
+def _bucket_probs(
+    df: DataFrame, text_col: str, n_buckets: int, smoothing: float
+) -> list[float]:
+    """Smoothed hashed-ngram bucket distribution, collected to the
+    driver — EXACTLY ``n_buckets`` floats by contract (the point of
+    hashing: the feature space is fixed-size no matter the corpus).
+    One explode + map-side-combinable count shuffle whose output is
+    ≤ n_buckets rows."""
+    counts = dict(
+        df.select(
+            F.explode(_gram_buckets(text_col, n_buckets)).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    raw = [counts.get(b, 0) + smoothing for b in range(n_buckets)]
+    tot = sum(raw)
+    return [x / tot for x in raw]
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    smoothing: float = 1.0,
+    out_col: str = "dsir_logw",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much more
+    likely its hashed-ngram features are under the TARGET distribution
+    than under the raw distribution —
+
+        log w(doc) = Σ_grams log( p_target[bucket] / p_raw[bucket] )
+
+    with add-``smoothing`` estimates over ``n_buckets`` hashed
+    unigram+bigram buckets.
+
+    Distributed shape: two bounded aggregations (target corpus is
+    small by contract; the raw pass shuffles ≤ n_buckets count rows)
+    produce the two probability vectors driver-side; the log-ratio
+    vector then rides into a single ARRAY LITERAL (n_buckets doubles,
+    ~80 KB at the default — a broadcast in all but name), and the
+    per-document score is a map-only ``aggregate`` over the doc's
+    bucket array. No join, no per-doc shuffle; scoring 100 TB is one
+    codegen'd scan.
+    """
+    import math
+
+    p = _bucket_probs(target, text_col, n_buckets, smoothing)
+    q = _bucket_probs(raw, text_col, n_buckets, smoothing)
+    logratio = [math.log(pi / qi) for pi, qi in zip(p, q)]
+    arr = F.lit(logratio)
+    score = F.aggregate(
+        _gram_buckets(text_col, n_buckets),
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(arr, (b + 1).cast("int")),
+    )
+    return raw.withColumn(out_col, score)
+
+
+def dsir_select(
+    scored: DataFrame,
+    id_col: str,
+    k: int,
+    weight_col: str = "dsir_logw",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Gumbel top-k resampling over DSIR log-weights: adding
+    Gumbel(0,1) noise to log-weights and taking the top k draws a
+    sample WITHOUT replacement proportional to the weights (the
+    Gumbel-max trick) — DSIR's resampling step, deterministic here
+    because the noise derives from the salted row-id hash, not RNG.
+
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject —
+    per-partition heaps, no global sort."""
+    u = hash_uniform(id_col, salt)
+    # clamp away from {0,1} so the double log stays finite
+    g = -F.log(-F.log(F.greatest(F.least(u, F.lit(1 - 1e-12)), F.lit(1e-12))))
+    return (
+        scored.withColumn("__key", F.col(weight_col) + g)
+        .orderBy(F.col("__key").desc())
+        .limit(k)
+        .drop("__key")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

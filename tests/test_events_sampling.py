@@ -868,3 +868,80 @@ def test_range_join_matches_bruteforce_on_sessions(spark, sf_dir):
             if w.session_start <= p.ts <= w.session_end:
                 want.add((p.event_id, w.session_seq))
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def _dsir_model(spark, raw_rows, target_rows, n_buckets=64, smoothing=1.0):
+    """Pure-Python DSIR model. Bucket ids come from Spark itself (the
+    one thing Python can't replicate is xxhash64), so the model checks
+    the probability/smoothing/log-ratio ARITHMETIC independently."""
+    import math
+
+    def buckets_of(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: list(r["b"])
+            for r in df.select(
+                "doc_id", SA._gram_buckets("text", n_buckets).alias("b")
+            ).collect()
+        }
+
+    raw_b, tgt_b = buckets_of(raw_rows), buckets_of(target_rows)
+
+    def probs(per_doc):
+        counts = [smoothing] * n_buckets
+        for bs in per_doc.values():
+            for b in bs:
+                counts[b] += 1
+        tot = sum(counts)
+        return [c / tot for c in counts]
+
+    p, q = probs(tgt_b), probs(raw_b)
+    return {
+        i: sum(math.log(p[b] / q[b]) for b in bs) for i, bs in raw_b.items()
+    }
+
+
+def test_dsir_weights_match_model(spark):
+    raw = [
+        (1, "cat dog cat dog pets are great"),
+        (2, "stock market trading volume rises"),
+        (3, "dog cat dog cat animals"),
+        (4, "bond yields fall as trading slows"),
+    ]
+    target = [(10, "cat dog pets"), (11, "dog cat animals are great")]
+    raw_df = spark.createDataFrame(raw, "doc_id long, text string")
+    tgt_df = spark.createDataFrame(target, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in SA.dsir_weights(raw_df, tgt_df, n_buckets=64).collect()
+    }
+    want = _dsir_model(spark, raw, target, n_buckets=64)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-9, i
+    # pet docs must outscore finance docs against a pet target
+    assert min(got[1], got[3]) > max(got[2], got[4])
+
+
+def test_dsir_identical_corpora_is_zero(spark):
+    rows = [(i, f"some text number {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = SA.dsir_weights(df, df, n_buckets=128).collect()
+    assert all(abs(r["dsir_logw"]) < 1e-9 for r in out)
+
+
+def test_dsir_select_deterministic_topk(spark):
+    rows = [(i, "cat dog" if i % 2 else "stock market") for i in range(40)]
+    raw_df = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt_df = spark.createDataFrame([(0, "cat dog cat")], "doc_id long, text string")
+    scored = SA.dsir_weights(raw_df, tgt_df, n_buckets=256)
+    a = sorted(r["doc_id"] for r in SA.dsir_select(scored, "doc_id", 10).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in SA.dsir_select(scored.repartition(7), "doc_id", 10).collect()
+    )
+    assert a == b and len(a) == 10
+    # overwhelming majority of the selection should be target-like docs
+    assert sum(1 for i in a if i % 2) >= 8
