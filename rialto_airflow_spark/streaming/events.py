@@ -425,3 +425,95 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, key: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream (user → cohort, doc → license, ISSN → journal — the S10
+    lookup shape running against a live stream).
+
+    Stream-static joins are stateless: Spark re-plans the STATIC side
+    each micro-batch, so a dimension backed by a re-readable source
+    (the TableStore pointer, a parquet dir) picks up dimension updates
+    between batches without restarting the query. The dim is
+    broadcast-hinted — small by contract, so each micro-batch is a
+    map-only probe of the hash table, never a shuffle of stream rows.
+    Inner/left_semi/left_anti are the stateless-legal modes besides
+    left; right/full would need stream-side state and are rejected by
+    Spark itself.
+    """
+    return events.join(F.broadcast(dim), key, how)
+
+
+def stream_upsert(
+    events: DataFrame,
+    store,
+    table: str,
+    key: str,
+    checkpoint: str,
+    update_cols: list[str] | None = None,
+) -> None:
+    """Streaming MERGE sink via ``foreachBatch``: every micro-batch
+    upserts into a versioned :class:`~rialto_airflow_spark.storage.
+    TableStore` table with the same M2 semantics the batch pipeline
+    uses (`operators/merge.py::merge_on_key` — null keys insert,
+    matched rows update only ``update_cols``).
+
+    Exactly-once story: the checkpoint gives at-least-once BATCHES;
+    the merge makes re-applied rows idempotent (same key + same values
+    → same table), so replays after a failure converge to the same
+    committed version. Within a batch, duplicates collapse to the
+    LATEST row by ``ts`` when present (arbitrary-but-deterministic
+    otherwise) before merging, since MERGE requires unique batch keys.
+
+    This is the canonical streaming-CDC-into-lakehouse shape: Spark
+    docs recommend exactly this foreachBatch+MERGE pattern for sinks
+    without native upsert. The per-batch write is a full-outer join on
+    the key — broadcast when the batch is small (the common case for
+    a trickle stream), one shuffle otherwise.
+    """
+    from rialto_airflow_spark.operators.merge import merge_on_key
+
+    from pyspark.sql.window import Window
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        spark = batch.sparkSession
+        # collapse duplicate keys to the latest-by-ts row (row_number,
+        # not sort+dropDuplicates — the latter keeps an ARBITRARY row);
+        # null keys bypass the dedup entirely: merge semantics say each
+        # null-key row inserts, so none of them may collapse away
+        keyed = batch.where(F.col(key).isNotNull())
+        if "ts" in batch.columns:
+            w = Window.partitionBy(key).orderBy(F.col("ts").desc())
+            keyed = (
+                keyed.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            keyed = keyed.dropDuplicates([key])
+        b = keyed.unionByName(batch.where(F.col(key).isNull()))
+        try:
+            existing = store.read(spark, table)
+        except FileNotFoundError:
+            merged = b
+        else:
+            merged = merge_on_key(
+                existing, b, key, update_cols=update_cols, broadcast_batch=True
+            )
+        # the merge plan reads the CURRENT version while the write
+        # lands a NEW version dir; the pointer swap publishes it
+        # atomically — readers never see a partial batch
+        store.write(merged, table)
+
+    q = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -414,3 +414,97 @@ def test_fold_sessions_unit():
     # no state, no input
     st4, _ = _fold_sessions(None, [], gap_seconds=100)
     assert st4 is None
+
+
+def test_enrich_stream_matches_batch_join(spark, sf_dir):
+    """Stream-static broadcast enrichment: the availableNow drain of
+    the enriched stream equals the batch join, and a re-run with the
+    same checkpoint appends nothing."""
+    workdir = tempfile.mkdtemp(prefix="rspark_enrich_")
+    in_dir, ckpt, out_dir = f"{workdir}/in", f"{workdir}/ck", f"{workdir}/out"
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ev.write.parquet(in_dir)
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("cohort", (F.col("user_id") % 3).cast("string"))
+    )
+    enriched = SE.enrich_stream(SE.read_event_stream(spark, in_dir), dim, "user_id")
+    SE.run_available_now(enriched, ckpt, out_dir)
+    got = spark.read.parquet(out_dir)
+    want = ev.join(dim, "user_id")
+    assert got.count() == ev.count()
+    assert got.exceptAll(want).unionAll(want.exceptAll(got)).count() == 0
+    SE.run_available_now(
+        SE.enrich_stream(SE.read_event_stream(spark, in_dir), dim, "user_id"),
+        ckpt,
+        out_dir,
+    )
+    assert spark.read.parquet(out_dir).count() == ev.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_stream_upsert_merges_batches_idempotently(spark, tmp_path):
+    """foreachBatch MERGE sink: two staged input files drain into a
+    TableStore with M2 semantics (latest-by-ts per key wins, replays
+    converge); a checkpointed re-run commits no new version content."""
+    from rialto_airflow_spark.storage import TableStore
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    store = TableStore(str(tmp_path / "store"))
+
+    def mk(rows):
+        return spark.createDataFrame(rows, SE.EVENTS_DDL)
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    batch1 = [
+        (1, ts(0), 10, "view", 1.0, "{}"),
+        (1, ts(5), 10, "click", 2.0, "{}"),  # same key, later ts → wins
+        (2, ts(1), 11, "view", 3.0, "{}"),
+    ]
+    mk(batch1).coalesce(1).write.parquet(in_dir)
+    SE.stream_upsert(
+        SE.read_event_stream(spark, in_dir), store, "events_cur", "event_id", ckpt
+    )
+    got1 = {
+        r["event_id"]: (r["event_type"], r["value"])
+        for r in store.read(spark, "events_cur").collect()
+    }
+    assert got1 == {1: ("click", 2.0), 2: ("view", 3.0)}
+
+    # second micro-batch: update key 1, insert key 3
+    batch2 = [
+        (1, ts(9), 10, "purchase", 9.0, "{}"),
+        (3, ts(2), 12, "view", 4.0, "{}"),
+    ]
+    mk(batch2).coalesce(1).write.parquet(in_dir, mode="append")
+    SE.stream_upsert(
+        SE.read_event_stream(spark, in_dir), store, "events_cur", "event_id", ckpt
+    )
+    got2 = {
+        r["event_id"]: (r["event_type"], r["value"])
+        for r in store.read(spark, "events_cur").collect()
+    }
+    assert got2 == {
+        1: ("purchase", 9.0),
+        2: ("view", 3.0),
+        3: ("view", 4.0),
+    }
+
+    # no new files → no new batch; the table is unchanged
+    v_before = store.current_version("events_cur")
+    SE.stream_upsert(
+        SE.read_event_stream(spark, in_dir), store, "events_cur", "event_id", ckpt
+    )
+    assert store.current_version("events_cur") == v_before
+    assert {
+        r["event_id"]: (r["event_type"], r["value"])
+        for r in store.read(spark, "events_cur").collect()
+    } == got2
