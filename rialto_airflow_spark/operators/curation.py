@@ -106,6 +106,46 @@ def repetition_stats(col: Column | str, n: int = 2) -> Column:
     return bind_once(grams, body)
 
 
+def duplicate_unit_stats(col: Column | str, sep: str = "\n") -> Column:
+    """The line/paragraph half of Gopher's repetition signals (Rae et
+    al. 2021 §A1.1), complementing the n-gram half in
+    :func:`repetition_stats`: split the document on ``sep`` (lines,
+    or paragraphs with ``"\\n\\n"``) and report
+
+      dup_frac      — fraction of units that repeat an earlier unit;
+      dup_char_frac — fraction of CHARACTERS inside those repeats
+                      (Gopher thresholds both: e.g. drop when > 0.30
+                      of lines or > 0.20 of characters duplicate).
+
+    Pure array algebra — distinct-vs-total counts and two summed
+    length folds; map-only, codegen'd, no shuffle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    units = F.split(c, sep)
+
+    def body(u: Column) -> Column:
+        total = F.size(u)
+        distinct = F.array_distinct(u)
+        chars = F.aggregate(
+            F.transform(u, F.length), F.lit(0.0), lambda a, x: a + x
+        )
+        d_chars = F.aggregate(
+            F.transform(distinct, F.length), F.lit(0.0), lambda a, x: a + x
+        )
+        dup_frac = F.when(
+            total > 0,
+            F.round(1.0 - F.size(distinct) / total.cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+        dup_char_frac = F.when(
+            chars > 0, F.round(1.0 - d_chars / chars, 6)
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            dup_frac.alias("dup_frac"), dup_char_frac.alias("dup_char_frac")
+        )
+
+    return bind_once(units, body)
+
+
 def pii_stats(col: Column | str) -> Column:
     """Count PII-shaped spans per document: struct(n_emails, n_ips,
     n_phones). regexp_count is JVM-side; the counts feed threshold

@@ -387,3 +387,46 @@ def test_dedup_paragraphs_model_on_corpus(spark, sf_dir):
         for r in C.dedup_paragraphs(docs, sep=" ").collect()
     }
     assert got == _py_dedup_paragraphs(rows, sep=" ")
+
+
+def test_duplicate_unit_stats_oracle(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = docs.select(
+        "doc_id", C.duplicate_unit_stats("text", sep=" ").alias("r")
+    ).select(
+        "doc_id",
+        F.col("r.dup_frac").alias("dup_frac"),
+        F.col("r.dup_char_frac").alias("dup_char_frac"),
+    )
+    sql = """
+    WITH u AS (
+      SELECT doc_id, string_split(text, ' ') AS units FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 - len(list_distinct(units)) / len(units)::double, 6)
+             AS dup_frac,
+           round(1.0 - list_aggregate(list_transform(list_distinct(units), x -> length(x)), 'sum')::double
+                     / list_aggregate(list_transform(units, x -> length(x)), 'sum')::double, 6)
+             AS dup_char_frac
+    FROM u
+    """
+    compare(out, sql, sf_dir)
+
+
+def test_duplicate_unit_stats_fixture(spark):
+    rows = [
+        (1, "a\nb\na\nb"),       # 2 of 4 lines duplicate, 2 of 4 chars
+        (2, "x\ny\nz"),          # none
+        (3, "same\nsame\nsame"),  # 2/3 lines, 8/12 chars
+        (4, ""),
+    ]
+    got = {
+        r["doc_id"]: (r["s"]["dup_frac"], r["s"]["dup_char_frac"])
+        for r in spark.createDataFrame(rows, "doc_id long, text string")
+        .select("doc_id", C.duplicate_unit_stats("text").alias("s"))
+        .collect()
+    }
+    assert got[1] == (0.5, 0.5)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (round(2 / 3, 6), round(8 / 12, 6))
+    assert got[4] == (0.0, 0.0)
