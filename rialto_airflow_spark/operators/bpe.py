@@ -1,0 +1,199 @@
+"""Distributed BPE tokenizer training and encoding.
+
+Byte-pair encoding (Sennrich et al. 2016, arXiv:1508.07909) is the
+tokenization step every LLM pretraining pipeline runs; training it
+over a raw corpus is a textbook case for the word-count compression
+trick every industrial trainer (subword-nmt, HuggingFace tokenizers)
+uses: after ONE corpus-wide aggregation to ``(word, freq)``, all
+``num_merges`` iterations run over the distinct-word table — whose
+size is corpus-size-INDEPENDENT (vocabulary grows ~Heaps' law, not
+linearly), so training cost at 100 TB is the initial token count plus
+a fixed number of small-table passes.
+
+Spark-first shape:
+
+  * ``word_counts`` — explode whitespace tokens, one
+    map-side-combinable groupBy. The only pass that sees the corpus.
+  * ``train_bpe`` — driver loop of ``num_merges`` iterations; each
+    iteration is (a) an adjacent-pair count over the word table
+    (explode + sum(freq), pair space bounded by the symbol vocabulary,
+    a few thousand rows), (b) ``orderBy().limit(1)`` →
+    TakeOrderedAndProject for the argmax pair (ONE row to the
+    driver), (c) a pure-Column left-to-right fold that applies the
+    merge to every word's symbol array. The word table is persisted
+    and localCheckpointed every ``checkpoint_every`` merges so the
+    plan never deepens past a bound (the connected-components loop
+    discipline).
+  * ``bpe_encode`` — applying a trained merge table to new text is a
+    per-row greedy loop no fixed-depth Column plan can express for
+    real vocab sizes, so it is an Arrow-batched pandas UDF with the
+    rank table in the closure (broadcast with the task) and a
+    per-batch word cache: Zipf's law means a batch of documents
+    contains few DISTINCT words, so the Python loop runs once per
+    distinct word, not once per token — the same memoization real
+    tokenizers use.
+
+Convention: a word's initial symbols are its characters plus a
+trailing ``END`` marker symbol (word-boundary information, so merges
+learned at word ends don't leak into word interiors). Deterministic
+tie-break for equal pair counts: lexicographic (a, b) — stated so the
+pure-Python test reference can reproduce training exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word, freq)`` over whitespace tokens — the one corpus pass."""
+    return (
+        df.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_symbols(word: Column) -> Column:
+    return F.concat(
+        F.split(word, ""),  # characters
+        F.array(F.lit(END)),
+    )
+
+
+def _adjacent_pairs(sym: Column) -> Column:
+    """array<struct<a,b>> of adjacent symbol pairs."""
+    return F.transform(
+        F.slice(sym, 1, F.greatest(F.size(sym) - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("a"), F.element_at(sym, i + 2).alias("b")
+        ),
+    )
+
+
+def _apply_merge(sym: Column, a: str, b: str) -> Column:
+    """Replace every left-to-right non-overlapping (a, b) adjacency
+    with the merged symbol — a single aggregate() fold, so one merge
+    is one codegen'd pass over each word's symbols."""
+    ab = a + b
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        # try_element_at: the condition is evaluated even when the
+        # array is empty (& does not short-circuit), and ANSI mode
+        # makes plain element_at(-1) throw there
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 100,
+    min_pair_freq: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from a corpus. Returns the
+    ordered merge list (the model — feed to :func:`bpe_encode`).
+
+    Driver state per iteration: ONE (a, b, count) row. Stops early
+    when the best pair's weighted count drops below
+    ``min_pair_freq``.
+    """
+    words = (
+        word_counts(df, text_col)
+        .select(_initial_symbols(F.col("word")).alias("sym"), "freq")
+        .persist()
+    )
+    words.count()  # materialize before the loop
+    merges: list[tuple[str, str]] = []
+    try:
+        for i in range(num_merges):
+            best = (
+                words.select(
+                    F.explode(_adjacent_pairs(F.col("sym"))).alias("p"), "freq"
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["cnt"] < min_pair_freq:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            merges.append((a, b))
+            merged = words.select(
+                _apply_merge(F.col("sym"), a, b).alias("sym"), "freq"
+            )
+            if (i + 1) % checkpoint_every == 0:
+                merged = merged.localCheckpoint(eager=True)
+            else:
+                merged = merged.persist()
+                merged.count()
+            words.unpersist()
+            words = merged
+    finally:
+        words.unpersist()
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank merging of one word — the per-distinct-word
+    Python path behind the Arrow batches."""
+    sym = list(word) + [END]
+    while len(sym) > 1:
+        pairs = [(sym[j], sym[j + 1]) for j in range(len(sym) - 1)]
+        ranked = [
+            (ranks[p], j) for j, p in enumerate(pairs) if p in ranks
+        ]
+        if not ranked:
+            break
+        _, j = min(ranked)
+        sym[j : j + 2] = [sym[j] + sym[j + 1]]
+    return sym
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a trained merge table → array of
+    subword symbols. Arrow-batched pandas UDF; see module docstring
+    for why this is the honest implementation (and why the per-batch
+    distinct-word cache makes the Python loop sublinear in tokens)."""
+    ranks = {pair: r for r, pair in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def run(text: str) -> list[str]:
+            out: list[str] = []
+            for w in (text or "").split():
+                toks = cache.get(w)
+                if toks is None:
+                    toks = _encode_word(w, ranks)
+                    cache[w] = toks
+                out.extend(toks)
+            return out
+
+        return texts.map(run)
+
+    return df.withColumn(out_col, enc(F.col(text_col)))
