@@ -1,7 +1,9 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
-All pure Column expressions (JVM-side, whole-stage codegen) — no
-Python UDFs — so they scale linearly with partitions. The per-row
+All pure Column expressions (JVM-side, whole-stage codegen) — the
+single exception is :func:`compression_ratio`, whose zlib call has no
+Column form and runs as a documented Arrow-batched pandas UDF. The
+per-row
 operators (counts, ratios, lang-ID, fingerprints, char_ngrams) are
 embarrassingly parallel with no shuffle at all; the corpus-statistics
 operators (train_char_lm, bm25_scores) add exactly the
@@ -14,6 +16,8 @@ DuckDB oracles compute the identical values).
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -352,3 +356,88 @@ def bm25_scores(
     return base.select(
         id_col, "doc_len", F.round(score, 4).alias("score")
     )
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (bits) of the document's character
+    distribution — the gibberish/low-diversity signal CCNet-family
+    filters threshold (near-0 = one repeated character, ~4.2 = typical
+    English prose).
+
+    Identity used: H = log2(n) − (1/n)·Σ_c count(c)·log2(count(c)),
+    so one sorted-run fold over the character array (the
+    repetition_stats discipline, O(len·log len) per row, map-only)
+    computes Σ c·log2(c) without materializing a per-document
+    character histogram. Null and empty text both map to 0.0 (no
+    characters, no information).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(c, "")
+
+    def body(arr: Column) -> Column:
+        n = F.size(arr)
+        # fold sorted chars; on each run boundary add run·log2(run)
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("double").alias("run"),
+            F.lit(0.0).alias("sum"),
+        )
+        folded = F.aggregate(
+            F.array_sort(arr),
+            acc0,
+            lambda a, x: F.struct(
+                x.alias("prev"),
+                F.when(x.eqNullSafe(a["prev"]), a["run"] + 1)
+                .otherwise(F.lit(1.0))
+                .alias("run"),
+                (
+                    a["sum"]
+                    + F.when(
+                        x.eqNullSafe(a["prev"]), F.lit(0.0)
+                    ).otherwise(
+                        F.when(
+                            a["run"] > 0, a["run"] * F.log2(a["run"])
+                        ).otherwise(F.lit(0.0))
+                    )
+                ).alias("sum"),
+            ),
+            # close the final run
+            lambda a: a["sum"]
+            + F.when(a["run"] > 0, a["run"] * F.log2(a["run"])).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        return F.when(
+            n > 0,
+            F.round(F.log2(n.cast("double")) - folded / n, 6),
+        ).otherwise(F.lit(0.0))
+
+    from rialto_airflow_spark.functions.perf import bind_once as _bind
+
+    return _bind(chars, body)
+
+
+def compression_ratio(col: Column | str, level: int = 6) -> Column:
+    """zlib compressed-size / raw-size per document (RefinedWeb /
+    CCNet-style redundancy signal: highly repetitive or templated
+    text compresses far below prose's ~0.4–0.6; near-1.0 is random
+    bytes). Empty text → 1.0.
+
+    zlib has no Column-algebra form, so this is the documented
+    Arrow-batched pandas UDF path — one Python crossing, vectorized
+    per batch, no shuffle.
+    """
+    import zlib
+
+    @F.pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if not t:
+                return 1.0
+            raw = t.encode("utf-8", "ignore")
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return texts.map(one)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return ratio(c)

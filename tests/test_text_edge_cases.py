@@ -258,3 +258,59 @@ def test_bm25_ranks_term_density(spark):
     )
     got = {r.doc_id: r.score for r in T.bm25_scores(df, "doc_id", "text", "spark").collect()}
     assert got[1] > got[2] > got[3] == 0.0
+
+
+def test_char_entropy_matches_python_model(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from rialto_airflow_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].limit(80)
+    got = {
+        r["doc_id"]: r["h"]
+        for r in docs.select("doc_id", T.char_entropy("text").alias("h")).collect()
+    }
+
+    def model(s: str) -> float:
+        n = len(s)
+        if not n:
+            return 0.0
+        return round(
+            -sum(c / n * math.log2(c / n) for c in Counter(s).values()), 6
+        )
+
+    for r in docs.select("doc_id", "text").collect():
+        assert abs(got[r["doc_id"]] - model(r["text"])) < 1e-9, r["doc_id"]
+
+
+def test_char_entropy_edges(spark):
+    rows = [(1, ""), (2, "aaaa"), (3, "ab"), (4, None)]
+    got = {
+        r["i"]: r["h"]
+        for r in spark.createDataFrame(rows, "i long, t string")
+        .select("i", T.char_entropy("t").alias("h"))
+        .collect()
+    }
+    assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 1.0
+    assert got[4] == 0.0  # null folds with empty: no characters
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    rows = [
+        (1, "spam " * 400),
+        (2, "the quick brown fox jumps over the lazy dog " * 40),
+        (3, "".join(chr(33 + (i * 37) % 90) for i in range(2000))),
+    ]
+    got = {
+        r["i"]: r["cr"]
+        for r in spark.createDataFrame(rows, "i long, t string")
+        .select("i", T.compression_ratio("t").alias("cr"))
+        .collect()
+    }
+    import zlib
+
+    for i, t in rows:
+        want = round(len(zlib.compress(t.encode())) / len(t.encode()), 6)
+        assert got[i] == want
+    assert got[1] < got[2] < got[3]
