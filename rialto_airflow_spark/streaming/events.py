@@ -517,3 +517,49 @@ def stream_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    bound: str = "1 hour",
+    late: str = "2 hours",
+    how: str = "inner",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream interval join (the ad-tech click↔impression
+    shape): match rows sharing ``key`` whose event times lie within
+    ``bound`` of each other.
+
+    Both sides carry a ``ts`` watermark and the join condition carries
+    the time interval — together they let Spark EVICT join state once
+    the watermark passes ``ts + bound`` (without the interval the
+    state grows forever; Spark rejects outer variants outright). Inner
+    matches emit as soon as both rows arrive; outer rows emit when the
+    watermark proves no match can still come.
+
+    Right columns (except the key) come back suffixed so the joined
+    schema never collides. One shuffle per side on the key — the same
+    exchange a batch join of the two tables would do, amortized per
+    micro-batch.
+    """
+    l = left.withWatermark("ts", late)
+    r = right.withWatermark("ts", late)
+    for c in r.columns:
+        if c != key:
+            r = r.withColumnRenamed(c, c + right_suffix)
+    rts = "ts" + right_suffix
+    cond = (
+        (F.col(rts) >= F.col("ts") - F.expr(f"INTERVAL {bound}"))
+        & (F.col(rts) <= F.col("ts") + F.expr(f"INTERVAL {bound}"))
+    )
+    return (
+        l.alias("l")
+        .join(
+            r.alias("r"),
+            (F.col(f"l.{key}") == F.col(f"r.{key}")) & cond,
+            how,
+        )
+        .drop(F.col(f"r.{key}"))
+    )
