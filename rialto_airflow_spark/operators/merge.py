@@ -158,3 +158,59 @@ def upsert_edges(existing: DataFrame, new_edges: DataFrame) -> DataFrame:
     """M4 — `ON CONFLICT DO NOTHING` on association tables
     (openalex.py:110-114): union + dedupe on the composite key."""
     return existing.unionByName(new_edges).dropDuplicates(existing.columns)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: one
+    null-safe full-outer join on the key classifying every row as
+    ``insert`` / ``delete`` / ``update`` (with the changed column
+    names), dropping unchanged rows.
+
+    The inverse of :func:`merge_on_key` — where MERGE applies a delta,
+    this derives one, e.g. to publish an incremental feed from two
+    versions of a :class:`~rialto_airflow_spark.storage.TableStore`
+    table, or to audit what a pipeline run changed. One shuffle on the
+    key (broadcast when either side is small); the change test is
+    column algebra (no row comparison UDF), and ``eqNullSafe`` keeps
+    NULL→value and value→NULL transitions visible as changes.
+
+    Output: ``key, op, changed_cols`` (changed_cols empty for
+    insert/delete — the row itself is the change).
+    """
+    cols = compare_cols or [
+        c for c in new.columns if c != key and c in old.columns
+    ]
+    o = old.select(key, *cols).withColumn("__o", F.lit(True)).alias("o")
+    n = new.select(key, *cols).withColumn("__n", F.lit(True)).alias("n")
+    j = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    changed = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")), F.lit(c)
+                )
+                for c in cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    op = (
+        F.when(F.col("o.__o").isNull(), F.lit("insert"))
+        .when(F.col("n.__n").isNull(), F.lit("delete"))
+        .when(F.size(changed) > 0, F.lit("update"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+            op.alias("op"),
+            F.when(op == "update", changed)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+        .where(F.col("op").isNotNull())
+    )
