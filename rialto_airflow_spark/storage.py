@@ -114,3 +114,32 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered layout for min/max data skipping: global
+    ``repartitionByRange`` on ``sort_cols`` (disjoint value ranges per
+    output file, via a sampled range exchange — no single-task global
+    sort) + ``sortWithinPartitions`` so every parquet row group's
+    min/max statistics cover a narrow slice.
+
+    Why this matters at 100 TB: parquet readers (Spark included) skip
+    whole row groups whose column statistics exclude the predicate.
+    After this layout, a time- or key-range query touches only the
+    files whose range intersects it — the poor man's Z-order, and the
+    right clustering for the dominant predicate column (pub_year,
+    event ts, doc_id). Combine with ``partitionBy`` for the coarse
+    directory level and this for the fine row-group level.
+    """
+    (
+        df.repartitionByRange(num_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -508,3 +508,42 @@ def test_stream_upsert_merges_batches_idempotently(spark, tmp_path):
         r["event_id"]: (r["event_type"], r["value"])
         for r in store.read(spark, "events_cur").collect()
     } == got2
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join: drained inner matches equal the
+    batch join of the two event slices under the identical interval
+    condition."""
+    workdir = tempfile.mkdtemp(prefix="rspark_ssj_")
+    in_dir, ckpt, out_dir = f"{workdir}/in", f"{workdir}/ck", f"{workdir}/out"
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ev.write.parquet(in_dir)
+
+    def split(df):
+        a = df.where(F.col("event_id") % 2 == 0).select(
+            "event_id", "ts", "user_id", "value"
+        )
+        b = df.where(F.col("event_id") % 2 == 1).select(
+            "event_id", "ts", "user_id", "value"
+        )
+        return a, b
+
+    with SE.few_state_partitions(spark):
+        sa, sb = split(SE.read_event_stream(spark, in_dir))
+        joined = SE.stream_interval_join(sa, sb, "user_id", bound="30 minutes")
+        SE.run_available_now(joined, ckpt, out_dir)
+    got = spark.read.parquet(out_dir)
+
+    ba, bb = split(ev)
+    for c in bb.columns:
+        if c != "user_id":
+            bb = bb.withColumnRenamed(c, c + "_r")
+    want = ba.alias("l").join(
+        bb.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("ts_r") >= F.col("ts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 30 minutes")),
+    ).drop(F.col("r.user_id"))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).unionAll(want.exceptAll(got)).count() == 0
+    shutil.rmtree(workdir, ignore_errors=True)

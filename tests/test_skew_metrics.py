@@ -65,3 +65,78 @@ def test_merge_metrics(spark):
     )
     m = merge_metrics(existing, batch, "k")
     assert m == {"new": 2, "updated": 1, "noop": 1, "processed": 4}
+
+
+def test_snapshot_diff_oracle(spark, sf_dir):
+    """CDC derivation vs a DuckDB full-outer replay on perturbed
+    orders snapshots."""
+    import duckdb
+
+    from rialto_airflow_spark.operators.merge import snapshot_diff
+    from rialto_airflow_spark.session import load_tables
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    old = orders.where(F.col("o_orderkey") % 10 != 0)  # new inserts the 0s
+    new = orders.where(F.col("o_orderkey") % 10 != 1).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    ).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderstatus")),
+    )
+    got = sorted(
+        (r["o_orderkey"], r["op"], tuple(sorted(r["changed_cols"])))
+        for r in snapshot_diff(old, new, "o_orderkey").collect()
+    )
+    sql = f"""
+    WITH o AS (SELECT * FROM read_parquet('{sf_dir}/orders.parquet') WHERE o_orderkey % 10 != 0),
+         n0 AS (SELECT * FROM read_parquet('{sf_dir}/orders.parquet') WHERE o_orderkey % 10 != 1),
+         n AS (SELECT * REPLACE (
+                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+                 CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus)
+               FROM n0)
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+           CASE WHEN o.o_orderkey IS NULL THEN \'insert\'
+                WHEN n.o_orderkey IS NULL THEN \'delete\'
+                ELSE \'update\' END AS op,
+           CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN []
+                ELSE list_filter([
+                  CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN \'o_totalprice\' END,
+                  CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN \'o_orderstatus\' END
+                ], x -> x IS NOT NULL) END AS changed
+    FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    """
+    want = sorted(
+        (k, op, tuple(sorted(ch)))
+        for k, op, ch in duckdb.sql(sql).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_snapshot_diff_null_transitions(spark):
+    from rialto_airflow_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "x"), (2, "b", "y"), (3, "c", "z")],
+        "k long, a string, b string",
+    )
+    new = spark.createDataFrame(
+        [(1, "set", "x"), (2, None, "y"), (4, "d", "w")],
+        "k long, a string, b string",
+    )
+    got = {
+        r["k"]: (r["op"], tuple(sorted(r["changed_cols"])))
+        for r in snapshot_diff(old, new, "k").collect()
+    }
+    assert got == {
+        1: ("update", ("a",)),  # NULL -> value is a change
+        2: ("update", ("a",)),  # value -> NULL is a change
+        3: ("delete", ()),
+        4: ("insert", ()),
+    }

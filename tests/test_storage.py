@@ -86,3 +86,39 @@ def test_jsonpath_fallback_optional(spark):
         df = spark.createDataFrame([('{"a": {"b": 2}}',)], "j string")
         got = df.select(JP.jsonpath_eval(F.col("j"), "a.b").alias("o")).collect()
         assert got[0]["o"] == "2"
+
+
+def test_write_sorted_produces_disjoint_ranges(spark, sf_dir, tmp_path):
+    """The data-skipping contract: after write_sorted on ts, per-file
+    [min, max] ts ranges are pairwise disjoint (so a range predicate
+    can only touch the files it intersects), and no rows are lost."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from rialto_airflow_spark.session import load_tables
+    from rialto_airflow_spark.storage import write_sorted
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    out = str(tmp_path / "sorted")
+    write_sorted(ev, out, ["ts"], num_files=6)
+
+    assert spark.read.parquet(out).count() == ev.count()
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        i = cols["ts"]
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(i).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
