@@ -441,3 +441,43 @@ def compression_ratio(col: Column | str, level: int = 6) -> Column:
 
     c = F.col(col) if isinstance(col, str) else col
     return ratio(c)
+
+
+# control chars except \t \n \r (kept: they carry document structure)
+_CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def clean_text(
+    col: Column | str,
+    form: str | None = "NFC",
+    strip_control: bool = True,
+    collapse_spaces: bool = False,
+) -> Column:
+    """Unicode hygiene for crawled text (the ftfy-lite pass every
+    pipeline runs before hashing/dedup — decomposed accents and stray
+    control bytes otherwise make IDENTICAL prose hash differently):
+
+      * optional Unicode normalization to ``form`` (NFC/NFKC/...) —
+        no Column-algebra form exists, so this part is a pandas UDF
+        riding pandas' vectorized ``str.normalize``;
+      * control-character strip (JVM regexp, tab/newline/CR kept);
+      * optional space-run collapse (JVM regexp).
+
+    With ``form=None`` the whole expression stays Column algebra.
+    Order: normalize → strip → collapse, so normalization can't
+    reintroduce stripped bytes.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if form is not None:
+        f = form
+
+        @F.pandas_udf("string")
+        def normalize(texts: pd.Series) -> pd.Series:
+            return texts.str.normalize(f)
+
+        c = normalize(c)
+    if strip_control:
+        c = F.regexp_replace(c, _CONTROL_RE, "")
+    if collapse_spaces:
+        c = F.regexp_replace(c, r" {2,}", " ")
+    return c

@@ -314,3 +314,41 @@ def test_compression_ratio_orders_redundancy(spark):
         want = round(len(zlib.compress(t.encode())) / len(t.encode()), 6)
         assert got[i] == want
     assert got[1] < got[2] < got[3]
+
+
+def test_clean_text_unicode_and_control(spark):
+    import unicodedata
+
+    rows = [
+        (1, "café time"),            # decomposed accent -> NFC
+        (2, "a\x00b\x08c\x7fd"),           # control bytes stripped
+        (3, "keep\ttabs\nand\rnewlines"),
+        (4, "ﬁne"),                    # fi ligature: NFC keeps, NFKC folds
+        (5, "a    b"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", T.clean_text("t", collapse_spaces=True).alias("c")
+        ).collect()
+    }
+    assert got[1] == unicodedata.normalize("NFC", "café time") == "café time"
+    assert got[2] == "abcd"
+    assert got[3] == "keep\ttabs\nand\rnewlines"
+    assert got[4] == "ﬁne"
+    assert got[5] == "a b"
+    assert got[6] is None
+    nfkc = {
+        r["i"]: r["c"]
+        for r in df.select("i", T.clean_text("t", form="NFKC").alias("c")).collect()
+    }
+    assert nfkc[4] == "fine"
+    # column-algebra-only path (form=None) strips without normalizing
+    plain = {
+        r["i"]: r["c"]
+        for r in df.select("i", T.clean_text("t", form=None).alias("c")).collect()
+    }
+    assert plain[1] == "café time"
+    assert plain[2] == "abcd"
