@@ -563,3 +563,60 @@ def stream_interval_join(
         )
         .drop(F.col(f"r.{key}"))
     )
+
+
+def stream_distinct_sketches(
+    events: DataFrame,
+    store,
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    checkpoint: str,
+    lgk: int = 12,
+) -> None:
+    """Incremental distinct counting over a stream: every micro-batch
+    builds per-group HLL sketches (operators/sketches.py) and UNIONS
+    them with the sketches stored in the versioned TableStore — the
+    mergeable-summaries composition (Agarwal et al. 2012) running
+    live. The stored state is one sketch row per group (KBs), never
+    the raw values, so an all-time distinct-users-per-type count over
+    an unbounded stream costs O(groups) storage and a sketch-union
+    per batch.
+
+    Versus `approx_count_distinct` inside a streaming agg: sketches
+    survive RESTARTS and reshaping (regroup/rollup later without the
+    data), and the estimate is available to BATCH readers of the
+    store at any time. Exactly-once via checkpoint + idempotent
+    union (re-unioning the same batch's values cannot change max
+    registers... provided the replayed batch is identical, which
+    availableNow file sources guarantee).
+    """
+    from rialto_airflow_spark.operators.sketches import (
+        distinct_sketches,
+        merge_distinct_sketches,
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        spark = batch.sparkSession
+        fresh = distinct_sketches(batch, group_cols, value_col, lgk=lgk).select(
+            *group_cols, "hll_sketch"
+        )
+        try:
+            prev = store.read(spark, table).select(*group_cols, "hll_sketch")
+        except FileNotFoundError:
+            merged = merge_distinct_sketches(fresh, group_cols)
+        else:
+            merged = merge_distinct_sketches(
+                prev.unionByName(fresh), group_cols
+            )
+        store.write(merged, table)
+
+    q = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

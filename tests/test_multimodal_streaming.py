@@ -547,3 +547,37 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).unionAll(want.exceptAll(got)).count() == 0
     shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_stream_distinct_sketches_match_batch(spark, sf_dir, tmp_path):
+    """Two staged deliveries drain into stored per-group sketches whose
+    estimates equal the single-pass batch sketch of ALL the data —
+    the union-of-sketches ≡ sketch-of-union identity surviving the
+    stream/store roundtrip."""
+    from rialto_airflow_spark.operators.sketches import distinct_sketches
+    from rialto_airflow_spark.storage import TableStore
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    store = TableStore(str(tmp_path / "store"))
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(in_dir)
+
+    with SE.few_state_partitions(spark):
+        SE.stream_distinct_sketches(
+            SE.read_event_stream(spark, in_dir), store, "uniq",
+            ["event_type"], "user_id", ckpt,
+        )
+        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(in_dir)
+        SE.stream_distinct_sketches(
+            SE.read_event_stream(spark, in_dir), store, "uniq",
+            ["event_type"], "user_id", ckpt,
+        )
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in store.read(spark, "uniq").collect()
+    }
+    want = {
+        r["event_type"]: r["approx_distinct"]
+        for r in distinct_sketches(ev, ["event_type"], "user_id").collect()
+    }
+    assert got == want
