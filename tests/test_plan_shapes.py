@@ -163,3 +163,79 @@ def test_train_char_lm_topk_is_takeordered(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_c4_line_filter_is_map_only(spark, sf_dir):
+    """The C4 pass must be one codegen'd scan: no Exchange, no Python
+    node — the cheapest-possible-100-TB-pass claim, pinned."""
+    from rialto_airflow_spark.operators import curation as C
+    from rialto_airflow_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    plan = (
+        C.c4_line_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    # (the HOF-lambda projection itself is not codegen-eligible;
+    # runtime subexpression elimination dedupes the repeated
+    # kept-lines subtree inside ProjectExec)
+
+
+def test_dsir_scoring_is_map_only(spark, sf_dir):
+    """After the two bounded stat aggregations, DSIR scoring itself
+    must be a single map-only pass (log-ratio array is a literal, no
+    join)."""
+    from pyspark.sql import functions as F
+
+    from rialto_airflow_spark.operators import sampling as SA
+    from rialto_airflow_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    target = docs.where(F.col("doc_id") % 10 == 0)
+    scored = SA.dsir_weights(docs, target, n_buckets=512)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_dedup_paragraphs_no_global_sort(spark, sf_dir):
+    """Two keyed exchanges (digest, doc id), no Sort over an
+    unpartitioned range — the rebuild sorts inside the aggregation's
+    collect_list, not globally."""
+    from rialto_airflow_spark.operators import curation as C
+    from rialto_airflow_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    plan = (
+        C.dedup_paragraphs(docs, sep=" ")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_bloom_contains_is_codegen_filter(spark, sf_dir):
+    """Membership must stay inside whole-stage codegen as a scan-side
+    Filter: no join, no exchange, no Python."""
+    from rialto_airflow_spark.operators import bloom as B
+    from rialto_airflow_spark.session import load_tables
+
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    cohort = t["customer"].limit(100).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    bf = B.build_bloom(cohort, "o_custkey", m_bits=1 << 14, k=4)
+    pre = B.bloom_prefilter(t["orders"], bf, "o_custkey")
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    # "*(n)" is the executedPlan toString marker for a
+    # WholeStageCodegen span
+    assert "Filter" in plan and "*(" in plan
