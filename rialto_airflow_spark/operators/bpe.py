@@ -197,3 +197,20 @@ def bpe_encode(
         return texts.map(run)
 
     return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def save_bpe(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a trained merge table (rank-ordered) as parquet — the
+    tokenizer MODEL artifact a pipeline ships to its training jobs."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    """Load a persisted merge table back into rank order."""
+    return [
+        (r["a"], r["b"])
+        for r in spark.read.parquet(path).orderBy("rank").collect()
+    ]

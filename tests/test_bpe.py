@@ -106,3 +106,11 @@ def test_bpe_encode_empty_and_unseen(spark):
     assert got[1] == []
     assert got[2] == ["z", "z", "z", END, "u", "n", "s", "e", "e", "n", END]
     assert got[3] == []
+
+
+def test_bpe_model_roundtrip(spark, sf_dir, tmp_path):
+    docs = load_tables(spark, sf_dir, "documents")["documents"].limit(30)
+    merges = B.train_bpe(docs, num_merges=10)
+    path = str(tmp_path / "bpe_model")
+    B.save_bpe(spark, merges, path)
+    assert B.load_bpe(spark, path) == merges
