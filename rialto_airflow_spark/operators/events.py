@@ -69,7 +69,12 @@ def session_stats(
     duration in seconds. One extra map-side-combinable groupBy on the
     (key, session_seq) pair — same partitioning as the sessionize
     shuffle, so AQE can often avoid a second exchange."""
-    s = sessionize(df, key_col, ts_col, gap_seconds, order_cols)
+    # project before the window: the session boundaries need only
+    # (key, ts, order cols), and dropping payload columns here cuts
+    # the shuffle + sort bytes by the payload width (events' `props`
+    # string dominates the row otherwise)
+    slim = df.select(key_col, ts_col, *(order_cols or []))
+    s = sessionize(slim, key_col, ts_col, gap_seconds, order_cols)
     return s.groupBy(key_col, "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
@@ -208,3 +213,37 @@ def range_join(
         .select(*lcols, *rcols)
     )
     return out
+
+
+def rolling_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 3600,
+    prefix: str = "roll",
+) -> DataFrame:
+    """Trailing time-window aggregates per key: for every event, the
+    count / sum / mean of ``value_col`` over the preceding
+    ``window_seconds`` (inclusive of the current row) — the moving
+    baseline behind rate limiting, anomaly scoring, and feature
+    engineering on event streams.
+
+    One shuffle on the key; the frame is a RANGE window over epoch
+    seconds (``rangeBetween(-window, 0)``), so each partition is one
+    sorted pass with a sliding aggregate — no self-join, no explode,
+    O(n log n) per key regardless of window length. Equivalent SQL
+    (``RANGE BETWEEN x PRECEDING AND CURRENT ROW``) runs unchanged in
+    DuckDB, which the tests exploit as the oracle.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_timestamp(F.col(ts_col)))
+        .rangeBetween(-window_seconds, 0)
+    )
+    return df.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias(f"{prefix}_n"),
+        F.round(F.sum(value_col).over(w), 6).alias(f"{prefix}_sum"),
+        F.round(F.avg(value_col).over(w), 6).alias(f"{prefix}_mean"),
+    )

@@ -945,3 +945,57 @@ def test_dsir_select_deterministic_topk(spark):
     assert a == b and len(a) == 10
     # overwhelming majority of the selection should be target-like docs
     assert sum(1 for i in a if i % 2) >= 8
+
+
+# ------------------------------------------------------------- rolling
+
+
+def test_rolling_agg_oracle(spark, sf_dir):
+    """Trailing-window aggregates vs DuckDB's identical RANGE frame."""
+    import duckdb
+
+    from rialto_airflow_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    got = sorted(
+        (r["event_id"], r["roll_n"], r["roll_sum"], r["roll_mean"])
+        for r in E.rolling_agg(
+            ev, "user_id", "ts", "value", window_seconds=3600
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+            SELECT event_id,
+                   count(*) OVER w AS roll_n,
+                   round(sum(value) OVER w, 6) AS roll_sum,
+                   round(avg(value) OVER w, 6) AS roll_mean
+            FROM read_parquet('{sf_dir}/events.parquet')
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_rolling_agg_window_semantics(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0),
+        (2, t0 + datetime.timedelta(seconds=30), 20.0),
+        (3, t0 + datetime.timedelta(seconds=61), 40.0),  # first falls out
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, v, 1) for i, ts, v in rows], "id long, ts timestamp, value double, u int"
+    )
+    got = {
+        r["id"]: (r["roll_n"], r["roll_sum"])
+        for r in E.rolling_agg(df, "u", "ts", "value", window_seconds=60).collect()
+    }
+    assert got[1] == (1, 10.0)
+    assert got[2] == (2, 30.0)
+    assert got[3] == (2, 60.0)  # rows at t+1..t+61: events 2 and 3
