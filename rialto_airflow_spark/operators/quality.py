@@ -1,0 +1,133 @@
+"""Declarative data-quality constraints (the Deequ/Great-Expectations
+pattern, re-expressed as ONE Spark aggregation): a pipeline gate that
+validates a table before publishing — the engine-side counterpart of
+the reference's schema constraints (unique DOI, non-null keys,
+approved-flag domains) that Postgres enforced per-row.
+
+Design: every columnar check compiles to an aggregate EXPRESSION, and
+``run_checks`` evaluates all of them in a single ``agg()`` — one scan
+of the table regardless of how many checks, with map-side partial
+aggregation (the single-pass property is what makes a 100-TB gate
+affordable; per-check scans are the naive N-pass trap). Referential
+checks (`foreign_key`) need a second table and run as LEFT ANTI
+joins — one each, broadcast when the parent's key set is small.
+
+Each check yields (name, passed, observed) where ``observed`` is the
+violation count (or observed fraction for ``completeness``), so a
+report is actionable, not just red/green.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class CheckResult:
+    name: str
+    passed: bool
+    observed: Any
+
+
+def not_null(col: str) -> tuple[str, Column, Any]:
+    """Violations = rows where ``col`` is NULL."""
+    return (
+        f"not_null({col})",
+        F.count_if(F.col(col).isNull()),
+        lambda v: v == 0,
+    )
+
+
+def completeness(col: str, at_least: float) -> tuple[str, Column, Any]:
+    """Fraction of non-null values must be ≥ ``at_least``."""
+    return (
+        f"completeness({col}>={at_least})",
+        F.round(
+            F.count_if(F.col(col).isNotNull()) / F.count(F.lit(1)), 6
+        ),
+        lambda v: v is not None and v >= at_least,
+    )
+
+
+def unique(*cols: str) -> tuple[str, Column, Any]:
+    """Violations = rows beyond the first per key (NULL keys are
+    exempt, matching SQL UNIQUE semantics)."""
+    key_ok = F.lit(True)
+    for c in cols:
+        key_ok = key_ok & F.col(c).isNotNull()
+    keyed = F.when(key_ok, F.struct(*[F.col(c) for c in cols]))
+    return (
+        f"unique({','.join(cols)})",
+        F.count(keyed) - F.count_distinct(keyed),
+        lambda v: v == 0,
+    )
+
+
+def in_range(col: str, lo, hi) -> tuple[str, Column, Any]:
+    """Violations = non-null values outside [lo, hi]."""
+    c = F.col(col)
+    return (
+        f"in_range({col},[{lo},{hi}])",
+        F.count_if(c.isNotNull() & ((c < lo) | (c > hi))),
+        lambda v: v == 0,
+    )
+
+
+def accepted_values(col: str, values: tuple) -> tuple[str, Column, Any]:
+    """Violations = non-null values outside the accepted set."""
+    c = F.col(col)
+    return (
+        f"accepted_values({col})",
+        F.count_if(c.isNotNull() & ~c.isin(*values)),
+        lambda v: v == 0,
+    )
+
+
+def matches(col: str, pattern: str) -> tuple[str, Column, Any]:
+    """Violations = non-null values not fully matching ``pattern``."""
+    c = F.col(col)
+    return (
+        f"matches({col})",
+        F.count_if(c.isNotNull() & ~c.rlike(pattern)),
+        lambda v: v == 0,
+    )
+
+
+def run_checks(df: DataFrame, checks: list[tuple]) -> list[CheckResult]:
+    """Evaluate all columnar checks in ONE aggregation pass."""
+    if not checks:
+        return []
+    aggs = [expr.alias(f"__c{i}") for i, (_, expr, _) in enumerate(checks)]
+    row = df.agg(*aggs).collect()[0]
+    return [
+        CheckResult(name, bool(ok(row[f"__c{i}"])), row[f"__c{i}"])
+        for i, (name, _, ok) in enumerate(checks)
+    ]
+
+
+def foreign_key(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    broadcast_parent: bool = True,
+) -> CheckResult:
+    """Referential integrity: non-null child keys must exist in the
+    parent's key set. One LEFT ANTI join (broadcast by default —
+    parent key dims are small by contract; disable for fact-to-fact
+    checks)."""
+    keys = parent.select(F.col(parent_col).alias(child_col)).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    orphans = (
+        child.where(F.col(child_col).isNotNull())
+        .join(keys, child_col, "left_anti")
+        .count()
+    )
+    return CheckResult(
+        f"foreign_key({child_col}->{parent_col})", orphans == 0, orphans
+    )
