@@ -235,3 +235,56 @@ def test_merge_on_key_idempotent(spark, existing, batch):
     assert rows1 == set(want.items())
     twice = merge_on_key(once, b, "k")
     assert {(r.k, r.v) for r in twice.collect()} == rows1
+
+
+@given(
+    keys=st.sets(st.integers(0, 10_000), min_size=1, max_size=60),
+    probes=st.sets(st.integers(0, 10_000), min_size=1, max_size=60),
+)
+@settings(**_SETTINGS)
+def test_bloom_never_false_negative(spark, keys, probes):
+    from rialto_airflow_spark.operators import bloom as B
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    pdf = spark.createDataFrame([(p,) for p in probes], "k long")
+    bf = B.build_bloom(kdf, "k", m_bits=1 << 12, k=3)
+    hits = {
+        r["k"]
+        for r in pdf.select("k", B.bloom_contains("k", bf).alias("h"))
+        .where("h")
+        .collect()
+    }
+    # every probe that IS a key must test positive, always
+    assert (probes & keys) <= hits
+
+
+@given(
+    old=st.dictionaries(
+        st.integers(0, 20), st.one_of(st.none(), st.integers(0, 3)), max_size=12
+    ),
+    new=st.dictionaries(
+        st.integers(0, 20), st.one_of(st.none(), st.integers(0, 3)), max_size=12
+    ),
+)
+@settings(**_SETTINGS)
+def test_snapshot_diff_matches_dict_model(spark, old, new):
+    from rialto_airflow_spark.operators.merge import snapshot_diff
+
+    def mk(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in d.items()] or [(None, None)], "k long, v long"
+        ).where(F.col("k").isNotNull())
+
+    got = {
+        r["k"]: (r["op"], tuple(r["changed_cols"]))
+        for r in snapshot_diff(mk(old), mk(new), "k").collect()
+    }
+    want = {}
+    for k in old.keys() | new.keys():
+        if k not in old:
+            want[k] = ("insert", ())
+        elif k not in new:
+            want[k] = ("delete", ())
+        elif old[k] != new[k]:
+            want[k] = ("update", ("v",))
+    assert got == want
