@@ -1,0 +1,155 @@
+"""The LLM-pretraining curation pipeline as a task graph — the
+beyond-reference operator families (dedup, curation, text analysis,
+vectorization, classifier, splits) wired into ONE orchestrated run
+with versioned TableStore handoffs, reusing the same ``Dag`` runner
+the reference-shaped DAGs use (``dag.py``).
+
+Stage layout (the Gopher/C4/RefinedWeb ordering — cheap map-only
+gates first so the expensive corpus-wide stages see fewer rows):
+
+  clean → c4_gate → signals → exact_dedup → near_dedup (LSH →
+  connected components → survivors) → decontaminate → classify
+  (TF-IDF + logistic regression on weak labels) → split → report
+
+(q47 in the driver registry composes the same chain as one oracle-
+checked lineage; this graph is the OPERATIONAL form — checkpointed
+stages, resumable, auditable.)
+
+Each stage writes its output table to the TableStore, so a failed run
+resumes from the last published version and every intermediate is
+auditable — the operational property the reference gets from Postgres
+tables, provided here by the pointer-swap parquet store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rialto_airflow_spark.dag import Dag
+from rialto_airflow_spark.operators import classify as CL
+from rialto_airflow_spark.operators import curation as CUR
+from rialto_airflow_spark.operators import dedup as D
+from rialto_airflow_spark.operators import sampling as SA
+from rialto_airflow_spark.operators import text as T
+from rialto_airflow_spark.operators import vectorize as V
+from rialto_airflow_spark.session import load_tables
+from rialto_airflow_spark.storage import TableStore
+
+
+def build_curation_dag() -> Dag:
+    """Context keys: ``spark``, ``sf_dir``, ``store_root``; produces
+    TableStore tables ``docs_clean``, ``docs_gated``, ``docs_dedup``,
+    ``docs_final``, and a ``curation_report`` summary table."""
+    dag = Dag("llm_curation")
+
+    @dag.task("setup")
+    def setup(ctx):
+        ctx["store"] = TableStore(ctx["store_root"])
+
+    @dag.task("clean", upstream=("setup",))
+    def clean(ctx):
+        docs = load_tables(ctx["spark"], ctx["sf_dir"], "documents")[
+            "documents"
+        ]
+        out = docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            T.clean_text("text", form=None).alias("text"),
+        )
+        ctx["store"].write(out, "docs_clean")
+
+    @dag.task("c4_gate", upstream=("clean",))
+    def c4_gate(ctx):
+        docs = ctx["store"].read(ctx["spark"], "docs_clean")
+        # the synthetic corpus is unpunctuated word soup, so the gate
+        # parameters come from the context (real deployments keep the
+        # C4 defaults)
+        gated = CUR.c4_line_filter(
+            docs, **ctx.get("c4_params", {})
+        ).where(F.col("keep"))
+        kept = docs.join(gated.select("doc_id"), "doc_id", "left_semi")
+        ctx["store"].write(kept, "docs_gated")
+
+    @dag.task("signals", upstream=("c4_gate",))
+    def signals(ctx):
+        docs = ctx["store"].read(ctx["spark"], "docs_gated")
+        out = docs.select(
+            "*",
+            F.round(T.quality_score("text"), 4).alias("q_score"),
+            T.char_entropy("text").alias("entropy"),
+            T.token_count("text").alias("n_tokens"),
+        )
+        ctx["store"].write(out, "docs_signals")
+
+    @dag.task("exact_dedup", upstream=("signals",))
+    def exact(ctx):
+        docs = ctx["store"].read(ctx["spark"], "docs_signals")
+        ctx["store"].write(
+            D.exact_dedup(docs, "text", "doc_id"), "docs_exact"
+        )
+
+    @dag.task("near_dedup", upstream=("exact_dedup",))
+    def near(ctx):
+        docs = ctx["store"].read(ctx["spark"], "docs_exact")
+        pairs = D.minhash_near_dups(docs, "doc_id", "text")
+        comps = D.connected_components(pairs)
+        survivors = D.cluster_survivors(docs, comps, "doc_id")
+        ctx["store"].write(survivors, "docs_dedup")
+
+    @dag.task("decontaminate", upstream=("near_dedup",))
+    def decon(ctx):
+        docs = ctx["store"].read(ctx["spark"], "docs_dedup")
+        bench = ctx.get("benchmark_df")
+        if bench is None:  # no eval set supplied — pass-through
+            ctx["store"].write(docs, "docs_decon")
+            return
+        flagged = CUR.decontaminate(docs, bench, "doc_id", "text")
+        ctx["store"].write(
+            docs.join(
+                flagged.where(F.col("contaminated")).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            ),
+            "docs_decon",
+        )
+
+    @dag.task("classify", upstream=("decontaminate",))
+    def classify(ctx):
+        docs = ctx["store"].read(ctx["spark"], "docs_decon")
+        dim = ctx.get("clf_dim", 256)
+        feats = V.hashed_tfidf(docs, dim=dim, l2_normalize=False)
+        # weak labels from the heuristic score — the bootstrap every
+        # real pipeline uses before human labels exist
+        labeled = feats.withColumn(
+            "label", (F.col("q_score") >= 0.5).cast("int")
+        )
+        w = CL.train_logreg(
+            labeled, "tfidf", "label", dim, iterations=ctx.get("clf_iters", 40)
+        )
+        scored = feats.withColumn(
+            "quality_prob", F.round(CL.logreg_score("tfidf", w), 6)
+        ).drop("tfidf")
+        ctx["store"].write(scored, "docs_scored")
+
+    @dag.task("split", upstream=("classify",))
+    def split(ctx):
+        docs = ctx["store"].read(ctx["spark"], "docs_scored")
+        ctx["store"].write(
+            SA.hash_split(docs, "doc_id", {"train": 0.95, "eval": 0.05}),
+            "docs_final",
+        )
+
+    @dag.task("report", upstream=("split",))
+    def report(ctx):
+        docs = ctx["store"].read(ctx["spark"], "docs_final")
+        ctx["store"].write(
+            docs.groupBy("split", "lang").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.round(F.avg("quality_prob"), 4).alias("avg_quality"),
+            ),
+            "curation_report",
+        )
+
+    return dag

@@ -124,3 +124,61 @@ def test_dag_end_to_end(spark, tmp_path):
     # boolean fields are documented as such (K3 formats them true/false)
     dd_types = {r[0]: r[1] for r in dd[1:]}
     assert dd_types.get("federally_funded") == "Boolean"
+
+
+def test_llm_curation_dag_end_to_end(spark, sf_dir, tmp_path):
+    """The full curation task graph runs standalone, publishes every
+    intermediate table, and its report is consistent with docs_final."""
+    from pyspark.sql import functions as F
+
+    from rialto_airflow_spark.llm_dag import build_curation_dag
+    from rialto_airflow_spark.session import load_tables
+
+    dag = build_curation_dag()
+    names = [t.name for t in dag.topo_order()]
+    assert names.index("exact_dedup") > names.index("c4_gate")
+    assert names[-1] == "report"
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    ctx = dag.run(
+        {
+            "spark": spark,
+            "sf_dir": sf_dir,
+            "store_root": str(tmp_path / "store"),
+            # the synthetic corpus is unpunctuated word soup: gate on
+            # line length only so the graph exercises every stage
+            "c4_params": {
+                "min_words_per_line": 5,
+                "min_sentences": 0,
+                "blocklist": (),
+                "drop_brace": False,
+            },
+            "benchmark_df": bench,
+            "clf_dim": 128,
+            "clf_iters": 15,
+        }
+    )
+    store = ctx["store"]
+    n_in = docs.count()
+    n_gated = store.read(spark, "docs_gated").count()
+    n_dedup = store.read(spark, "docs_dedup").count()
+    final = store.read(spark, "docs_final")
+    n_final = final.count()
+    assert 0 < n_final <= n_dedup <= n_gated <= n_in
+    # decontamination removed the benchmark docs themselves
+    decon = store.read(spark, "docs_decon")
+    assert decon.join(bench.select("doc_id"), "doc_id", "left_semi").count() == 0
+    # report totals match the final table
+    rep = store.read(spark, "curation_report")
+    assert rep.agg(F.sum("n_docs")).first()[0] == n_final
+    assert set(
+        r["split"] for r in rep.select("split").distinct().collect()
+    ) <= {"train", "eval"}
+    # every doc got a quality probability in [0, 1]
+    assert (
+        final.where(
+            (F.col("quality_prob") < 0) | (F.col("quality_prob") > 1)
+        ).count()
+        == 0
+    )
