@@ -247,3 +247,54 @@ def rolling_agg(
         F.round(F.sum(value_col).over(w), 6).alias(f"{prefix}_sum"),
         F.round(F.avg(value_col).over(w), 6).alias(f"{prefix}_mean"),
     )
+
+
+def scd2_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    attr_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) lookup: attach the dimension
+    attributes whose validity interval covers each fact's timestamp —
+    the warehouse pattern behind "what was this customer's segment
+    WHEN the order happened".
+
+    Composition, not a new operator: an :func:`asof_join` on
+    ``valid_from`` (backward, per key) followed by an expiry check
+    against the matched version's ``valid_to`` (NULL = current, open
+    interval; expired matches null out their attributes). Inherits
+    the as-of join's single-shuffle union-and-carry shape — no range
+    join, no per-key theta join. For a CORRECT SCD2 history
+    (non-overlapping intervals per key), interval membership and
+    latest-``valid_from``-at-or-before are equivalent, which is what
+    makes the cheap as-of factorization valid.
+    """
+    attr_cols = attr_cols or [
+        c for c in dim.columns if c not in (key_col, valid_from, valid_to)
+    ]
+    # asof_join keys both sides on the SAME ts column name; align the
+    # dim's validity start under the fact's ts column name
+    d = dim.select(
+        F.col(key_col),
+        F.col(valid_from).alias(ts_col),
+        F.col(valid_to).alias("__vt"),
+        *[F.col(c) for c in attr_cols],
+    )
+    out = asof_join(
+        facts, d, key_col, ts_col, value_cols=attr_cols + ["__vt"],
+        right_ts_alias="__version_start",
+    )
+    live = F.col("__vt").isNull() | (F.col(ts_col) < F.col("__vt"))
+    cleaned = out.select(
+        *facts.columns,
+        *[
+            F.when(live, F.col(c)).alias(c)
+            for c in attr_cols
+        ],
+        F.when(live, F.col("__version_start")).alias("version_start"),
+    )
+    return cleaned

@@ -999,3 +999,90 @@ def test_rolling_agg_window_semantics(spark):
     assert got[1] == (1, 10.0)
     assert got[2] == (2, 30.0)
     assert got[3] == (2, 60.0)  # rows at t+1..t+61: events 2 and 3
+
+
+# ---------------------------------------------------------------- SCD2
+
+
+def test_scd2_join_versions_and_gaps(spark):
+    import datetime
+
+    def d(day):
+        return datetime.datetime(2024, 1, day)
+
+    dim = spark.createDataFrame(
+        [
+            (1, d(1), d(10), "bronze"),
+            (1, d(10), d(20), "silver"),
+            (1, d(20), None, "gold"),     # current version, open-ended
+            (2, d(5), d(8), "trial"),      # expires; gap after day 8
+        ],
+        "cust long, valid_from timestamp, valid_to timestamp, tier string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, d(1)),    # boundary: valid_from inclusive
+            (101, 1, d(9)),    # bronze
+            (102, 1, d(10)),   # boundary: new version starts
+            (103, 1, d(25)),   # open-ended current
+            (104, 2, d(6)),    # trial
+            (105, 2, d(9)),    # in the GAP -> no valid version
+            (106, 2, d(4)),    # before any version
+        ],
+        "fact_id long, cust long, ts timestamp",
+    )
+    got = {
+        r["fact_id"]: (r["tier"], r["version_start"])
+        for r in E.scd2_join(facts, dim, "cust", "ts").collect()
+    }
+    assert got[100] == ("bronze", d(1))
+    assert got[101] == ("bronze", d(1))
+    assert got[102] == ("silver", d(10))
+    assert got[103] == ("gold", d(20))
+    assert got[104] == ("trial", d(5))
+    assert got[105] == (None, None)  # expired, not carried from older
+    assert got[106] == (None, None)
+
+
+def test_scd2_join_matches_range_join_on_closed_intervals(spark, sf_dir):
+    """On a closed-interval SCD history the as-of factorization must
+    agree with the bucketized interval join."""
+    import datetime
+
+    from rialto_airflow_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "event_id", "user_id", "ts"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo).total_seconds()
+    # three consecutive versions per user covering the span
+    bounds = [lo + datetime.timedelta(seconds=span * f) for f in (0, 0.33, 0.66, 1.01)]
+    users = ev.select("user_id").distinct()
+    vers = None
+    for i in range(3):
+        v = users.select(
+            "user_id",
+            F.lit(bounds[i]).alias("valid_from"),
+            F.lit(bounds[i + 1]).alias("valid_to"),
+            F.lit(f"v{i}").alias("tag"),
+        )
+        vers = v if vers is None else vers.unionByName(v)
+    got = E.scd2_join(ev, vers, "user_id", "ts").select(
+        "event_id", "tag"
+    )
+    want = E.range_join(
+        ev,
+        vers.withColumn(
+            "valid_to_incl", F.col("valid_to") - F.expr("INTERVAL 1 second")
+        ).select("user_id", "valid_from", "valid_to_incl", "tag"),
+        "user_id",
+        "ts",
+        "valid_from",
+        "valid_to_incl",
+        bucket_seconds=int(span / 3) + 1,
+    ).select("event_id", "tag")
+    # scd2 emits every fact (left join); range_join emits matches only
+    matched = got.where(F.col("tag").isNotNull())
+    assert matched.count() == want.count()
+    assert matched.exceptAll(want).unionAll(want.exceptAll(matched)).count() == 0
