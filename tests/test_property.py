@@ -288,3 +288,29 @@ def test_snapshot_diff_matches_dict_model(spark, old, new):
         elif old[k] != new[k]:
             want[k] = ("update", ("v",))
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    n_merges=st.integers(1, 8),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_training_matches_reference_on_random_corpora(
+    spark, texts, n_merges
+):
+    from rialto_airflow_spark.operators import bpe as B
+    from tests.test_bpe import _py_train
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    assert B.train_bpe(
+        df, num_merges=n_merges, checkpoint_every=3
+    ) == _py_train(texts, n_merges)
