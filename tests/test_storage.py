@@ -122,3 +122,47 @@ def test_write_sorted_produces_disjoint_ranges(spark, sf_dir, tmp_path):
     assert len(ranges) > 1
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_write_zordered_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order vs single-column sort: for a predicate on the SECOND
+    clustered column, the z-ordered layout's per-file min/max stats
+    exclude files a plain sort cannot (sorted-by-user files all span
+    the full value range)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from rialto_airflow_spark.session import load_tables
+    from rialto_airflow_spark.storage import write_sorted, write_zordered
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    z_dir, s_dir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(ev, z_dir, ["user_id", "value"], num_files=8)
+    write_sorted(ev, s_dir, ["user_id"], num_files=8)
+    assert spark.read.parquet(z_dir).count() == ev.count()
+
+    def files_matching(d, col, lo, hi):
+        n_match, n_total = 0, 0
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }
+            i = cols[col]
+            mins = [md.row_group(g).column(i).statistics.min for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(i).statistics.max for g in range(md.num_row_groups)]
+            n_total += 1
+            if max(mins and [min(mins)]) <= hi and min(maxs and [max(maxs)]) >= lo:
+                n_match += 1
+        return n_match, n_total
+
+    lo, hi = ev.approxQuantile("value", [0.4, 0.5], 0.01)
+    z_match, z_total = files_matching(z_dir, "value", lo, hi)
+    s_match, s_total = files_matching(s_dir, "value", lo, hi)
+    assert z_total == s_total == 8
+    # plain user-sort cannot prune on value at all
+    assert s_match == s_total
+    # z-order must prune at least some files for a narrow value band
+    assert z_match < z_total, (z_match, z_total)
