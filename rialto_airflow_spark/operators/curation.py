@@ -460,11 +460,18 @@ def mixture_resample(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    scale = min(
+    usable = [
         counts[s] / share
         for s, share in target_shares.items()
         if share > 0 and s in counts
-    )
+    ]
+    if not usable:
+        raise ValueError(
+            "mixture_resample: no positive-share source in target_shares "
+            f"exists in the corpus (targets={sorted(target_shares)}, "
+            f"present={sorted(counts)})"
+        )
+    scale = min(usable)
     rate = None
     for s, share in target_shares.items():
         if s not in counts:

@@ -167,17 +167,22 @@ def snapshot_diff(
     compare_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Change-data-capture between two table snapshots: one
-    null-safe full-outer join on the key classifying every row as
+    full-outer join on the key classifying every row as
     ``insert`` / ``delete`` / ``update`` (with the changed column
     names), dropping unchanged rows.
+
+    Null-KEY rows are excluded (a CDC identity requires a key; with
+    several null-key rows per side no pairing is well-defined — the
+    same reason ``merge_on_key`` routes them straight to insert).
+    Null VALUES are handled: ``eqNullSafe`` keeps NULL→value and
+    value→NULL transitions visible as changes.
 
     The inverse of :func:`merge_on_key` — where MERGE applies a delta,
     this derives one, e.g. to publish an incremental feed from two
     versions of a :class:`~rialto_airflow_spark.storage.TableStore`
     table, or to audit what a pipeline run changed. One shuffle on the
     key (broadcast when either side is small); the change test is
-    column algebra (no row comparison UDF), and ``eqNullSafe`` keeps
-    NULL→value and value→NULL transitions visible as changes.
+    column algebra, no row-comparison UDF.
 
     Output: ``key, op, changed_cols`` (changed_cols empty for
     insert/delete — the row itself is the change).
@@ -185,8 +190,18 @@ def snapshot_diff(
     cols = compare_cols or [
         c for c in new.columns if c != key and c in old.columns
     ]
-    o = old.select(key, *cols).withColumn("__o", F.lit(True)).alias("o")
-    n = new.select(key, *cols).withColumn("__n", F.lit(True)).alias("n")
+    o = (
+        old.select(key, *cols)
+        .where(F.col(key).isNotNull())
+        .withColumn("__o", F.lit(True))
+        .alias("o")
+    )
+    n = (
+        new.select(key, *cols)
+        .where(F.col(key).isNotNull())
+        .withColumn("__n", F.lit(True))
+        .alias("n")
+    )
     j = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
     changed = F.filter(
         F.array(

@@ -55,6 +55,49 @@ def sign_bucket(vec: Column, bits: int = 8) -> Column:
     return b
 
 
+def dequant(qvec: Column | str = "qvec", scale: Column | str = "qscale") -> Column:
+    """int8 codes -> float vector: transform(qvec, x -> x*scale). The
+    single definition of the quantization read contract — every
+    indexed/in-memory path that stores (qvec, qscale) reconstructs
+    through this, so a storage-format change lands in one place (the
+    column-level twin of :func:`dequantize_embeddings`)."""
+    q = F.col(qvec) if isinstance(qvec, str) else qvec
+    sc = F.col(scale) if isinstance(scale, str) else scale
+    return F.transform(q, lambda x: x.cast("double") * sc)
+
+
+def _centroid_arrays(cent_rows):
+    """(cid, ctr) rows -> (cids, cmat, cnorms) numpy triple. The norm
+    uses the same left-to-right fold as :func:`norm` so driver-side
+    scores stay bit-identical to the Column algebra."""
+    import math
+
+    import numpy as np
+
+    cids = np.array([int(r.cid) for r in cent_rows], dtype=np.int64)
+    cmat = np.array(
+        [[float(x) for x in r.ctr] for r in cent_rows], dtype=np.float64
+    )
+    cnorms = []
+    for row in cmat:
+        acc = 0.0
+        for x in row:
+            acc += x * x
+        cnorms.append(math.sqrt(acc))
+    return cids, cmat, np.array(cnorms, dtype=np.float64)
+
+
+def _load_centroids(spark, index_path: str):
+    """Read a persisted index's centroid table into the numpy triple
+    (ascending cid so stable argsorts tie-break like the oracles)."""
+    return _centroid_arrays(
+        sorted(
+            spark.read.parquet(f"{index_path}/centroids").collect(),
+            key=lambda r: int(r.cid),
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -316,12 +359,7 @@ def write_lsh_index(
             "neighbor_id",
             "qvec",
             "qscale",
-            norm(
-                F.transform(
-                    F.col("qvec"),
-                    lambda x: x.cast("double") * F.col("qscale"),
-                )
-            ).alias("vec_norm"),
+            norm(dequant()).alias("vec_norm"),
             "bucket",
         )
     salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(_WRITE_SALT))
@@ -375,12 +413,7 @@ def lsh_topk_indexed(
     if quantized is None:
         quantized = "qvec" in idx.columns
     if quantized:
-        idx = idx.withColumn(
-            "vec",
-            F.transform(
-                F.col("qvec"), lambda x: x.cast("double") * F.col("qscale")
-            ),
-        )
+        idx = idx.withColumn("vec", dequant())
     sim = F.round(
         dot(F.col("__qv"), F.col("vec")) / (F.col("__qn") * F.col("vec_norm")),
         6,
@@ -419,17 +452,7 @@ def _pick_centroids(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: i
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ctr"))
         .collect()
     )
-    cids = np.array([int(r.cid) for r in cent_rows], dtype=np.int64)
-    cmat = np.array(
-        [[float(x) for x in r.ctr] for r in cent_rows], dtype=np.float64
-    )
-    cnorms = []
-    for row in cmat:
-        acc = 0.0  # same left-to-right fold as norm() — bit-identical
-        for x in row:
-            acc += x * x
-        cnorms.append(math.sqrt(acc))
-    return cids, cmat, np.array(cnorms, dtype=np.float64)
+    return _centroid_arrays(cent_rows)
 
 
 def _centroid_assign(
@@ -537,12 +560,7 @@ def write_ivf_index(
             "neighbor_id",
             "qvec",
             "qscale",
-            norm(
-                F.transform(
-                    F.col("qvec"),
-                    lambda x: x.cast("double") * F.col("qscale"),
-                )
-            ).alias("vec_norm"),
+            norm(dequant()).alias("vec_norm"),
             "centroid_id",
         )
     elif pq_codebooks is not None:
@@ -601,21 +619,7 @@ def ivf_topk_indexed(
 
     import numpy as np
 
-    cent_rows = sorted(
-        spark.read.parquet(f"{index_path}/centroids").collect(),
-        key=lambda r: int(r.cid),
-    )
-    cids = np.array([int(r.cid) for r in cent_rows], dtype=np.int64)
-    cmat = np.array(
-        [[float(x) for x in r.ctr] for r in cent_rows], dtype=np.float64
-    )
-    cnorms = []
-    for row in cmat:
-        acc = 0.0  # same fold as norm()
-        for x in row:
-            acc += x * x
-        cnorms.append(math.sqrt(acc))
-    cnorms = np.array(cnorms, dtype=np.float64)
+    cids, cmat, cnorms = _load_centroids(spark, index_path)
 
     q = F.broadcast(
         _centroid_assign(
@@ -643,12 +647,7 @@ def ivf_topk_indexed(
     if quantized is None:
         quantized = "qvec" in idx.columns
     if quantized:
-        idx = idx.withColumn(
-            "vec",
-            F.transform(
-                F.col("qvec"), lambda x: x.cast("double") * F.col("qscale")
-            ),
-        )
+        idx = idx.withColumn("vec", dequant())
     sim = F.round(
         dot(F.col("__qv"), F.col("vec")) / (F.col("__qn") * F.col("vec_norm")),
         6,
@@ -696,21 +695,7 @@ def append_ivf_index(
     import numpy as np
 
     spark = corpus.sparkSession
-    cent_rows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: int(r.cid),
-    )
-    cids = np.array([int(r.cid) for r in cent_rows], dtype=np.int64)
-    cmat = np.array(
-        [[float(x) for x in r.ctr] for r in cent_rows], dtype=np.float64
-    )
-    cnorms = []
-    for row in cmat:
-        acc = 0.0  # same fold as norm()
-        for x in row:
-            acc += x * x
-        cnorms.append(math.sqrt(acc))
-    cnorms = np.array(cnorms, dtype=np.float64)
+    cids, cmat, cnorms = _load_centroids(spark, path)
 
     assigned = _centroid_assign(
         corpus, id_col, vec_col, "neighbor_id", 1, cids, cmat, cnorms
@@ -726,12 +711,7 @@ def append_ivf_index(
             "neighbor_id",
             "qvec",
             "qscale",
-            norm(
-                F.transform(
-                    F.col("qvec"),
-                    lambda x: x.cast("double") * F.col("qscale"),
-                )
-            ).alias("vec_norm"),
+            norm(dequant()).alias("vec_norm"),
             "centroid_id",
         )
     elif "pq_codes" in existing:
@@ -789,21 +769,7 @@ def ivf_pq_topk_indexed(
     for r in books_rows:
         books[r.j, r.c] = np.asarray(r.ctr, dtype=np.float64)
 
-    cent_rows = sorted(
-        spark.read.parquet(f"{index_path}/centroids").collect(),
-        key=lambda r: int(r.cid),
-    )
-    cids = np.array([int(r.cid) for r in cent_rows], dtype=np.int64)
-    cmat = np.array(
-        [[float(x) for x in r.ctr] for r in cent_rows], dtype=np.float64
-    )
-    cnorms = []
-    for row in cmat:
-        acc = 0.0  # same fold as norm()
-        for x in row:
-            acc += x * x
-        cnorms.append(math.sqrt(acc))
-    cnorms = np.array(cnorms, dtype=np.float64)
+    cids, cmat, cnorms = _load_centroids(spark, index_path)
 
     qa = _centroid_assign(
         queries, id_col, vec_col, "query_id", min(nprobe, len(cids)),

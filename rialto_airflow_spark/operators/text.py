@@ -234,7 +234,12 @@ def train_char_lm(
     ranked cut is deterministic (count desc, gram asc). The returned
     model is top_k rows — broadcastable by construction."""
     grams = docs.select(F.explode(char_ngrams(text_col, n)).alias("gram"))
-    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    # persist: the corpus-wide explode+count lineage feeds BOTH the
+    # driver-side total and the returned top-k cut — without it the
+    # most expensive pass of the operator runs twice
+    counts = (
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
     total = counts.agg(F.sum("cnt")).first()[0] or 1
     # deterministic top-k via orderBy+limit: compiles to
     # TakeOrderedAndProject (per-partition heaps + driver merge), never
@@ -312,13 +317,17 @@ def bm25_scores(
     corpus scans total, zero Python, zero joins.
 
     Returns (id, doc_len, score) for every document, score rounded to
-    4 places (0.0 for documents matching no term). Blank documents
-    count as length 0."""
+    4 places (0.0 for documents matching no term). Blank and NULL
+    documents both count as length 0 with score 0.0."""
     terms = list(dict.fromkeys(t for t in query.split() if t))
     if not terms:
         raise ValueError("query must contain at least one term")
-    toks = tokens(text_col)
-    dl = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+    # NULL text must not poison the algebra: split(NULL) is NULL, so
+    # both doc_len and every per-term size(filter(...)) would come out
+    # NULL (trim(NULL) == '' is NULL, not true) — coalesce to an empty
+    # token array so NULL behaves exactly like a blank document
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    dl = F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "", F.lit(0)).otherwise(
         F.size(toks)
     )
     def _tf(term: str) -> Column:

@@ -482,13 +482,22 @@ def stream_upsert(
         if not batch.columns:
             return
         spark = batch.sparkSession
-        # collapse duplicate keys to the latest-by-ts row (row_number,
-        # not sort+dropDuplicates — the latter keeps an ARBITRARY row);
-        # null keys bypass the dedup entirely: merge semantics say each
+        # collapse duplicate keys to the latest-by-ts row via
+        # row_number with a FULL deterministic order — ts ties (and
+        # the no-ts path) break on the remaining columns descending,
+        # so a replayed batch always collapses to the SAME row (the
+        # exactly-once convergence claim depends on this). Null keys
+        # bypass the dedup entirely: merge semantics say each
         # null-key row inserts, so none of them may collapse away
         keyed = batch.where(F.col(key).isNotNull())
-        if "ts" in batch.columns:
-            w = Window.partitionBy(key).orderBy(F.col("ts").desc())
+        others = [c for c in batch.columns if c != key]
+        order = (
+            [F.col("ts").desc()] if "ts" in batch.columns else []
+        ) + [
+            F.col(c).desc_nulls_last() for c in others if c != "ts"
+        ]
+        if order:
+            w = Window.partitionBy(key).orderBy(*order)
             keyed = (
                 keyed.withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1)

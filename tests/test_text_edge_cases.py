@@ -352,3 +352,18 @@ def test_clean_text_unicode_and_control(spark):
     }
     assert plain[1] == "café time"
     assert plain[2] == "abcd"
+
+
+def test_bm25_null_and_blank_docs_score_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "spark query engine"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["doc_len"], r["score"])
+        for r in T.bm25_scores(df, "doc_id", "text", "spark engine").collect()
+    }
+    assert got[1][0] == 3 and got[1][1] > 0
+    assert got[2] == (0, 0.0)
+    assert got[3] == (0, 0.0)
+    assert got[4] == (0, 0.0)
