@@ -481,3 +481,67 @@ def mixture_resample(
         rate = F.when(cond, r) if rate is None else rate.when(cond, r)
     rate = F.lit(0.0) if rate is None else rate.otherwise(F.lit(0.0))
     return df.where(hash_uniform(id_col, salt) < rate)
+
+
+def split_leakage_report(
+    docs: DataFrame,
+    split_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate LEAKAGE between dataset splits: pairs of
+    documents in DIFFERENT splits that MinHash-LSH flags as near-dups
+    — the check that catches an eval set contaminated by its own
+    training split (hash_split guarantees disjoint IDs, not disjoint
+    CONTENT; this closes that gap).
+
+    Reuses the banded-LSH pair generation from ``operators/dedup``
+    (never all-pairs), then keeps only cross-split pairs. Output:
+    one row per (split_a, split_b) pair with the leaked-pair count
+    and example ids — per-pair detail is one filter away for
+    remediation. Empty result = no detected leakage at the LSH
+    sensitivity chosen.
+    """
+    from rialto_airflow_spark.operators.dedup import minhash_near_dups
+
+    pairs = minhash_near_dups(
+        docs, id_col, text_col, num_perm=num_perm, bands=bands,
+        shingle_n=shingle_n,
+    )
+    labels = docs.select(F.col(id_col), F.col(split_col))
+    labeled = (
+        pairs.join(
+            labels.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                split_col, "split_a"
+            ),
+            "id_a",
+        )
+        .join(
+            labels.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                split_col, "split_b"
+            ),
+            "id_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+    # canonical orientation so (train, eval) and (eval, train) merge
+    a_first = F.col("split_a") <= F.col("split_b")
+    oriented = labeled.select(
+        F.when(a_first, F.col("split_a")).otherwise(F.col("split_b")).alias(
+            "split_a"
+        ),
+        F.when(a_first, F.col("split_b")).otherwise(F.col("split_a")).alias(
+            "split_b"
+        ),
+        F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("id_a"),
+        F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("id_b"),
+    )
+    return oriented.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_leaked_pairs"),
+        F.slice(
+            F.array_sort(F.collect_set(F.col("id_a"))), 1, 10
+        ).alias("example_ids"),
+    )
