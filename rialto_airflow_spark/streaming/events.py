@@ -447,6 +447,49 @@ def enrich_stream(
     return events.join(F.broadcast(dim), key, how)
 
 
+def _merge_batch(
+    store, table: str, key: str, batch, update_cols=None
+) -> None:
+    """Shared foreachBatch MERGE body for the streaming upsert sinks:
+    collapse duplicate keys to ONE row via a FULLY deterministic
+    order (ts desc first when present, then every remaining column
+    descending — ties must break identically on replay for the
+    exactly-once convergence claim), route null keys straight to
+    insert, then merge_on_key into the versioned store. The merge
+    plan reads the CURRENT version while the write lands a NEW
+    version dir; the pointer swap publishes atomically — readers
+    never see a partial batch."""
+    from pyspark.sql.window import Window
+
+    from rialto_airflow_spark.operators.merge import merge_on_key
+
+    spark = batch.sparkSession
+    keyed = batch.where(F.col(key).isNotNull())
+    others = [c for c in batch.columns if c != key]
+    order = ([F.col("ts").desc()] if "ts" in batch.columns else []) + [
+        F.col(c).desc_nulls_last() for c in others if c != "ts"
+    ]
+    if order:
+        w = Window.partitionBy(key).orderBy(*order)
+        keyed = (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        keyed = keyed.dropDuplicates([key])
+    b = keyed.unionByName(batch.where(F.col(key).isNull()))
+    try:
+        existing = store.read(spark, table)
+    except FileNotFoundError:
+        merged = b
+    else:
+        merged = merge_on_key(
+            existing, b, key, update_cols=update_cols, broadcast_batch=True
+        )
+    store.write(merged, table)
+
+
 def stream_upsert(
     events: DataFrame,
     store,
@@ -474,50 +517,10 @@ def stream_upsert(
     the key — broadcast when the batch is small (the common case for
     a trickle stream), one shuffle otherwise.
     """
-    from rialto_airflow_spark.operators.merge import merge_on_key
-
-    from pyspark.sql.window import Window
-
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
-        spark = batch.sparkSession
-        # collapse duplicate keys to the latest-by-ts row via
-        # row_number with a FULL deterministic order — ts ties (and
-        # the no-ts path) break on the remaining columns descending,
-        # so a replayed batch always collapses to the SAME row (the
-        # exactly-once convergence claim depends on this). Null keys
-        # bypass the dedup entirely: merge semantics say each
-        # null-key row inserts, so none of them may collapse away
-        keyed = batch.where(F.col(key).isNotNull())
-        others = [c for c in batch.columns if c != key]
-        order = (
-            [F.col("ts").desc()] if "ts" in batch.columns else []
-        ) + [
-            F.col(c).desc_nulls_last() for c in others if c != "ts"
-        ]
-        if order:
-            w = Window.partitionBy(key).orderBy(*order)
-            keyed = (
-                keyed.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-        else:
-            keyed = keyed.dropDuplicates([key])
-        b = keyed.unionByName(batch.where(F.col(key).isNull()))
-        try:
-            existing = store.read(spark, table)
-        except FileNotFoundError:
-            merged = b
-        else:
-            merged = merge_on_key(
-                existing, b, key, update_cols=update_cols, broadcast_batch=True
-            )
-        # the merge plan reads the CURRENT version while the write
-        # lands a NEW version dir; the pointer swap publishes it
-        # atomically — readers never see a partial batch
-        store.write(merged, table)
+        _merge_batch(store, table, key, batch, update_cols=update_cols)
 
     q = (
         events.writeStream.foreachBatch(_apply)
@@ -621,6 +624,57 @@ def stream_distinct_sketches(
                 prev.unionByName(fresh), group_cols
             )
         store.write(merged, table)
+
+    q = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def gated_stream_upsert(
+    events: DataFrame,
+    store,
+    table: str,
+    key: str,
+    checkpoint: str,
+    checks: list | None = None,
+    quarantine_table: str | None = None,
+) -> None:
+    """:func:`stream_upsert` with a data-quality gate in front of the
+    publish (operators/quality.py): every micro-batch runs the
+    declarative checks FIRST — one extra aggregation pass over the
+    batch, not the table — and a failing batch is diverted to
+    ``quarantine_table`` (appended, with the failing check names)
+    instead of merging, so bad upstream data can never reach the
+    published pointer. The write-audit-publish pattern, streaming.
+
+    ``checks`` are quality-module check tuples (not_null, unique,
+    in_range, ...). With no checks this degrades to stream_upsert.
+    """
+    from rialto_airflow_spark.operators.quality import run_checks
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        spark = batch.sparkSession
+        if checks:
+            failed = [r.name for r in run_checks(batch, checks) if not r.passed]
+            if failed:
+                if quarantine_table is not None:
+                    q = batch.withColumn(
+                        "__failed_checks", F.lit(",".join(failed))
+                    ).withColumn("__batch_id", F.lit(batch_id))
+                    try:
+                        prev = store.read(spark, quarantine_table)
+                        q = prev.unionByName(q, allowMissingColumns=True)
+                    except FileNotFoundError:
+                        pass
+                    store.write(q, quarantine_table)
+                return  # batch rejected; published table untouched
+        _merge_batch(store, table, key, batch)
 
     q = (
         events.writeStream.foreachBatch(_apply)

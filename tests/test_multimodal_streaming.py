@@ -581,3 +581,50 @@ def test_stream_distinct_sketches_match_batch(spark, sf_dir, tmp_path):
         for r in distinct_sketches(ev, ["event_type"], "user_id").collect()
     }
     assert got == want
+
+
+def test_gated_stream_upsert_quarantines_bad_batch(spark, tmp_path):
+    """A batch violating the gate never reaches the published table;
+    it lands in quarantine with the failing check names, and a clean
+    batch publishes normally."""
+    import datetime
+
+    from rialto_airflow_spark.operators import quality as Q
+    from rialto_airflow_spark.storage import TableStore
+
+    in_dir, ck1, ck2 = (
+        str(tmp_path / "in"),
+        str(tmp_path / "ck1"),
+        str(tmp_path / "ck2"),
+    )
+    store = TableStore(str(tmp_path / "store"))
+    t0 = datetime.datetime(2024, 1, 1, 12)
+    checks = [Q.in_range("value", 0, 100)]
+
+    bad = spark.createDataFrame(
+        [(1, t0, 10, "view", -5.0, "{}")], SE.EVENTS_DDL
+    )
+    bad.coalesce(1).write.parquet(in_dir)
+    SE.gated_stream_upsert(
+        SE.read_event_stream(spark, in_dir), store, "cur", "event_id",
+        ck1, checks=checks, quarantine_table="bad",
+    )
+    try:
+        store.read(spark, "cur")
+        raise AssertionError("bad batch must not publish")
+    except FileNotFoundError:
+        pass
+    qrows = store.read(spark, "bad").collect()
+    assert len(qrows) == 1
+    assert "in_range(value,[0,100])" in qrows[0]["__failed_checks"]
+
+    good = spark.createDataFrame(
+        [(2, t0, 11, "view", 5.0, "{}")], SE.EVENTS_DDL
+    )
+    good.coalesce(1).write.parquet(in_dir, mode="append")
+    SE.gated_stream_upsert(
+        SE.read_event_stream(spark, in_dir), store, "cur", "event_id",
+        ck1, checks=checks, quarantine_table="bad",
+    )
+    pub = store.read(spark, "cur").collect()
+    assert [r["event_id"] for r in pub] == [2]
