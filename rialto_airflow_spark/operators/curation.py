@@ -433,6 +433,234 @@ def dedup_paragraphs(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 10,
+) -> DataFrame:
+    """Exact duplicate-substring removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): every token span that repeats anywhere in the
+    corpus — across documents or within one — keeps only its
+    globally-first occurrence; later occurrences are cut out and the
+    document is rebuilt from its surviving tokens.
+
+    Token-window factorization of the paper's suffix-array method
+    (which is inherently single-machine): a duplicated span of
+    ≥ ``window`` tokens contains a stride-1 window of length
+    ``window`` at every offset, so hashing ALL stride-1 windows and
+    keeping, per hash, only the minimum ``(doc, start)`` occurrence
+    marks exactly the non-first copies. Marked window starts merge
+    into maximal intervals per document (a sorted fold — overlapping
+    windows coalesce), and tokens inside any interval are dropped.
+    Spans shorter than ``window`` tokens are below the detection
+    granularity (the paper uses 50 BPE tokens; default 10 here for
+    whitespace tokens).
+
+    Distributed shape: window hashes are computed MAP-SIDE as a
+    per-doc array (``transform`` over ``sequence``, O(n·window) char
+    work, zero Python), then posexplode carries only
+    ``(id, start, hash)`` — never window text. Shuffle 1 groups by
+    hash (map-side-combinable ``min(struct)`` + count, so a
+    million-fold repeated span still sends one row per partition);
+    shuffle 2 regroups marked starts per doc; the interval merge and
+    token rebuild are pure Column folds. Hot hashes are exactly the
+    most-duplicated spans — their groups collapse map-side.
+
+    Output: ``(id_col, clean_text, n_tokens, n_removed)`` for every
+    input row. Rebuild joins surviving tokens with single spaces
+    (whitespace is not preserved through tokenization — same contract
+    as the paper's token-level cut). Deterministic: first occurrence
+    is min(struct(id, start)), no RNG.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col), toks.alias("__t")
+    ).withColumn("__n", F.size("__t"))
+
+    # per-doc window-hash array, map-side; xxhash64 over the
+    # NUL-joined slice so token boundaries can't alias ("a b","c" vs
+    # "a","b c")
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.col("__n") - window),
+        lambda i: F.xxhash64(
+            F.array_join(F.slice(F.col("__t"), i + 1, window), "\x00")
+        ),
+    )
+    wins = base.where(F.col("__n") >= window).select(
+        F.col(id_col), F.posexplode(hashes).alias("start", "h")
+    )
+    firsts = wins.groupBy("h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("start").alias("p"))
+        ).alias("f"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    marked = (
+        wins.join(firsts.where(F.col("cnt") >= 2), "h")
+        .where(
+            ~(
+                (F.col(id_col) == F.col("f.i"))
+                & (F.col("start") == F.col("f.p"))
+            )
+        )
+        .select(F.col(id_col), F.col("start"))
+    )
+    # sorted starts -> maximal [lo, hi) intervals: all windows share
+    # width `window`, so on a sorted walk an overlapping-or-touching
+    # start always extends the last interval's hi to start+window
+    starts = marked.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("start")).alias("__starts")
+    )
+    empty = F.array().cast("array<struct<lo:int,hi:int>>")
+    ivals = F.aggregate(
+        F.col("__starts"),
+        empty,
+        lambda acc, s: F.when(
+            (F.size(acc) == 0) | (s > F.element_at(acc, -1)["hi"]),
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s.cast("int").alias("lo"),
+                        (s + window).cast("int").alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        (s + window).cast("int").alias("hi"),
+                    )
+                ),
+            )
+        ),
+    )
+    with_ivals = base.join(
+        starts, id_col, "left"
+    ).withColumn("__iv", F.coalesce(ivals, empty))
+    # __n >= 1 always (split of '' is ['']), so the sequence is valid
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.col("__n") - 1),
+        lambda i: ~F.exists(
+            F.col("__iv"), lambda r: (i >= r["lo"]) & (i < r["hi"])
+        ),
+    )
+    return with_ivals.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.get("__t", i)), " "
+        ).alias("clean_text"),
+        F.col("__n").alias("n_tokens"),
+        (F.col("__n") - F.size(kept_idx)).alias("n_removed"),
+    )
+
+
+# Gopher document-level stopwords (Rae et al. 2021 §A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """The full Gopher document-level quality rule set (Rae et al.
+    2021 §A1.1) as pure Column algebra — the published thresholds,
+    parameterized: word count in [50, 100k], mean word length in
+    [3, 10], symbol-to-word ratio (``#`` or ``...``) ≤ 0.1, < 90% of
+    lines starting with a bullet, < 30% ending with an ellipsis,
+    ≥ 80% of words containing an alphabetic character, and ≥ 2 of the
+    eight English stopwords present.
+
+    Complements the heuristic composite in ``text.quality_score``
+    (free-form score) with the exact named filter reviewers expect;
+    :func:`c4_line_filter` covers the line-level C4 rules. Output is
+    one row per document with every metric plus the combined ``keep``
+    flag, so threshold decisions are auditable. Map-only, zero
+    shuffle, whole-stage codegen end-to-end — the cheapest 100-TB
+    pass; run it before any shuffle-bearing dedup stage to shrink
+    that stage's input.
+    """
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    n_words = F.size(words)
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        )
+        / n_words,
+    )
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\.|…"), F.lit(0))
+    )
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(0.0)
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words,
+    ).otherwise(0.0)
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln) != ""
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[•\-\*•]"))
+        )
+        / n_lines,
+    ).otherwise(0.0)
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
+        / n_lines,
+    ).otherwise(0.0)
+    lowered = F.transform(words, lambda w: F.lower(w))
+    stop_hits = F.lit(0)
+    for sw in stopwords:
+        stop_hits = stop_hits + F.array_contains(lowered, sw).cast("int")
+    m = {
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_wlen, 6),
+        "symbol_ratio": F.round(symbol_ratio, 6),
+        "bullet_frac": F.round(bullet_frac, 6),
+        "ellipsis_frac": F.round(ellipsis_frac, 6),
+        "alpha_word_frac": F.round(alpha_frac, 6),
+        "stopword_hits": stop_hits,
+    }
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & mean_wlen.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= max_symbol_word_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stopword_hits)
+    )
+    return docs.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in m.items()],
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
 def mixture_resample(
     df: DataFrame,
     source_col: str,

@@ -503,6 +503,93 @@ def embedding_near_dups(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    centroids=None,
+    k: int = 8,
+    max_iters: int = 3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — cluster the corpus with
+    k-means, form cosine-similarity pairs ONLY within each cluster,
+    connect pairs into duplicate groups, keep one representative
+    (the smallest id) per group.
+
+    Returns ``(id_col, centroid_id, keep)`` — auditable flags; filter
+    on ``keep`` or feed the kept ids to a semi-join. Composition of
+    existing machinery, no new physical shape: assignment is the same
+    one-matmul-per-Arrow-batch map-only pass the IVF operators use
+    (corpus never shuffles to get a cluster id), the pair stage is
+    :func:`embedding_near_dups`'s blocked join with ``centroid_id``
+    as the block, and grouping is :func:`connected_components`.
+
+    Scale contract: all-pairs work is bounded by the squared cluster
+    size — pick ``k`` so clusters stay ~1e4-1e5 rows at the target
+    scale (the paper uses k=50k for LAION). Known approximation,
+    inherited from the paper: a near-dup pair split across a cluster
+    boundary is never examined; raise ``k`` gradually or run a
+    second pass with re-seeded centroids if boundary recall matters.
+    ``centroids`` accepts a pre-trained ``(cids, cmat, cnorms)``
+    triple (e.g. from ``similarity.kmeans_centroids`` or a persisted
+    IVF index) so the quantizer trains once per corpus, not per call.
+    """
+    # function-local import: similarity.py imports dot/norm from this
+    # module, so a module-level import here would be circular
+    from rialto_airflow_spark.operators.similarity import (
+        _centroid_assign,
+        kmeans_centroids,
+    )
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, id_col, vec_col, k=k, max_iters=max_iters
+        )
+    cids, cmat, cnorms = centroids
+    assigned = _centroid_assign(
+        df, id_col, vec_col, "__sid", 1, cids, cmat, cnorms
+    )
+    # norms precompute once per vector (__vn from the assignment pass)
+    # before the O(cluster²) pair stage — same discipline as
+    # embedding_near_dups
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = dot(F.col("a.__v"), F.col("b.__v")) / (
+        F.col("a.__vn") * F.col("b.__vn")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.__sid") < F.col("b.__sid")),
+        )
+        .select(
+            F.col("a.__sid").alias("id_a"),
+            F.col("b.__sid").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    clusters = connected_components(pairs).select(
+        F.col("id").alias("__cid"), F.col("cluster_id").alias("__cluster")
+    )
+    return (
+        assigned.select(
+            F.col("__sid").alias(id_col), F.col("centroid_id")
+        )
+        .join(clusters, F.col(id_col) == F.col("__cid"), "left")
+        .select(
+            id_col,
+            "centroid_id",
+            (
+                F.col("__cluster").isNull()
+                | (F.col("__cluster") == F.col(id_col))
+            ).alias("keep"),
+        )
+    )
+
+
 def winnow_near_dups(
     docs: DataFrame,
     id_col: str,

@@ -454,3 +454,199 @@ def test_split_leakage_report_finds_planted_leak(spark, sf_dir):
     row = {(r["split_a"], r["split_b"]): r for r in rep}[("eval", "train")]
     assert row["n_leaked_pairs"] >= 10
     assert len(row["example_ids"]) > 0
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans (Lee et al. ExactSubstr, window factorization)
+# ---------------------------------------------------------------------------
+
+
+def _py_remove_spans(rows, window):
+    """Keep-first model: stride-1 token windows keyed by their token
+    tuple; non-first occurrences mark [start, start+window) for
+    removal; overlapping marks merge; docs rebuild space-joined."""
+    toks = {i: (t.strip().split() if t.strip() else [""]) for i, t in rows}
+    first: dict[tuple, tuple] = {}
+    count: dict[tuple, int] = {}
+    for i in sorted(toks):
+        w = toks[i]
+        for s in range(len(w) - window + 1):
+            key = tuple(w[s : s + window])
+            count[key] = count.get(key, 0) + 1
+            if key not in first:
+                first[key] = (i, s)
+    out = {}
+    for i in sorted(toks):
+        w = toks[i]
+        marked = [False] * len(w)
+        for s in range(len(w) - window + 1):
+            key = tuple(w[s : s + window])
+            if count[key] >= 2 and first[key] != (i, s):
+                for p in range(s, s + window):
+                    marked[p] = True
+        kept = [w[p] for p in range(len(w)) if not marked[p]]
+        out[i] = (" ".join(kept), len(w), len(w) - len(kept))
+    return out
+
+
+def test_remove_duplicate_spans_fixture(spark):
+    passage = "the quick brown fox jumps over the lazy dog again"  # 10 toks
+    rows = [
+        (1, f"doc one starts here {passage} and then ends with unique words"),
+        (2, f"totally different opening before {passage} trailing tail text"),
+        (3, f"{passage} {passage}"),  # within-doc repeat: second copy goes
+        (4, "no duplicated content lives in this document at all"),
+        (5, ""),
+    ]
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in C.remove_duplicate_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            window=10,
+        ).collect()
+    }
+    want = _py_remove_spans(rows, window=10)
+    assert got == want
+    assert got[1][2] == 0  # first occurrence keeps the passage
+    assert got[2][2] == 10  # later doc loses exactly the passage
+    # doc1 holds the global first occurrence, so BOTH of doc3's
+    # copies are non-first -> all 20 tokens removed
+    assert got[3][2] == 20
+    assert got[4][2] == 0 and got[5][2] == 0
+
+
+def test_remove_duplicate_spans_model_on_corpus(spark, sf_dir):
+    """Synthetic corpus + planted cross-doc duplicate passages; the
+    operator must equal the pure-Python keep-first model everywhere."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"].limit(80)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " this shared duplicated passage runs twelve whitespace tokens long for detection margin"
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    rows = [
+        (r["doc_id"], r["text"])
+        for r in planted.select("doc_id", "text").collect()
+    ]
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in C.remove_duplicate_spans(planted, window=10).collect()
+    }
+    assert got == _py_remove_spans(rows, window=10)
+    # the planted passage is 10 tokens: every marked doc after the
+    # first loses at least those 10
+    marked = sorted(i for i, _ in rows if i % 3 == 0)
+    assert all(got[i][2] >= 10 for i in marked[1:])
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_filter (Rae et al. 2021 §A1.1 document rules)
+# ---------------------------------------------------------------------------
+
+
+def _py_gopher(text, **kw):
+    import re
+
+    p = dict(
+        min_words=50, max_words=100_000, min_mean_word_len=3.0,
+        max_mean_word_len=10.0, max_symbol_word_ratio=0.1,
+        max_bullet_frac=0.9, max_ellipsis_frac=0.3,
+        min_alpha_word_frac=0.8, min_stopword_hits=2,
+    )
+    p.update(kw)
+    words = [w for w in re.split(r"\s+", text.strip()) if w != ""]
+    n = len(words)
+    mean_wlen = (sum(len(w) for w in words) / n) if n else None
+    n_sym = len(re.findall(r"#|\.\.\.|…", text))
+    sym = (n_sym / n) if n else 0.0
+    alpha = (
+        sum(1 for w in words if re.search("[A-Za-z]", w)) / n if n else 0.0
+    )
+    lines = [ln for ln in text.split("\n") if ln.strip() != ""]
+    nl = len(lines)
+    bullet = (
+        sum(1 for ln in lines if re.match(r"^[•\-\*]", ln.strip())) / nl
+        if nl
+        else 0.0
+    )
+    ell = (
+        sum(1 for ln in lines if re.search(r"(\.\.\.|…)$", ln.strip())) / nl
+        if nl
+        else 0.0
+    )
+    low = {w.lower() for w in words}
+    stops = sum(1 for s in C.GOPHER_STOPWORDS if s in low)
+    keep = bool(
+        n >= p["min_words"]
+        and n <= p["max_words"]
+        and mean_wlen is not None
+        and p["min_mean_word_len"] <= mean_wlen <= p["max_mean_word_len"]
+        and sym <= p["max_symbol_word_ratio"]
+        and bullet <= p["max_bullet_frac"]
+        and ell <= p["max_ellipsis_frac"]
+        and alpha >= p["min_alpha_word_frac"]
+        and stops >= p["min_stopword_hits"]
+    )
+    return (
+        n,
+        round(mean_wlen, 6) if mean_wlen is not None else None,
+        round(sym, 6),
+        round(bullet, 6),
+        round(ell, 6),
+        round(alpha, 6),
+        stops,
+        keep,
+    )
+
+
+_GOPHER_COLS = (
+    "n_words mean_word_len symbol_ratio bullet_frac ellipsis_frac "
+    "alpha_word_frac stopword_hits keep".split()
+)
+
+
+def test_gopher_quality_filter_fixture(spark):
+    long_good = " ".join(
+        ["the quick brown fox jumps over that lazy dog daily"] * 6
+    )  # 60 words, stopwords the/that, mean len fine
+    rows = [
+        (1, long_good),
+        (2, "short doc with the and that words only here"),  # < 50 words
+        (3, "- " + "\n- ".join(["bullet line item"] * 20)),  # all bullets
+        (4, long_good + " ### ### ### ### ### ### ### ..."),  # symbols
+        (5, " ".join(["1234 5678 9012"] * 20) + " the that"),  # non-alpha
+        (6, ""),
+    ]
+    got = {
+        r["doc_id"]: tuple(r[c] for c in _GOPHER_COLS)
+        for r in C.gopher_quality_filter(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    for i, text in rows:
+        assert got[i] == _py_gopher(text), f"doc {i}"
+    assert got[1][-1] is True
+    assert {got[i][-1] for i in (2, 3, 4, 5, 6)} == {False}
+
+
+def test_gopher_quality_filter_model_on_corpus(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    got = {
+        r["doc_id"]: tuple(r[c] for c in _GOPHER_COLS)
+        for r in C.gopher_quality_filter(
+            docs, min_words=10, min_stopword_hits=1
+        ).collect()
+    }
+    kept = 0
+    for row in docs.select("doc_id", "text").collect():
+        want = _py_gopher(row["text"], min_words=10, min_stopword_hits=1)
+        assert got[row["doc_id"]] == want, row["doc_id"]
+        kept += want[-1]
+    assert 0 < kept < docs.count()  # thresholds are live: some kept, some dropped

@@ -1086,3 +1086,98 @@ def test_scd2_join_matches_range_join_on_closed_intervals(spark, sf_dir):
     matched = got.where(F.col("tag").isNotNull())
     assert matched.count() == want.count()
     assert matched.exceptAll(want).unionAll(want.exceptAll(matched)).count() == 0
+
+
+def test_semantic_dedup_injected_centroids_match_model(spark):
+    """SemDeDup on two well-separated direction clusters with planted
+    near-dup groups, against a pure-Python model (nearest-centroid
+    assign -> within-cluster cosine pairs -> union-find -> keep min
+    id). Injected centroids make the run fully deterministic."""
+    import numpy as np
+
+    from rialto_airflow_spark.operators.dedup import semantic_dedup
+
+    vecs = {
+        # cluster A (x-direction): 1,2 near-identical; 3 distinct
+        1: [10.0, 0.0, 0.1, 0.0],
+        2: [10.0, 0.0, 0.11, 0.0],
+        3: [10.0, 3.0, 0.0, 0.0],
+        # cluster B (y-direction): 4,5,6 a chained dup group; 7 distinct
+        4: [0.0, 10.0, 0.0, 0.1],
+        5: [0.0, 10.0, 0.0, 0.12],
+        6: [0.0, 10.0, 0.01, 0.13],
+        7: [0.0, 10.0, 3.0, 0.0],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    cmat = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0]])
+    cents = (
+        np.arange(2, dtype=np.int64),
+        cmat,
+        np.sqrt((cmat * cmat).sum(1)),
+    )
+    thr = 0.999
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["keep"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=thr, centroids=cents
+        ).collect()
+    }
+
+    # pure-Python model
+    ids = sorted(vecs)
+    V = {i: np.asarray(vecs[i]) for i in ids}
+    assign = {
+        i: int(np.argmax((cmat @ V[i]) / np.linalg.norm(V[i]))) for i in ids
+    }
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a in ids:
+        for b in ids:
+            if a < b and assign[a] == assign[b]:
+                cos = V[a] @ V[b] / (
+                    np.linalg.norm(V[a]) * np.linalg.norm(V[b])
+                )
+                if cos >= thr:
+                    ra, rb = find(a), find(b)
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {
+        i: (assign[i], find(i) == i) for i in ids
+    }
+    assert out == want
+    # sanity on the planted structure: one survivor per dup group
+    assert out[1][1] and not out[2][1]
+    assert out[4][1] and not out[5][1] and not out[6][1]
+    assert out[3][1] and out[7][1]
+
+
+def test_semantic_dedup_trains_quantizer_when_absent(spark, sf_dir):
+    """Without injected centroids the operator trains k-means itself;
+    flags must cover every row exactly once and survivors must form a
+    maximal independent prefix (every dropped row has a kept
+    representative with smaller id in the same duplicate group)."""
+    from rialto_airflow_spark.operators.dedup import semantic_dedup
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].limit(150)
+    dup = emb.where(F.col("vec_id") < 15).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    corpus = emb.unionByName(dup)
+    out = semantic_dedup(
+        corpus, "vec_id", "embedding", threshold=0.9999, k=4, max_iters=2
+    )
+    rows = out.collect()
+    assert len(rows) == corpus.count()
+    kept = {r["vec_id"] for r in rows if r["keep"]}
+    # every planted twin pair loses exactly its high-id copy (identical
+    # vectors always share a cluster and have cosine 1)
+    for i in range(15):
+        assert i in kept and (i + 10_000) not in kept
