@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Scaling curves for test-gated operators that have no registry
+query (the 50-row driver cap keeps them out of bench.py): time each
+at sf0.01 / sf0.1 / the x10 tile and record best-of-n wall seconds in
+OP_SCALING.json — the same linear-vs-quadratic evidence
+scripts/run_scaling.py produces for the headline queries.
+
+Forcing discipline: each operator's output is reduced to ONE checksum
+row on the executors (sum of xxhash64 over every output column), so
+the measurement excludes driver-side row serialization (the q34
+lesson in SCALING.md) and Catalyst cannot prune the work a bare
+count() would skip.
+
+Usage: python scripts/run_op_scaling.py [out_json] [label=dir ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from rialto_airflow_spark.operators.curation import (
+    gopher_quality_filter,
+    remove_duplicate_spans,
+)
+from rialto_airflow_spark.operators.dedup import semantic_dedup
+from rialto_airflow_spark.session import get_spark, load_tables
+
+RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
+
+
+def _force(df):
+    """Reduce to one executor-side checksum row (bit_xor: no ANSI
+    overflow, order-insensitive)."""
+    return df.agg(F.bit_xor(F.xxhash64(*df.columns))).collect()
+
+
+def op_exact_substr(spark, d):
+    docs = load_tables(spark, d, "documents")["documents"]
+    return remove_duplicate_spans(docs, window=10)
+
+
+def op_gopher(spark, d):
+    docs = load_tables(spark, d, "documents")["documents"]
+    return gopher_quality_filter(docs, min_words=10, min_stopword_hits=1)
+
+
+def op_semantic_dedup(spark, d):
+    """k follows the operator's scale contract: clusters stay ~250
+    rows, so within-cluster pair work grows linearly with the corpus.
+    (Fixed k is the documented anti-pattern: at the x10 tile, k=8
+    measured 41 s — 100× pair work for 10× data — vs ~linear with
+    k scaled; see SCALING.md.)"""
+    emb = load_tables(spark, d, "embeddings")["embeddings"]
+    k = max(4, emb.count() // 250)
+    return semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.99, k=k, max_iters=2
+    )
+
+
+OPS = {
+    "remove_duplicate_spans": op_exact_substr,
+    "gopher_quality_filter": op_gopher,
+    "semantic_dedup": op_semantic_dedup,
+}
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "OP_SCALING.json"
+    scales = [s.split("=", 1) for s in sys.argv[2:]] or [
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf1.0(x10 tile)", "/tmp/rspark_scaled_x10"),
+    ]
+    spark = get_spark("rialto-op-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    result: dict[str, dict] = {"runs": RUNS, "scales": {}}
+    for label, d in scales:
+        if not os.path.isdir(d):
+            print(f"skip {label}: {d} missing", file=sys.stderr)
+            continue
+        _force(op_gopher(spark, d))  # warm footers
+        timings: dict[str, float] = {}
+        for _ in range(RUNS):
+            for name, fn in OPS.items():
+                t0 = time.perf_counter()
+                _force(fn(spark, d))
+                dt = round(time.perf_counter() - t0, 3)
+                if name not in timings or dt < timings[name]:
+                    timings[name] = dt
+        result["scales"][label] = {"dir": d, "ops": timings}
+        print(label, timings)
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -239,3 +239,46 @@ def test_bloom_contains_is_codegen_filter(spark, sf_dir):
     # "*(n)" is the executedPlan toString marker for a
     # WholeStageCodegen span
     assert "Filter" in plan and "*(" in plan
+
+
+def test_gopher_filter_is_map_only(spark, sf_dir):
+    """The Gopher document rule set must be one codegen'd scan — no
+    Exchange, no Python node: it runs BEFORE the shuffle-bearing
+    dedup stages precisely because it is a free pass at 100 TB."""
+    from rialto_airflow_spark.operators import curation as C
+    from rialto_airflow_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    plan = (
+        C.gopher_quality_filter(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_remove_duplicate_spans_shuffles_hashes_not_text(spark, sf_dir):
+    """The ExactSubstr factorization's first exchange must carry the
+    per-window hash column, never window text, and the plan must hold
+    exactly the promised shuffle set (window hash, per-doc regroup,
+    rebuild join) with no global sort."""
+    from rialto_airflow_spark.operators import curation as C
+    from rialto_airflow_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    plan = (
+        C.remove_duplicate_spans(docs, window=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    # every hash exchange keys on the doc id or the window hash —
+    # never on a text-bearing column
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            key = line.split("hashpartitioning(")[1]
+            assert key.startswith(("h#", "doc_id#")), line
+    assert "Python" not in plan
