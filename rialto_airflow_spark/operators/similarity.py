@@ -1175,3 +1175,87 @@ def dequantize_embeddings(
             lambda x: x.cast("double") * F.col(scale_col),
         ),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    vec_col: str = "vec",
+    score_col: str = "score",
+    k: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's candidate set, greedily select ``k``
+    items maximizing ``lam·relevance − (1−lam)·max cosine to the
+    already-selected set`` — the standard diversification pass over an
+    ANN shortlist (near-duplicate hits crowd a plain top-k; MMR
+    demotes them after the first).
+
+    Input contract: one row per (query, candidate) with the
+    candidate's vector and relevance score — exactly what
+    ``brute_force_topk`` / ``ivf_topk`` / ``pq_topk`` emit with a
+    larger ``k`` (the shortlist, typically 3-10× the final k) after
+    joining back candidate vectors. Greedy MMR is inherently
+    sequential IN k but independent ACROSS queries, so the operator
+    is one shuffle on ``query_col`` and an Arrow-batched
+    ``applyInPandas`` per query group: O(n²) candidate similarities
+    per group, bounded by the shortlist size the caller chose —
+    never corpus-sized. First pick is pure relevance (empty selected
+    set); ties break on ascending id, so output is deterministic.
+
+    Output: ``(query_col, id_col, mmr_rank, mmr_score)`` with
+    ``mmr_rank`` 1-based in selection order. Zero-norm candidate
+    vectors contribute similarity 0 (never selected for diversity
+    reasons alone, never crash).
+    """
+    import numpy as np
+    import pandas as pd
+
+    inp = candidates.select(
+        F.col(query_col).cast("long").alias(query_col),
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.col(score_col).cast("double").alias("__rel"),
+    )
+    schema = (
+        f"{query_col} long, {id_col} long, mmr_rank int, mmr_score double"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic candidate order: by (-rel, id)
+        pdf = pdf.sort_values(
+            ["__rel", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        V = np.vstack(pdf["__v"].to_numpy())
+        rel = pdf["__rel"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        vn = np.sqrt((V * V).sum(axis=1))
+        safe = np.where(vn > 0, vn, 1.0)
+        U = V / safe[:, None]
+        U[vn == 0] = 0.0  # zero-norm rows: cosine 0 to everything
+        sims = U @ U.T
+        kk = min(k, n)
+        chosen = np.empty(kk, dtype=np.int64)
+        scores = np.empty(kk, dtype=np.float64)
+        max_sim = np.zeros(n, dtype=np.float64)
+        alive = np.ones(n, dtype=bool)
+        for r in range(kk):
+            mmr = lam * rel - (1.0 - lam) * max_sim if r else lam * rel
+            mmr = np.where(alive, mmr, -np.inf)
+            i = int(np.argmax(mmr))  # first index wins ties →
+            # (-rel, id) sort makes that the smallest id
+            chosen[r], scores[r] = i, mmr[i]
+            alive[i] = False
+            max_sim = np.maximum(max_sim, sims[:, i])
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].to_numpy()[chosen],
+                id_col: pdf[id_col].to_numpy()[chosen],
+                "mmr_rank": np.arange(1, kk + 1, dtype=np.int32),
+                "mmr_score": np.round(scores, 6),
+            }
+        )
+
+    return inp.groupBy(query_col).applyInPandas(pick, schema)

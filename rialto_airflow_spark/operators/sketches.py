@@ -160,3 +160,98 @@ def heavy_hitters(
     )
     # top-k via TakeOrderedAndProject — no global sort
     return exact.orderBy(F.col("freq").desc(), F.col(value_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cm_pos(key, depth_idx, width: int):
+    """Row ``depth_idx``'s bucket for ``key``: xxhash64 with the depth
+    index as an extra hashed column = an independent seed per row."""
+    return F.pmod(F.xxhash64(key, depth_idx), F.lit(width))
+
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of
+    ``key_col``'s frequency distribution, as a sparse
+    ``(depth_idx, pos, cnt)`` DataFrame of ≤ depth×width rows —
+    the point-query complement to the HLL (how many DISTINCT) and
+    Misra–Gries (which are the TOP) sketches above, answering "about
+    how often does key X occur" without a full groupBy on a
+    high-cardinality key.
+
+    Guarantees (standard CM): estimates never undercount; overcount
+    ≤ (e/width)·N total weight with probability ≥ 1 − e^(−depth).
+    Null keys are excluded (SQL semantics: a null key has no
+    identity to count).
+
+    Distributed shape: each row explodes to ``depth`` (row, bucket)
+    increments MAP-SIDE, and the groupBy's partial aggregation
+    collapses them before the exchange — the shuffle carries at most
+    tasks × depth × width tiny rows, never the input. Merging two
+    sketches is exact (counter addition), so per-day / per-source
+    sketches roll up without rescanning — the mergeable-summaries
+    contract this module exists for.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias(
+                "depth_idx"
+            ),
+            _cm_pos(F.col(key_col), F.col("depth_idx"), width).alias("pos"),
+            w.alias("__w"),
+        )
+        .groupBy("depth_idx", "pos")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Exact union of count-min sketches built with the SAME
+    (width, depth): element-wise counter addition."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("depth_idx", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query a count-min sketch: for each key, the minimum over
+    the ``depth`` rows of its bucket counters (absent bucket = 0).
+
+    ``sketch`` is ≤ depth×width rows by construction → broadcast; the
+    probe side explodes to ``depth`` rows per key, joins map-side,
+    and the min aggregates back on the key — one keyed shuffle on the
+    probe side only, proportional to |keys|·depth.
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias(
+            "depth_idx"
+        ),
+    ).withColumn("pos", _cm_pos(F.col(key_col), F.col("depth_idx"), width))
+    return (
+        probes.join(F.broadcast(sketch), ["depth_idx", "pos"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_count"))
+    )

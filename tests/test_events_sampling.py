@@ -1181,3 +1181,91 @@ def test_semantic_dedup_trains_quantizer_when_absent(spark, sf_dir):
     # vectors always share a cluster and have cosine 1)
     for i in range(15):
         assert i in kept and (i + 10_000) not in kept
+
+
+def _py_mmr(cands, k, lam):
+    """Greedy MMR model: cands = [(id, rel, vec)]; ties by (-rel, id)."""
+    import numpy as np
+
+    order = sorted(cands, key=lambda c: (-c[1], c[0]))
+    vecs = [np.asarray(c[2], dtype=float) for c in order]
+    unit = []
+    for v in vecs:
+        n = np.linalg.norm(v)
+        unit.append(v / n if n > 0 else v * 0.0)
+    sel, out = [], []
+    for r in range(min(k, len(order))):
+        best, best_s = None, None
+        for i in range(len(order)):
+            if i in sel:
+                continue
+            pen = max((unit[i] @ unit[j] for j in sel), default=0.0)
+            s = lam * order[i][1] - (0.0 if not sel else (1 - lam) * pen)
+            if best is None or s > best_s + 1e-12:
+                best, best_s = i, s
+        sel.append(best)
+        out.append((order[best][0], r + 1, round(best_s, 6)))
+    return out
+
+
+def test_mmr_rerank_matches_model_and_diversifies(spark):
+    """Two queries: one with a near-duplicate pair at the top (MMR
+    must demote the twin below a diverse lower-scored candidate), one
+    with orthogonal candidates (MMR must preserve relevance order)."""
+    rows = [
+        # q1: ids 1,2 near-identical high-rel; 3 orthogonal mid-rel
+        (1, 1, [1.0, 0.0, 0.0], 0.99),
+        (1, 2, [1.0, 0.001, 0.0], 0.98),
+        (1, 3, [0.0, 1.0, 0.0], 0.60),
+        (1, 4, [0.0, 0.0, 1.0], 0.40),
+        # q2: all orthogonal
+        (2, 5, [1.0, 0.0, 0.0], 0.9),
+        (2, 6, [0.0, 1.0, 0.0], 0.8),
+        (2, 7, [0.0, 0.0, 1.0], 0.7),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, vec array<double>, score double"
+    )
+    got = {
+        (r["query_id"], r["mmr_rank"]): (r["neighbor_id"], r["mmr_score"])
+        for r in S.mmr_rerank(df, k=3, lam=0.5).collect()
+    }
+    for q in (1, 2):
+        cands = [(i, s, v) for (qq, i, v, s) in rows if qq == q]
+        for nid, rank, score in _py_mmr(cands, k=3, lam=0.5):
+            assert got[(q, rank)] == (nid, score), (q, rank)
+    # the diversity claim itself: q1 rank-2 is the orthogonal doc 3,
+    # not the near-twin 2; q2 keeps pure relevance order
+    assert got[(1, 1)][0] == 1 and got[(1, 2)][0] == 3
+    assert [got[(2, r)][0] for r in (1, 2, 3)] == [5, 6, 7]
+
+
+def test_mmr_rerank_on_ann_shortlist(spark, sf_dir):
+    """End-to-end composition: brute-force shortlist -> join vectors
+    -> MMR. Every query gets exactly k rows, rank-1 equals the
+    shortlist's top hit, and no candidate appears twice."""
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].limit(300)
+    qs = emb.where(F.col("vec_id") < 5)
+    short = S.brute_force_topk(emb, qs, "vec_id", "embedding", k=20)
+    cands = short.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("vec"),
+        ),
+        "neighbor_id",
+    )
+    out = S.mmr_rerank(cands, k=5, lam=0.7).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in short.where(F.col("rank") == 1).collect()
+    }
+    for q, rows_ in by_q.items():
+        assert len(rows_) == 5
+        ids = [r["neighbor_id"] for r in sorted(rows_, key=lambda r: r["mmr_rank"])]
+        assert len(set(ids)) == 5
+        assert ids[0] == top1[q]  # first pick is pure relevance

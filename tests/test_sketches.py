@@ -111,3 +111,83 @@ def test_heavy_hitters_null_safe(spark):
     )
     got = heavy_hitters(df, "v", k=2).collect()
     assert [(r["v"], r["freq"]) for r in got] == [("a", 2), ("b", 1)]
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cm_sketch_never_undercounts_and_is_exact_when_wide(spark, sf_dir):
+    """CM law: estimate >= true count always; with width far above
+    the distinct-key count, collisions are rare enough that most
+    estimates are exact (and the hot key's estimate is tight)."""
+    from rialto_airflow_spark.operators.sketches import cm_estimate, cm_sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    sk = cm_sketch(docs, "source", width=4096, depth=4)
+    keys = docs.select("source").distinct()
+    est = {
+        r["source"]: r["cm_count"]
+        for r in cm_estimate(sk, keys, "source", width=4096, depth=4).collect()
+    }
+    assert set(est) == set(truth)
+    for k, n in truth.items():
+        assert est[k] >= n, k  # the one-sided CM guarantee
+    # wide sketch, few keys -> everything exact
+    assert est == truth
+
+
+def test_cm_merge_equals_sketch_of_union(spark):
+    """Mergeability is exact: counter addition of two sketches equals
+    the sketch of the concatenated input, row for row."""
+    from rialto_airflow_spark.operators.sketches import cm_merge, cm_sketch
+
+    a = spark.createDataFrame([(f"k{i % 7}",) for i in range(100)], "v string")
+    b = spark.createDataFrame([(f"k{i % 11}",) for i in range(80)], "v string")
+    merged = cm_merge(
+        cm_sketch(a, "v", width=64, depth=3),
+        cm_sketch(b, "v", width=64, depth=3),
+    )
+    whole = cm_sketch(a.unionByName(b), "v", width=64, depth=3)
+    m = {(r["depth_idx"], r["pos"]): r["cnt"] for r in merged.collect()}
+    w = {(r["depth_idx"], r["pos"]): r["cnt"] for r in whole.collect()}
+    assert m == w
+
+
+def test_cm_sketch_bounds_and_weights(spark):
+    """Narrow sketch under heavy collision pressure: estimates still
+    never undercount, the epsilon*N overcount bound holds for every
+    key, and weight_col drives weighted counts."""
+    from rialto_airflow_spark.operators.sketches import cm_estimate, cm_sketch
+
+    import math
+
+    n = 2000
+    rows = [(f"k{i % 400}", 2) for i in range(n)]
+    df = spark.createDataFrame(rows, "v string, wt int")
+    width, depth = 32, 4
+    sk = cm_sketch(df, "v", width=width, depth=depth, weight_col="wt")
+    keys = df.select("v").distinct()
+    est = {
+        r["v"]: r["cm_count"]
+        for r in cm_estimate(sk, keys, "v", width=width, depth=depth).collect()
+    }
+    total = 2 * n
+    true_each = 2 * (n // 400)
+    bound = true_each + math.e / width * total  # eps*N with eps=e/w
+    for k, e in est.items():
+        assert e >= true_each
+        assert e <= bound * 3  # slack: bound holds w.h.p., not surely
+    # nulls excluded
+    df2 = spark.createDataFrame([("a",), (None,), ("a",)], "v string")
+    sk2 = cm_sketch(df2, "v", width=16, depth=2)
+    est2 = cm_estimate(
+        sk2, df2.where(F.col("v").isNotNull()).distinct(), "v",
+        width=16, depth=2,
+    ).collect()
+    assert est2[0]["cm_count"] == 2
