@@ -472,9 +472,11 @@ def remove_duplicate_spans(
     input row. Rebuild joins surviving tokens with single spaces
     (whitespace is not preserved through tokenization — same contract
     as the paper's token-level cut). Deterministic: first occurrence
-    is min(struct(id, start)), no RNG.
+    is min(struct(id, start)), no RNG. NULL text is treated as ''
+    (size(null) is -1 under non-ANSI SQL — without the coalesce a
+    null row would emit negative token counts).
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     base = docs.select(
         F.col(id_col), toks.alias("__t")
     ).withColumn("__n", F.size("__t"))
@@ -594,11 +596,11 @@ def gopher_quality_filter(
     flag, so threshold decisions are auditable. Map-only, zero
     shuffle, whole-stage codegen end-to-end — the cheapest 100-TB
     pass; run it before any shuffle-bearing dedup stage to shrink
-    that stage's input.
+    that stage's input. NULL text is treated as '' so the audit
+    metrics stay well-defined (0s, not size(null)'s -1 sentinel).
     """
-    words = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
-    )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.trim(txt), r"\s+"), lambda w: w != "")
     n_words = F.size(words)
     mean_wlen = F.when(
         n_words > 0,
@@ -608,16 +610,14 @@ def gopher_quality_filter(
         / n_words,
     )
     n_symbols = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\.|…"), F.lit(0))
+        F.regexp_extract_all(txt, F.lit(r"#|\.\.\.|…"), F.lit(0))
     )
     symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(0.0)
     alpha_frac = F.when(
         n_words > 0,
         F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words,
     ).otherwise(0.0)
-    lines = F.filter(
-        F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln) != ""
-    )
+    lines = F.filter(F.split(txt, "\n"), lambda ln: F.trim(ln) != "")
     n_lines = F.size(lines)
     bullet_frac = F.when(
         n_lines > 0,

@@ -480,9 +480,22 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs within blocks (e.g. a
     cluster label, an LSH sign-bucket — see similarity.sign_bucket).
     Same blocked-pair discipline as ngram_jaccard_pairs; norms are
-    computed once per vector (O(n)) before the O(n²) pair stage."""
-    normed = ensure_parallelism(df).select(
-        F.col(id_col), F.col(vec_col), F.col(block_col), norm(F.col(vec_col)).alias("__nrm")
+    computed once per vector (O(n)) before the O(n²) pair stage.
+
+    Zero-norm vectors are excluded up front: they have no cosine
+    direction, and without the filter their 0/0 similarity is NaN,
+    which Spark's ordering treats as GREATER than any number — so
+    ``NaN >= threshold`` would silently link every zero vector to its
+    whole block."""
+    normed = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col(block_col),
+            norm(F.col(vec_col)).alias("__nrm"),
+        )
+        .where(F.col("__nrm") > 0)
     )
     a, b = normed.alias("a"), normed.alias("b")
     sim = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
@@ -548,28 +561,24 @@ def semantic_dedup(
             df, id_col, vec_col, k=k, max_iters=max_iters
         )
     cids, cmat, cnorms = centroids
+    # localCheckpoint: the assignment's mapInPandas pass (the most
+    # expensive map over the corpus) feeds BOTH sides of the pair
+    # self-join and the final flags output — materialize it once, the
+    # same iteration discipline kmeans_centroids/connected_components
+    # apply (the operator is eager anyway: CC iterates to a collected
+    # convergence flag)
     assigned = _centroid_assign(
         df, id_col, vec_col, "__sid", 1, cids, cmat, cnorms
-    )
-    # norms precompute once per vector (__vn from the assignment pass)
-    # before the O(cluster²) pair stage — same discipline as
-    # embedding_near_dups
-    a, b = assigned.alias("a"), assigned.alias("b")
-    sim = dot(F.col("a.__v"), F.col("b.__v")) / (
-        F.col("a.__vn") * F.col("b.__vn")
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col("a.__sid") < F.col("b.__sid")),
-        )
-        .select(
-            F.col("a.__sid").alias("id_a"),
-            F.col("b.__sid").alias("id_b"),
-            sim.alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
+    ).localCheckpoint()
+    # the pair stage IS embedding_near_dups' blocked join (zero-norm
+    # rows excluded there — their NaN cosine would otherwise pass any
+    # threshold under Spark's NaN-is-greatest ordering)
+    pairs = embedding_near_dups(
+        assigned.select("__sid", "__v", "centroid_id"),
+        "__sid",
+        "__v",
+        "centroid_id",
+        threshold,
     )
     clusters = connected_components(pairs).select(
         F.col("id").alias("__cid"), F.col("cluster_id").alias("__cluster")

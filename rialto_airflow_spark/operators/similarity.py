@@ -1208,12 +1208,16 @@ def mmr_rerank(
     Output: ``(query_col, id_col, mmr_rank, mmr_score)`` with
     ``mmr_rank`` 1-based in selection order. Zero-norm candidate
     vectors contribute similarity 0 (never selected for diversity
-    reasons alone, never crash).
+    reasons alone, never crash); rows with a NULL vector are dropped
+    up front (np.vstack over a None would kill the task — a missing
+    vector usually means the caller's join back to the vector table
+    missed, which should surface as a shorter shortlist, not a
+    stage failure). All candidate vectors must share one dimension.
     """
     import numpy as np
     import pandas as pd
 
-    inp = candidates.select(
+    inp = candidates.where(F.col(vec_col).isNotNull()).select(
         F.col(query_col).cast("long").alias(query_col),
         F.col(id_col).cast("long").alias(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),

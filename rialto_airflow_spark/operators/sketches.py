@@ -242,9 +242,11 @@ def cm_estimate(
     ``sketch`` is ≤ depth×width rows by construction → broadcast; the
     probe side explodes to ``depth`` rows per key, joins map-side,
     and the min aggregates back on the key — one keyed shuffle on the
-    probe side only, proportional to |keys|·depth.
+    probe side only, proportional to |keys|·depth. NULL probe keys
+    are excluded, mirroring the build side (the sketch never counted
+    them, so reporting a colliding bucket's count would be wrong).
     """
-    probes = keys.select(
+    probes = keys.where(F.col(key_col).isNotNull()).select(
         F.col(key_col),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias(
             "depth_idx"

@@ -650,3 +650,22 @@ def test_gopher_quality_filter_model_on_corpus(spark, sf_dir):
         assert got[row["doc_id"]] == want, row["doc_id"]
         kept += want[-1]
     assert 0 < kept < docs.count()  # thresholds are live: some kept, some dropped
+
+
+def test_null_text_rows_are_well_defined(spark):
+    """Review regression: NULL text must behave as '' — no size(null)
+    -1 sentinels in token counts or audit metrics."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the real doc with some words here")],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in C.remove_duplicate_spans(docs, window=3).collect()
+    }
+    assert spans[1] == ("", 1, 0)  # '' tokenizes to [''], nothing removed
+    g = {
+        r["doc_id"]: (r["n_words"], r["stopword_hits"], r["keep"])
+        for r in C.gopher_quality_filter(docs).collect()
+    }
+    assert g[1] == (0, 0, False)

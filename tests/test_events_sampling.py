@@ -1269,3 +1269,66 @@ def test_mmr_rerank_on_ann_shortlist(spark, sf_dir):
         ids = [r["neighbor_id"] for r in sorted(rows_, key=lambda r: r["mmr_rank"])]
         assert len(set(ids)) == 5
         assert ids[0] == top1[q]  # first pick is pure relevance
+
+
+def test_zero_norm_vectors_never_link_as_duplicates(spark):
+    """Review regression: a zero embedding has NaN cosine to
+    everything, and Spark orders NaN above every number — without the
+    norm filter, NaN >= threshold silently chains zero vectors to
+    their whole block. Both the blocked-pair primitive and SemDeDup
+    must keep zero vectors out of the pair stage (flagged keep=true,
+    linked to nothing)."""
+    import numpy as np
+
+    from rialto_airflow_spark.operators.dedup import (
+        embedding_near_dups,
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 0.0], 0),  # zero vector, same block
+        (3, [0.0, 0.0, 0.0], 0),  # second zero vector
+        (4, [0.9999, 0.01, 0.0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, block int"
+    )
+    pairs = embedding_near_dups(
+        df, "vec_id", "embedding", "block", threshold=0.95
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 4)}
+
+    cmat = np.eye(2, 3)
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            df.select("vec_id", "embedding"),
+            "vec_id",
+            "embedding",
+            threshold=0.95,
+            centroids=(np.arange(2), cmat, np.sqrt((cmat * cmat).sum(1))),
+        ).collect()
+    }
+    assert out == {1: True, 2: True, 3: True, 4: False}
+
+
+def test_mmr_rerank_drops_null_vectors(spark):
+    """Review regression: a candidate whose vector join missed must
+    shorten the shortlist, not crash the stage."""
+    df = spark.createDataFrame(
+        [
+            (1, 10, [1.0, 0.0], 0.9),
+            (1, 11, None, 0.8),
+            (1, 12, [0.0, 1.0], 0.7),
+        ],
+        "query_id long, neighbor_id long, vec array<double>, score double",
+    )
+    got = [
+        r["neighbor_id"]
+        for r in sorted(
+            S.mmr_rerank(df, k=3, lam=0.5).collect(),
+            key=lambda r: r["mmr_rank"],
+        )
+    ]
+    assert got == [10, 12]

@@ -191,3 +191,17 @@ def test_cm_sketch_bounds_and_weights(spark):
         width=16, depth=2,
     ).collect()
     assert est2[0]["cm_count"] == 2
+
+
+def test_cm_estimate_excludes_null_probe_keys(spark):
+    """Review regression: the sketch never counts NULL keys, so a
+    NULL probe must not report a colliding bucket's count."""
+    from rialto_airflow_spark.operators.sketches import cm_estimate, cm_sketch
+
+    df = spark.createDataFrame([("a",), ("a",), (None,)], "v string")
+    sk = cm_sketch(df, "v", width=8, depth=2)
+    got = cm_estimate(
+        sk, spark.createDataFrame([("a",), (None,)], "v string"), "v",
+        width=8, depth=2,
+    ).collect()
+    assert [(r["v"], r["cm_count"]) for r in got] == [("a", 2)]
