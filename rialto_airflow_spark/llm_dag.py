@@ -7,8 +7,8 @@ the reference-shaped DAGs use (``dag.py``).
 Stage layout (the Gopher/C4/RefinedWeb ordering — cheap map-only
 gates first so the expensive corpus-wide stages see fewer rows):
 
-  clean → c4_gate → signals → exact_dedup → near_dedup (LSH →
-  connected components → survivors) → decontaminate → classify
+  clean → c4_gate → gopher_gate → signals → exact_dedup → near_dedup
+  (LSH → connected components → survivors) → decontaminate → classify
   (TF-IDF + logistic regression on weak labels) → split → report
 
 (q47 in the driver registry composes the same chain as one oracle-
@@ -38,8 +38,9 @@ from rialto_airflow_spark.storage import TableStore
 
 def build_curation_dag() -> Dag:
     """Context keys: ``spark``, ``sf_dir``, ``store_root``; produces
-    TableStore tables ``docs_clean``, ``docs_gated``, ``docs_dedup``,
-    ``docs_final``, and a ``curation_report`` summary table."""
+    TableStore tables ``docs_clean``, ``docs_gated``, ``docs_gopher``,
+    ``docs_dedup``, ``docs_final``, and a ``curation_report`` summary
+    table."""
     dag = Dag("llm_curation")
 
     @dag.task("setup")
@@ -71,9 +72,24 @@ def build_curation_dag() -> Dag:
         kept = docs.join(gated.select("doc_id"), "doc_id", "left_semi")
         ctx["store"].write(kept, "docs_gated")
 
-    @dag.task("signals", upstream=("c4_gate",))
-    def signals(ctx):
+    @dag.task("gopher_gate", upstream=("c4_gate",))
+    def gopher_gate(ctx):
+        """Document-level Gopher rule set after the line-level C4
+        gate — both map-only, so running them before the
+        shuffle-bearing dedup stages shrinks that work. Parameters
+        come from the context for the same reason c4_gate's do (the
+        synthetic corpus is word soup); real deployments keep the
+        published Rae et al. defaults."""
         docs = ctx["store"].read(ctx["spark"], "docs_gated")
+        flags = CUR.gopher_quality_filter(
+            docs, **ctx.get("gopher_params", {})
+        ).where(F.col("keep"))
+        kept = docs.join(flags.select("doc_id"), "doc_id", "left_semi")
+        ctx["store"].write(kept, "docs_gopher")
+
+    @dag.task("signals", upstream=("gopher_gate",))
+    def signals(ctx):
+        docs = ctx["store"].read(ctx["spark"], "docs_gopher")
         out = docs.select(
             "*",
             F.round(T.quality_score("text"), 4).alias("q_score"),

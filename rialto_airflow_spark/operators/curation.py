@@ -667,6 +667,7 @@ def mixture_resample(
     id_col: str,
     target_shares: dict[str, float],
     salt: str = "mixture",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Downsample sources toward a target mixture without RNG.
 
@@ -677,16 +678,26 @@ def mixture_resample(
     salted-hash Bernoulli from operators.sampling (reproducible
     across engines/partitionings; the DuckDB oracle replays it).
 
+    ``weight_col`` switches the shares from row counts to a weighted
+    mass — pass a token-count column and the target shares become
+    TOKEN shares, which is what LM pretraining mixtures actually
+    specify (the Pile/ROOTS weight by tokens, not documents). The
+    Bernoulli keep still samples documents; in expectation each
+    source's kept mass hits its weighted target.
+
     Driver-side state is the per-source rate table (|sources| rows —
     tiny by contract); the data path is one count aggregation plus a
     map-only hash filter. Sources absent from ``target_shares`` are
     dropped (share 0).
     """
+    mass = (
+        F.sum(F.col(weight_col)).alias("n")
+        if weight_col
+        else F.count(F.lit(1)).alias("n")
+    )
     counts = {
         r["s"]: r["n"]
-        for r in df.groupBy(F.col(source_col).alias("s"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        for r in df.groupBy(F.col(source_col).alias("s")).agg(mass).collect()
     }
     usable = [
         counts[s] / share

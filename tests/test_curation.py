@@ -669,3 +669,35 @@ def test_null_text_rows_are_well_defined(spark):
         for r in C.gopher_quality_filter(docs).collect()
     }
     assert g[1] == (0, 0, False)
+
+
+def test_mixture_resample_token_weighted(spark):
+    """weight_col switches shares to token mass: a source with few
+    huge docs and one with many tiny docs hit the same TOKEN share in
+    expectation, which row-count shares cannot express."""
+    rows = [(i, "big", 1000) for i in range(200)] + [
+        (1000 + i, "small", 10) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    out = C.mixture_resample(
+        df, "source", "doc_id", {"big": 0.5, "small": 0.5},
+        weight_col="n_tok",
+    )
+    got = {
+        r["source"]: r["mass"]
+        for r in out.groupBy("source").agg(
+            F.sum("n_tok").alias("mass")
+        ).collect()
+    }
+    # 'small' is the binding source (2k tokens); both sources should
+    # land near 2k tokens of kept mass (hash Bernoulli: ±40% slack on
+    # 200 trials at rate 0.01 for 'big' is generous but the point is
+    # magnitude: row-share logic would keep ~2 docs != ~2000 tokens)
+    assert got["small"] == 2000  # rate 1.0 — binding source all kept
+    assert 800 <= got["big"] <= 3200
+    # determinism: identical rerun, identical result
+    out2 = C.mixture_resample(
+        df, "source", "doc_id", {"big": 0.5, "small": 0.5},
+        weight_col="n_tok",
+    )
+    assert out2.exceptAll(out).count() == 0 and out.exceptAll(out2).count() == 0

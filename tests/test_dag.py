@@ -154,6 +154,11 @@ def test_llm_curation_dag_end_to_end(spark, sf_dir, tmp_path):
                 "blocklist": (),
                 "drop_brace": False,
             },
+            "gopher_params": {
+                "min_words": 10,
+                "min_stopword_hits": 1,
+                "min_mean_word_len": 2.0,
+            },
             "benchmark_df": bench,
             "clf_dim": 128,
             "clf_iters": 15,
@@ -162,10 +167,11 @@ def test_llm_curation_dag_end_to_end(spark, sf_dir, tmp_path):
     store = ctx["store"]
     n_in = docs.count()
     n_gated = store.read(spark, "docs_gated").count()
+    n_gopher = store.read(spark, "docs_gopher").count()
     n_dedup = store.read(spark, "docs_dedup").count()
     final = store.read(spark, "docs_final")
     n_final = final.count()
-    assert 0 < n_final <= n_dedup <= n_gated <= n_in
+    assert 0 < n_final <= n_dedup <= n_gopher <= n_gated <= n_in
     # decontamination removed the benchmark docs themselves
     decon = store.read(spark, "docs_decon")
     assert decon.join(bench.select("doc_id"), "doc_id", "left_semi").count() == 0
