@@ -81,10 +81,13 @@ def build_curation_dag() -> Dag:
         synthetic corpus is word soup); real deployments keep the
         published Rae et al. defaults."""
         docs = ctx["store"].read(ctx["spark"], "docs_gated")
-        flags = CUR.gopher_quality_filter(
-            docs, **ctx.get("gopher_params", {})
-        ).where(F.col("keep"))
-        kept = docs.join(flags.select("doc_id"), "doc_id", "left_semi")
+        kept = (
+            CUR.gopher_quality_filter(
+                docs, passthrough=True, **ctx.get("gopher_params", {})
+            )
+            .where(F.col("keep"))
+            .select(*docs.columns)
+        )
         ctx["store"].write(kept, "docs_gopher")
 
     @dag.task("signals", upstream=("gopher_gate",))

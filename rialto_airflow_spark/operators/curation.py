@@ -552,12 +552,17 @@ def remove_duplicate_spans(
             F.col("__iv"), lambda r: (i >= r["lo"]) & (i < r["hi"])
         ),
     )
+    # report n_tokens excluding the empty-string token a NULL/empty
+    # doc tokenizes to (split('') is ['']), so token accounting
+    # agrees with gopher_quality_filter's n_words on the same input;
+    # __n stays the internal array length the positional logic needs
+    n_real = F.size(F.filter(F.col("__t"), lambda t: t != ""))
     return with_ivals.select(
         F.col(id_col),
         F.array_join(
             F.transform(kept_idx, lambda i: F.get("__t", i)), " "
         ).alias("clean_text"),
-        F.col("__n").alias("n_tokens"),
+        n_real.alias("n_tokens"),
         (F.col("__n") - F.size(kept_idx)).alias("n_removed"),
     )
 
@@ -580,6 +585,7 @@ def gopher_quality_filter(
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
     stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    passthrough: bool = False,
 ) -> DataFrame:
     """The full Gopher document-level quality rule set (Rae et al.
     2021 §A1.1) as pure Column algebra — the published thresholds,
@@ -598,6 +604,12 @@ def gopher_quality_filter(
     pass; run it before any shuffle-bearing dedup stage to shrink
     that stage's input. NULL text is treated as '' so the audit
     metrics stay well-defined (0s, not size(null)'s -1 sentinel).
+
+    ``passthrough=True`` carries every input column through alongside
+    the metrics, so a gate stage can ``.where("keep")`` and keep its
+    payload WITHOUT joining flags back to the source (the flag table
+    is corpus-sized — re-attaching it by id would cost a both-sides
+    shuffle and defeat the map-only point).
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(F.split(F.trim(txt), r"\s+"), lambda w: w != "")
@@ -654,8 +666,9 @@ def gopher_quality_filter(
         & (alpha_frac >= min_alpha_word_frac)
         & (stop_hits >= min_stopword_hits)
     )
+    lead = [F.col("*")] if passthrough else [F.col(id_col)]
     return docs.select(
-        F.col(id_col),
+        *lead,
         *[c.alias(name) for name, c in m.items()],
         F.coalesce(keep, F.lit(False)).alias("keep"),
     )
@@ -683,7 +696,12 @@ def mixture_resample(
     TOKEN shares, which is what LM pretraining mixtures actually
     specify (the Pile/ROOTS weight by tokens, not documents). The
     Bernoulli keep still samples documents; in expectation each
-    source's kept mass hits its weighted target.
+    source's kept mass hits its weighted target. NULL weights count
+    as zero mass (the row can still be kept — it contributes
+    nothing to the mixture either way); a positive-share source
+    whose total mass is zero or all-NULL is treated as absent
+    (dropped, never allowed to collapse ``scale`` to 0 and empty
+    every other source).
 
     Driver-side state is the per-source rate table (|sources| rows —
     tiny by contract); the data path is one count aggregation plus a
@@ -691,7 +709,7 @@ def mixture_resample(
     dropped (share 0).
     """
     mass = (
-        F.sum(F.col(weight_col)).alias("n")
+        F.sum(F.coalesce(F.col(weight_col), F.lit(0))).alias("n")
         if weight_col
         else F.count(F.lit(1)).alias("n")
     )
@@ -699,10 +717,12 @@ def mixture_resample(
         r["s"]: r["n"]
         for r in df.groupBy(F.col(source_col).alias("s")).agg(mass).collect()
     }
+    # `counts.get(s)` is falsy for absent, zero-mass, and (defensive)
+    # None — all treated as "source not present"
     usable = [
         counts[s] / share
         for s, share in target_shares.items()
-        if share > 0 and s in counts
+        if share > 0 and counts.get(s)
     ]
     if not usable:
         raise ValueError(
@@ -713,7 +733,7 @@ def mixture_resample(
     scale = min(usable)
     rate = None
     for s, share in target_shares.items():
-        if s not in counts:
+        if not counts.get(s):
             continue
         r = min(1.0, share * scale / counts[s])
         cond = F.col(source_col) == s

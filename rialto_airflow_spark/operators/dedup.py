@@ -476,27 +476,40 @@ def embedding_near_dups(
     vec_col: str,
     block_col: str,
     threshold: float = 0.95,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks (e.g. a
     cluster label, an LSH sign-bucket — see similarity.sign_bucket).
     Same blocked-pair discipline as ngram_jaccard_pairs; norms are
-    computed once per vector (O(n)) before the O(n²) pair stage.
+    computed once per vector (O(n)) before the O(n²) pair stage —
+    or reused from ``norm_col`` when the caller already materialized
+    them (semantic_dedup's checkpointed assignment pass does), which
+    also skips the ensure_parallelism probe on an already-planned
+    input.
 
     Zero-norm vectors are excluded up front: they have no cosine
     direction, and without the filter their 0/0 similarity is NaN,
     which Spark's ordering treats as GREATER than any number — so
     ``NaN >= threshold`` would silently link every zero vector to its
     whole block."""
-    normed = (
-        ensure_parallelism(df)
-        .select(
+    if norm_col is not None:
+        normed = df.select(
             F.col(id_col),
             F.col(vec_col),
             F.col(block_col),
-            norm(F.col(vec_col)).alias("__nrm"),
+            F.col(norm_col).alias("__nrm"),
+        ).where(F.col("__nrm") > 0)
+    else:
+        normed = (
+            ensure_parallelism(df)
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.col(block_col),
+                norm(F.col(vec_col)).alias("__nrm"),
+            )
+            .where(F.col("__nrm") > 0)
         )
-        .where(F.col("__nrm") > 0)
-    )
     a, b = normed.alias("a"), normed.alias("b")
     sim = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
         F.col("a.__nrm") * F.col("b.__nrm")
@@ -574,11 +587,12 @@ def semantic_dedup(
     # rows excluded there — their NaN cosine would otherwise pass any
     # threshold under Spark's NaN-is-greatest ordering)
     pairs = embedding_near_dups(
-        assigned.select("__sid", "__v", "centroid_id"),
+        assigned,
         "__sid",
         "__v",
         "centroid_id",
         threshold,
+        norm_col="__vn",
     )
     clusters = connected_components(pairs).select(
         F.col("id").alias("__cid"), F.col("cluster_id").alias("__cluster")

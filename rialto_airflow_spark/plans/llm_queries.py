@@ -410,7 +410,12 @@ def q28_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q32_embed_neardup",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+    WITH e AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      -- mirror the operator's zero-norm exclusion: a zero vector's
+      -- 0/0 cosine is NaN, which BOTH engines order above any number
+      WHERE list_aggregate(list_transform(embedding, x -> x*x), 'sum') > 0
+    ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              a.embedding AS qv, b.embedding AS cv

@@ -485,7 +485,8 @@ def _py_remove_spans(rows, window):
                 for p in range(s, s + window):
                     marked[p] = True
         kept = [w[p] for p in range(len(w)) if not marked[p]]
-        out[i] = (" ".join(kept), len(w), len(w) - len(kept))
+        n_real = sum(1 for tkn in w if tkn != "")
+        out[i] = (" ".join(kept), n_real, len(w) - len(kept))
     return out
 
 
@@ -663,7 +664,7 @@ def test_null_text_rows_are_well_defined(spark):
         r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
         for r in C.remove_duplicate_spans(docs, window=3).collect()
     }
-    assert spans[1] == ("", 1, 0)  # '' tokenizes to [''], nothing removed
+    assert spans[1] == ("", 0, 0)  # NULL counts zero tokens, none removed
     g = {
         r["doc_id"]: (r["n_words"], r["stopword_hits"], r["keep"])
         for r in C.gopher_quality_filter(docs).collect()
@@ -701,3 +702,42 @@ def test_mixture_resample_token_weighted(spark):
         weight_col="n_tok",
     )
     assert out2.exceptAll(out).count() == 0 and out.exceptAll(out2).count() == 0
+
+
+def test_mixture_resample_zero_mass_source_is_absent(spark):
+    """Review regression: a positive-share source whose weighted mass
+    is zero (or all-NULL) must be dropped like an absent source — not
+    divide by zero, and not collapse the scale to 0 and empty every
+    other source."""
+    rows = (
+        [(i, "good", 100) for i in range(50)]
+        + [(100 + i, "empty", 0) for i in range(10)]
+        + [(200 + i, "nulls", None) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    out = C.mixture_resample(
+        df, "source", "doc_id",
+        {"good": 0.5, "empty": 0.3, "nulls": 0.2},
+        weight_col="n_tok",
+    )
+    got = {r["source"] for r in out.select("source").distinct().collect()}
+    assert got == {"good"}
+    assert out.count() == 50  # good is the only binding source: all kept
+
+
+def test_gopher_passthrough_keeps_payload_without_join(spark):
+    """passthrough=True carries input columns through the map-only
+    pass — no Exchange, no join — so gate stages keep their payload
+    for free."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps with that dog", "web")],
+        "doc_id long, text string, src string",
+    )
+    out = C.gopher_quality_filter(
+        docs, min_words=5, min_stopword_hits=1, passthrough=True
+    )
+    assert {"doc_id", "text", "src", "n_words", "keep"} <= set(out.columns)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    row = out.collect()[0]
+    assert row["src"] == "web" and row["keep"] is True
