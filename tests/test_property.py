@@ -314,3 +314,56 @@ def test_bpe_training_matches_reference_on_random_corpora(
     assert B.train_bpe(
         df, num_merges=n_merges, checkpoint_every=3
     ) == _py_train(texts, n_merges)
+
+
+# small-alphabet word-soup docs: tiny vocab maximizes accidental
+# cross-doc window collisions, the interesting regime for span removal
+_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _py_remove_spans_prop(rows, window):
+    toks = {i: (t.strip().split() if t.strip() else [""]) for i, t in rows}
+    first, count = {}, {}
+    for i in sorted(toks):
+        w = toks[i]
+        for s in range(len(w) - window + 1):
+            key = tuple(w[s : s + window])
+            count[key] = count.get(key, 0) + 1
+            first.setdefault(key, (i, s))
+    out = {}
+    for i in sorted(toks):
+        w = toks[i]
+        marked = [False] * len(w)
+        for s in range(len(w) - window + 1):
+            key = tuple(w[s : s + window])
+            if count[key] >= 2 and first[key] != (i, s):
+                for p in range(s, s + window):
+                    marked[p] = True
+        kept = [w[p] for p in range(len(w)) if not marked[p]]
+        out[i] = (
+            " ".join(kept),
+            sum(1 for t in w if t != ""),
+            len(w) - len(kept),
+        )
+    return out
+
+
+@settings(**_SETTINGS)
+@given(texts=_docs, window=st.integers(2, 4))
+def test_remove_duplicate_spans_matches_model(spark, texts, window):
+    """remove_duplicate_spans ≡ the pure-Python keep-first window
+    model on random tiny-vocabulary corpora — every doc, every
+    column, any window size."""
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in C.remove_duplicate_spans(df, window=window).collect()
+    }
+    assert got == _py_remove_spans_prop(rows, window)
