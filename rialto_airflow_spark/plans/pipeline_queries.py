@@ -947,12 +947,14 @@ def _q50_oracle() -> str:
 @register("q50_winnow_fingerprint", oracle=_q50_oracle())
 def q50_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint (operators.text.winnow_fingerprint) AND
-    MOSS-style near-dup pairing (operators.dedup.winnow_near_dups) in
-    one driver-gated row: per-doc fingerprints over the tiled near-dup
-    corpus, each annotated with its count of near-dup partners (pairs
-    sharing >= 2 winnow hashes). The tiled copies guarantee a
-    non-trivial pair set, and the oracle replays the full
-    explode -> bucket-join -> shared-count chain."""
+    MOSS-style near-dup pairing (the same explode -> bucket-join ->
+    shared-count chain operators.dedup.winnow_near_dups runs, here
+    derived from the shared fingerprint pass so the expensive map
+    executes once) in one driver-gated row: per-doc fingerprints over
+    the tiled near-dup corpus, each annotated with its count of
+    near-dup partners (pairs sharing >= 2 winnow hashes). The tiled
+    copies guarantee a non-trivial pair set, and the oracle replays
+    the full chain."""
     from rialto_airflow_spark.functions.perf import ensure_parallelism
     from rialto_airflow_spark.operators import text as T
     from rialto_airflow_spark.plans.llm_queries import _spark_near_corpus
