@@ -282,3 +282,12 @@ def test_remove_duplicate_spans_shuffles_hashes_not_text(spark, sf_dir):
             key = line.split("hashpartitioning(")[1]
             assert key.startswith(("h#", "doc_id#")), line
     assert "Python" not in plan
+
+
+def test_q50_single_fingerprint_pass(spark, sf_dir):
+    """The winnow query must read the fingerprint table from cache in
+    every branch (fp output + both pair-join sides) — the expensive
+    text→shingle→window-min map may appear only under the
+    InMemoryRelation, never as three independent scans."""
+    plan = _plan(spark, sf_dir, "q50_winnow_fingerprint")
+    assert "InMemoryTableScan" in plan
