@@ -27,8 +27,11 @@ re-aggregating history.
     join + groupBy over ≤ partitions×k values), removing MG's
     undercount so reported counts are exact.
 
-Neither operator ships data to the driver beyond the group/candidate
-rows the caller asked for. The reference has no sketch surface; this
+The count-min sketch (point frequencies) and the log-bucketed
+histogram sketch (quantiles with bounded RELATIVE error) round out
+the family below — each a sparse counter DataFrame whose merge is
+exact addition. No operator here ships data to the driver beyond the
+group/candidate rows the caller asked for. The reference has no sketch surface; this
 extends SURVEY §2.4's aggregation family the way a training-data
 pipeline needs (url/domain/license cardinality tracking, hot-token
 audits) at corpus scale.
@@ -42,6 +45,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def distinct_sketches(
@@ -256,4 +260,103 @@ def cm_estimate(
         probes.join(F.broadcast(sketch), ["depth_idx", "pos"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# log-bucketed histogram sketch (mergeable quantiles)
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bins_per_decade: int = 10,
+) -> DataFrame:
+    """Mergeable quantile summary via logarithmic bucketing (the
+    HDR-histogram / DDSketch idea): positive values map to bucket
+    ``floor(log10(v) · bins_per_decade)``, so each bucket spans a
+    fixed RATIO (10^(1/bins_per_decade)) and any quantile read back
+    from the sketch carries a bounded RELATIVE error of at most that
+    ratio − 1 (~26% at 10 bins/decade, ~4.7% at 50) — the guarantee
+    latency/size distributions actually want, where absolute-error
+    sketches waste resolution on the tail.
+
+    Output: ``group_cols + [bin, cnt]``, one sparse row per occupied
+    bucket (≤ bins_per_decade × decades-spanned rows per group —
+    ~400 for float64's full positive range). Zero/negative/NULL
+    values land in the reserved underflow bucket (bin = NULL counts
+    them without poisoning log10). The aggregation is an ordinary
+    map-side-combinable groupBy; merging sketches is exact counter
+    addition (:func:`merge_histogram_sketches`), so per-day partial
+    sketches roll up without rescanning — same contract as the HLL
+    and count-min rows of this module.
+    """
+    v = F.col(value_col).cast("double")
+    bin_ = F.when(
+        v > 0, F.floor(F.log10(v) * bins_per_decade).cast("long")
+    )
+    return (
+        df.select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histogram_sketches(*sketches: DataFrame) -> DataFrame:
+    """Exact union of histogram sketches built with the SAME
+    ``bins_per_decade``: counter addition per (group, bin)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    group_cols = [c for c in out.columns if c not in ("cnt",)]
+    return out.groupBy(*group_cols).agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantile(
+    sketch: DataFrame,
+    group_cols: list[str],
+    q: float,
+    bins_per_decade: int = 10,
+) -> DataFrame:
+    """Read quantile ``q`` out of a histogram sketch: per group, the
+    smallest bin whose cumulative count reaches ``q · total``
+    (underflow rows participate in the totals and rank below every
+    positive bin, matching their ≤ 0 values), reported as the bin's
+    geometric midpoint — relative error ≤ the bucket ratio − 1.
+
+    One window pass over the sketch rows themselves (≤ a few hundred
+    per group), never over the data: reading quantiles from a rolled-
+    up year of daily sketches costs |bins| rows per group. Groups
+    whose chosen quantile falls in the underflow bucket report NULL
+    (no positive value to interpolate).
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("bin").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*group_cols)
+    ranked = sketch.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w).alias("__cum"),
+        F.sum("cnt").over(wall).alias("__tot"),
+    )
+    hit = (
+        ranked.where(F.col("__cum") >= q * F.col("__tot"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min_by(F.col("bin"), F.col("__cum")).alias("bin"),
+        )
+    )
+    mid = F.pow(
+        F.lit(10.0), (F.col("bin") + 0.5) / F.lit(float(bins_per_decade))
+    )
+    return hit.select(
+        *group_cols,
+        F.when(F.col("bin").isNotNull(), F.round(mid, 6)).alias(
+            f"q{int(q * 100)}"
+        ),
     )

@@ -205,3 +205,90 @@ def test_cm_estimate_excludes_null_probe_keys(spark):
         width=8, depth=2,
     ).collect()
     assert [(r["v"], r["cm_count"]) for r in got] == [("a", 2)]
+
+
+# ---------------------------------------------------------------------------
+# log-bucketed histogram sketch
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantile_within_relative_error(spark, sf_dir):
+    """Quantiles read from the sketch stay within the bucket-ratio
+    relative error of the exact quantile, per group."""
+    from rialto_airflow_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("value") > 0
+    )
+    bpd = 20
+    sk = histogram_sketch(ev, ["event_type"], "value", bins_per_decade=bpd)
+    for q in (0.5, 0.95):
+        got = {
+            r["event_type"]: r[f"q{int(q * 100)}"]
+            for r in histogram_quantile(
+                sk, ["event_type"], q, bins_per_decade=bpd
+            ).collect()
+        }
+        exact = {
+            r["event_type"]: r["x"]
+            for r in ev.groupBy("event_type")
+            .agg(F.expr(f"percentile(value, {q})").alias("x"))
+            .collect()
+        }
+        ratio = 10 ** (1 / bpd)
+        for g, x in exact.items():
+            assert got[g] is not None
+            # the sketch answer is a bucket midpoint whose bucket
+            # contains a value within one rank of the exact quantile:
+            # allow one full bucket ratio each way
+            assert x / ratio**2 <= got[g] <= x * ratio**2, (g, q, got[g], x)
+
+
+def test_histogram_merge_equals_sketch_of_union(spark):
+    from rialto_airflow_spark.operators.sketches import (
+        histogram_sketch,
+        merge_histogram_sketches,
+    )
+
+    a = spark.createDataFrame(
+        [("g", float(i % 17 + 1)) for i in range(300)], "g string, v double"
+    )
+    b = spark.createDataFrame(
+        [("g", float(i % 5 + 1) * 100) for i in range(200)],
+        "g string, v double",
+    )
+    m = merge_histogram_sketches(
+        histogram_sketch(a, ["g"], "v"), histogram_sketch(b, ["g"], "v")
+    )
+    whole = histogram_sketch(a.unionByName(b), ["g"], "v")
+    mm = {(r["g"], r["bin"]): r["cnt"] for r in m.collect()}
+    ww = {(r["g"], r["bin"]): r["cnt"] for r in whole.collect()}
+    assert mm == ww
+
+
+def test_histogram_underflow_and_all_underflow_group(spark):
+    """Zero/negative/NULL values count in the underflow bucket (bin
+    NULL); a group that is ALL underflow reports a NULL quantile
+    instead of fabricating a positive value."""
+    from rialto_airflow_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("pos", 10.0), ("pos", 0.0), ("pos", -3.0), ("neg", -1.0),
+         ("neg", None)],
+        "g string, v double",
+    )
+    sk = histogram_sketch(df, ["g"], "v")
+    rows = {(r["g"], r["bin"]): r["cnt"] for r in sk.collect()}
+    assert rows[("pos", None)] == 2 and rows[("neg", None)] == 2
+    got = {
+        r["g"]: r["q99"]
+        for r in histogram_quantile(sk, ["g"], 0.99).collect()
+    }
+    assert got["neg"] is None
+    assert got["pos"] is not None and got["pos"] > 0
