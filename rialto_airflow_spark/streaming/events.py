@@ -683,3 +683,62 @@ def gated_stream_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_histogram_sketch(
+    events: DataFrame,
+    store,
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    checkpoint: str,
+    bins_per_decade: int = 10,
+) -> None:
+    """Incremental quantile tracking over a stream: each micro-batch
+    builds per-group log-bucket histograms (operators/sketches.py)
+    and ADDS them into the versioned TableStore — live p50/p95/p99
+    per group from O(groups × bins) stored counters, readable by
+    batch consumers at any time via ``histogram_quantile``.
+
+    Unlike the HLL union (re-unioning a replayed batch is a no-op on
+    max-registers), counter addition is NOT idempotent — so each
+    stored version carries the last merged ``__last_batch`` id, and a
+    replayed foreachBatch invocation with an already-merged id skips.
+    The TableStore's atomic pointer swap makes merge + stamp one
+    transaction, giving exactly-once counters under availableNow
+    replay (same recipe as ``stream_upsert``'s idempotent merge).
+    """
+    from rialto_airflow_spark.operators.sketches import (
+        histogram_sketch,
+        merge_histogram_sketches,
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        spark = batch.sparkSession
+        fresh = histogram_sketch(
+            batch, group_cols, value_col, bins_per_decade=bins_per_decade
+        )
+        try:
+            prev = store.read(spark, table)
+        except FileNotFoundError:
+            merged = fresh
+        else:
+            last = prev.select(F.max("__last_batch")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # replayed batch already merged — skip
+            merged = merge_histogram_sketches(
+                prev.drop("__last_batch"), fresh
+            )
+        store.write(
+            merged.withColumn("__last_batch", F.lit(batch_id)), table
+        )
+
+    q = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -628,3 +628,53 @@ def test_gated_stream_upsert_quarantines_bad_batch(spark, tmp_path):
     )
     pub = store.read(spark, "cur").collect()
     assert [r["event_id"] for r in pub] == [2]
+
+
+def test_stream_histogram_sketch_matches_batch_and_skips_replay(
+    spark, sf_dir, tmp_path
+):
+    """Two staged deliveries add into stored per-group histograms that
+    equal the single-pass batch sketch of ALL the data; re-running a
+    drained stream (fresh checkpoint, same files — the replay case the
+    batch-id stamp guards) leaves the counters unchanged."""
+    from rialto_airflow_spark.operators.sketches import histogram_sketch
+    from rialto_airflow_spark.storage import TableStore
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    store = TableStore(str(tmp_path / "store"))
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(in_dir)
+
+    with SE.few_state_partitions(spark):
+        SE.stream_histogram_sketch(
+            SE.read_event_stream(spark, in_dir), store, "hist",
+            ["event_type"], "value", ckpt,
+        )
+        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(
+            in_dir
+        )
+        SE.stream_histogram_sketch(
+            SE.read_event_stream(spark, in_dir), store, "hist",
+            ["event_type"], "value", ckpt,
+        )
+        got = {
+            (r["event_type"], r["bin"]): r["cnt"]
+            for r in store.read(spark, "hist").collect()
+        }
+        want = {
+            (r["event_type"], r["bin"]): r["cnt"]
+            for r in histogram_sketch(ev, ["event_type"], "value").collect()
+        }
+        assert got == want
+
+        # replay guard: drain the SAME fully-delivered input again
+        # with the same checkpoint — no new files, no state change
+        SE.stream_histogram_sketch(
+            SE.read_event_stream(spark, in_dir), store, "hist",
+            ["event_type"], "value", ckpt,
+        )
+        again = {
+            (r["event_type"], r["bin"]): r["cnt"]
+            for r in store.read(spark, "hist").collect()
+        }
+        assert again == got
