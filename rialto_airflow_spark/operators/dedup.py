@@ -614,13 +614,14 @@ def semantic_dedup(
 
 
 def winnow_near_dups(
-    docs: DataFrame,
+    docs: DataFrame | None,
     id_col: str,
-    text_col: str,
+    text_col: str = "text",
     n: int = 3,
     window: int = 4,
     k: int = 8,
     min_shared: int = 2,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """MOSS-style near-dup candidate pairs: documents sharing at least
     ``min_shared`` winnowing fingerprint hashes (Schleimer et al.) —
@@ -636,14 +637,29 @@ def winnow_near_dups(
     the pair key. Boilerplate-heavy hashes make hot buckets — strip
     boilerplate first (operators.curation.boilerplate_lines) or raise
     ``n``; AQE skew-join covers the remainder.
+
+    ``fingerprints`` accepts a precomputed ``(id_col, wfp)`` table
+    (the output of ``text.winnow_fingerprint`` with MATCHING
+    n/window/k — e.g. q50's persisted fingerprint pass) so the
+    expensive text→shingle→window-min map runs once when the caller
+    also needs the fingerprint column; ``docs``/``text_col`` are
+    ignored in that case.
     """
     from rialto_airflow_spark.operators.text import winnow_fingerprint
 
-    fp = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.split(winnow_fingerprint(F.col(text_col), n, window, k), r"\|")
-        ).alias("h"),
+    if fingerprints is not None:
+        src = fingerprints.select(
+            F.col(id_col).alias("id"), F.col("wfp").alias("__wfp")
+        )
+    else:
+        if docs is None:
+            raise ValueError("winnow_near_dups: pass docs or fingerprints")
+        src = docs.select(
+            F.col(id_col).alias("id"),
+            winnow_fingerprint(F.col(text_col), n, window, k).alias("__wfp"),
+        )
+    fp = src.select(
+        "id", F.explode(F.split(F.col("__wfp"), r"\|")).alias("h")
     ).where(F.col("h") != "")
     a, b = fp.alias("a"), fp.alias("b")
     return (

@@ -285,20 +285,28 @@ def histogram_sketch(
 
     Output: ``group_cols + [bin, cnt]``, one sparse row per occupied
     bucket (≤ bins_per_decade × decades-spanned rows per group —
-    ~400 for float64's full positive range). Zero/negative/NULL
-    values land in the reserved underflow bucket (bin = NULL counts
-    them without poisoning log10). The aggregation is an ordinary
-    map-side-combinable groupBy; merging sketches is exact counter
-    addition (:func:`merge_histogram_sketches`), so per-day partial
-    sketches roll up without rescanning — same contract as the HLL
-    and count-min rows of this module.
+    ~400 for float64's full positive range). Zero, negative, NaN,
+    and ±inf values land in the reserved underflow bucket (bin =
+    NULL) — NaN would otherwise pass ``> 0`` under Spark's
+    NaN-is-greatest ordering and bin as a real value, and +inf would
+    bin to 2^63−1 and break the bounded-rows contract. NULL values
+    are EXCLUDED entirely, matching ``percentile``/
+    ``percentile_approx`` semantics (absent ≠ observed-as-zero), so
+    sketch quantiles cross-check against the SQL functions. The
+    aggregation is an ordinary map-side-combinable groupBy; merging
+    sketches is exact counter addition
+    (:func:`merge_histogram_sketches`), so per-day partial sketches
+    roll up without rescanning — same contract as the HLL and
+    count-min rows of this module.
     """
     v = F.col(value_col).cast("double")
+    finite_pos = (v > 0) & ~F.isnan(v) & (v != F.lit(float("inf")))
     bin_ = F.when(
-        v > 0, F.floor(F.log10(v) * bins_per_decade).cast("long")
+        finite_pos, F.floor(F.log10(v) * bins_per_decade).cast("long")
     )
     return (
-        df.select(*group_cols, bin_.alias("bin"))
+        df.where(v.isNotNull())
+        .select(*group_cols, bin_.alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -354,9 +362,11 @@ def histogram_quantile(
     mid = F.pow(
         F.lit(10.0), (F.col("bin") + 0.5) / F.lit(float(bins_per_decade))
     )
+    # %g rounds instead of truncating (int(0.57*100) is 56) and keeps
+    # q99.9 distinct from q99; dots become underscores for a plain
+    # column name
+    label = ("q%g" % (q * 100)).replace(".", "_")
     return hit.select(
         *group_cols,
-        F.when(F.col("bin").isNotNull(), F.round(mid, 6)).alias(
-            f"q{int(q * 100)}"
-        ),
+        F.when(F.col("bin").isNotNull(), F.round(mid, 6)).alias(label),
     )

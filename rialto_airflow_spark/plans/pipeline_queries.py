@@ -959,33 +959,22 @@ def q50_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rialto_airflow_spark.operators import text as T
     from rialto_airflow_spark.plans.llm_queries import _spark_near_corpus
 
+    from rialto_airflow_spark.operators import dedup as D
+
     corpus = ensure_parallelism(_spark_near_corpus(spark, sf_dir))
-    # ONE fingerprint pass feeds both outputs: the pair branch
-    # re-derives hashes by splitting the already-computed wfp string
-    # (identical to winnow_near_dups' internal explode — same
-    # n/window/k, same '|' join), and the persist cuts the expensive
-    # text→shingle→window-min map to a single execution instead of
-    # once per branch (fp output + both self-join sides). The cached
-    # table is tiny: doc_id + ≤k hashes per row.
+    # ONE fingerprint pass feeds both outputs: the persisted (doc_id,
+    # wfp) table is the fp column of the result AND the
+    # `fingerprints=` input to winnow_near_dups, which explodes the
+    # already-computed string instead of re-deriving hashes from text
+    # — the expensive text→shingle→window-min map runs once instead
+    # of once per branch (fp output + both self-join sides). The
+    # cached table is tiny: doc_id + ≤k hashes per row.
     fp = corpus.select(
         "doc_id",
         T.winnow_fingerprint("text", n=3, window=4, k=8).alias("wfp"),
     ).persist()
-    exploded = fp.select(
-        "doc_id", F.explode(F.split("wfp", r"\|")).alias("h")
-    ).where(F.col("h") != "")
-    a, b = exploded.alias("a"), exploded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .where(F.col("shared") >= 2)
+    pairs = D.winnow_near_dups(
+        None, "doc_id", min_shared=2, fingerprints=fp
     )
     partners = (
         pairs.select(F.col("id_a").alias("doc_id"))

@@ -702,11 +702,19 @@ def stream_histogram_sketch(
 
     Unlike the HLL union (re-unioning a replayed batch is a no-op on
     max-registers), counter addition is NOT idempotent — so each
-    stored version carries the last merged ``__last_batch`` id, and a
-    replayed foreachBatch invocation with an already-merged id skips.
-    The TableStore's atomic pointer swap makes merge + stamp one
-    transaction, giving exactly-once counters under availableNow
-    replay (same recipe as ``stream_upsert``'s idempotent merge).
+    stored version carries the last merged ``__last_batch`` id and
+    the checkpoint path that produced it, and a replayed foreachBatch
+    invocation (same checkpoint, already-merged id — the
+    failure-retry case) skips. The TableStore's atomic pointer swap
+    makes merge + stamp one transaction, giving exactly-once counters
+    under availableNow replay (same recipe as ``stream_upsert``'s
+    idempotent merge).
+
+    Batch ids are only monotonic WITHIN one checkpoint, so merging a
+    table stamped by a different checkpoint is refused with a
+    ``ValueError`` rather than silently dropping (id collision) or
+    double-counting (full redelivery) — losing the checkpoint means
+    rebuilding the sketch table from the retained inputs.
     """
     from rialto_airflow_spark.operators.sketches import (
         histogram_sketch,
@@ -725,14 +733,25 @@ def stream_histogram_sketch(
         except FileNotFoundError:
             merged = fresh
         else:
-            last = prev.select(F.max("__last_batch")).first()[0]
-            if last is not None and last >= batch_id:
-                return  # replayed batch already merged — skip
+            head = prev.select("__ckpt", "__last_batch").first()
+            if head is not None and head["__ckpt"] != checkpoint:
+                raise ValueError(
+                    f"sketch table '{table}' was built by checkpoint "
+                    f"{head['__ckpt']!r}; merging batches from "
+                    f"{checkpoint!r} would double-count (batch ids are "
+                    "checkpoint-scoped). Rebuild the table or reuse the "
+                    "original checkpoint."
+                )
+            if head is not None and head["__last_batch"] >= batch_id:
+                return  # same-checkpoint replayed batch — skip
             merged = merge_histogram_sketches(
-                prev.drop("__last_batch"), fresh
+                prev.drop("__last_batch", "__ckpt"), fresh
             )
         store.write(
-            merged.withColumn("__last_batch", F.lit(batch_id)), table
+            merged.withColumn("__last_batch", F.lit(batch_id)).withColumn(
+                "__ckpt", F.lit(checkpoint)
+            ),
+            table,
         )
 
     q = (

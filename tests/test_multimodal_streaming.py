@@ -634,9 +634,10 @@ def test_stream_histogram_sketch_matches_batch_and_skips_replay(
     spark, sf_dir, tmp_path
 ):
     """Two staged deliveries add into stored per-group histograms that
-    equal the single-pass batch sketch of ALL the data; re-running a
-    drained stream (fresh checkpoint, same files — the replay case the
-    batch-id stamp guards) leaves the counters unchanged."""
+    equal the single-pass batch sketch of ALL the data; a drained
+    same-checkpoint rerun is a no-op (the engine delivers nothing);
+    and a FRESH checkpoint against the stamped table is refused —
+    batch ids are checkpoint-scoped, so merging would double-count."""
     from rialto_airflow_spark.operators.sketches import histogram_sketch
     from rialto_airflow_spark.storage import TableStore
 
@@ -667,8 +668,8 @@ def test_stream_histogram_sketch_matches_batch_and_skips_replay(
         }
         assert got == want
 
-        # replay guard: drain the SAME fully-delivered input again
-        # with the same checkpoint — no new files, no state change
+        # same-checkpoint rerun: no new files -> engine produces no
+        # batches -> counters unchanged
         SE.stream_histogram_sketch(
             SE.read_event_stream(spark, in_dir), store, "hist",
             ["event_type"], "value", ckpt,
@@ -678,3 +679,19 @@ def test_stream_histogram_sketch_matches_batch_and_skips_replay(
             for r in store.read(spark, "hist").collect()
         }
         assert again == got
+
+        # checkpoint-scope guard: a fresh checkpoint would redeliver
+        # everything as batch 0 against a table stamped batch>=0 by
+        # another checkpoint — the merge must REFUSE, not double-count
+        import pytest
+
+        # the ValueError surfaces wrapped in StreamingQueryException
+        with pytest.raises(Exception, match="checkpoint-scoped"):
+            SE.stream_histogram_sketch(
+                SE.read_event_stream(spark, in_dir), store, "hist",
+                ["event_type"], "value", str(tmp_path / "ck2"),
+            )
+        assert {
+            (r["event_type"], r["bin"]): r["cnt"]
+            for r in store.read(spark, "hist").collect()
+        } == got

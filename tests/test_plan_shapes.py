@@ -286,8 +286,9 @@ def test_remove_duplicate_spans_shuffles_hashes_not_text(spark, sf_dir):
 
 def test_q50_single_fingerprint_pass(spark, sf_dir):
     """The winnow query must read the fingerprint table from cache in
-    every branch (fp output + both pair-join sides) — the expensive
-    text→shingle→window-min map may appear only under the
-    InMemoryRelation, never as three independent scans."""
+    every branch — the fp output AND both pair-join sides, so at
+    least three InMemoryTableScans. A regression that caches only
+    the fp branch while recomputing fingerprints for the join sides
+    (the exact shape the rewrite fixed) drops the count below 3."""
     plan = _plan(spark, sf_dir, "q50_winnow_fingerprint")
-    assert "InMemoryTableScan" in plan
+    assert plan.count("InMemoryTableScan") >= 3

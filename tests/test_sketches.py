@@ -269,26 +269,35 @@ def test_histogram_merge_equals_sketch_of_union(spark):
     assert mm == ww
 
 
-def test_histogram_underflow_and_all_underflow_group(spark):
-    """Zero/negative/NULL values count in the underflow bucket (bin
-    NULL); a group that is ALL underflow reports a NULL quantile
-    instead of fabricating a positive value."""
+def test_histogram_underflow_nonfinite_and_labels(spark):
+    """Zero/negative/NaN/inf values count in the underflow bucket
+    (bin NULL) — NaN would otherwise bin as ~1 under Spark's
+    NaN-is-greatest ordering and +inf as 2^63-1; NULL values are
+    EXCLUDED entirely (percentile semantics: absent != observed);
+    a group that is ALL underflow reports a NULL quantile; and
+    quantile column labels round instead of truncating (q57 not
+    q56), keeping q99.9 distinct from q99."""
     from rialto_airflow_spark.operators.sketches import (
         histogram_quantile,
         histogram_sketch,
     )
 
+    nan, inf = float("nan"), float("inf")
     df = spark.createDataFrame(
-        [("pos", 10.0), ("pos", 0.0), ("pos", -3.0), ("neg", -1.0),
-         ("neg", None)],
+        [("pos", 10.0), ("pos", 0.0), ("pos", -3.0), ("pos", nan),
+         ("pos", inf), ("neg", -1.0), ("neg", None)],
         "g string, v double",
     )
     sk = histogram_sketch(df, ["g"], "v")
     rows = {(r["g"], r["bin"]): r["cnt"] for r in sk.collect()}
-    assert rows[("pos", None)] == 2 and rows[("neg", None)] == 2
+    assert rows[("pos", None)] == 4  # zero, negative, NaN, inf
+    assert rows[("neg", None)] == 1  # the NULL row is excluded
+    assert max(b for g, b in rows if g == "pos" and b is not None) == 10
     got = {
         r["g"]: r["q99"]
         for r in histogram_quantile(sk, ["g"], 0.99).collect()
     }
     assert got["neg"] is None
     assert got["pos"] is not None and got["pos"] > 0
+    assert histogram_quantile(sk, ["g"], 0.57).columns[-1] == "q57"
+    assert histogram_quantile(sk, ["g"], 0.999).columns[-1] == "q99_9"
