@@ -1263,3 +1263,48 @@ def mmr_rerank(
         )
 
     return inp.groupBy(query_col).applyInPandas(pick, schema)
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    k: int | None = None,
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the evaluation loop every index-tuning exercise runs (nprobe /
+    bits / quantization sweeps). Both inputs are ``(query, neighbor
+    [, rank])`` shaped, exactly what ``brute_force_topk`` /
+    ``lsh_topk`` / ``ivf_topk`` / ``pq_topk`` emit; ``k`` optionally
+    truncates each side by its ``rank`` column first so recall@k can
+    be read off results computed at a larger k.
+
+    Per query: |approx ∩ exact| / |exact| via an inner join on
+    (query, neighbor) and two counts — result-set sized work (|Q|·k
+    rows), never corpus-sized. Output: ``(query_col, n_exact, n_hit,
+    recall)`` plus one summary-friendly exact denominator; queries
+    the approximate index missed entirely appear with recall 0.0
+    (left join from the exact side), not silently dropped.
+    """
+    a = approx.select(query_col, id_col)
+    e = exact.select(query_col, id_col)
+    if k is not None:
+        if "rank" in approx.columns:
+            a = approx.where(F.col("rank") <= k).select(query_col, id_col)
+        if "rank" in exact.columns:
+            e = exact.where(F.col("rank") <= k).select(query_col, id_col)
+    hits = e.join(a, [query_col, id_col], "left_semi")
+    n_exact = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hits.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(n_hit, query_col, "left")
+        .select(
+            query_col,
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

@@ -1332,3 +1332,36 @@ def test_mmr_rerank_drops_null_vectors(spark):
         )
     ]
     assert got == [10, 12]
+
+
+def test_ann_recall_measures_ivf_against_brute_force(spark, sf_dir):
+    """ann_recall composed over the real index pair: probe-all IVF
+    must reach recall 1.0 against brute force; a planted
+    partial-overlap fixture yields the exact fractional recall."""
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].limit(200)
+    qs = emb.where(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, qs, "vec_id", "embedding", k=5)
+    approx = S.ivf_topk(
+        emb, qs, "vec_id", "embedding", k=5, n_centroids=4, nprobe=4
+    )
+    rec = S.ann_recall(approx, exact)
+    rows = rec.collect()
+    assert len(rows) == 5
+    assert all(r["recall"] == 1.0 and r["n_exact"] == 5 for r in rows)
+
+    # fixture: approx finds 2 of 4 exact neighbors for q1, none for q2
+    exact_f = spark.createDataFrame(
+        [(1, i) for i in (10, 11, 12, 13)] + [(2, j) for j in (20, 21)],
+        "query_id long, neighbor_id long",
+    )
+    approx_f = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99)], "query_id long, neighbor_id long"
+    )
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in S.ann_recall(approx_f, exact_f).collect()
+    }
+    assert got[1] == (4, 2, 0.5)
+    assert got[2] == (2, 0, 0.0)  # missed query still reported
