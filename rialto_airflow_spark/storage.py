@@ -145,40 +145,106 @@ def write_sorted(
     )
 
 
-def zorder_key(cols: list, bits: int = 16):
-    """Morton (Z-order) key over 2+ rank-normalized columns: each
-    column is percent_rank-bucketed into ``bits`` levels, then the
-    bucket bits are interleaved so points close in EVERY dimension get
-    close keys. Returns a Column (bigint).
+def _zorder_numeric(col, dtype: str):
+    """Project a column to a double for quantile bucketing: numerics
+    and timestamps cast directly; anything else (strings, binary) is
+    xxhash64'd first so rank buckets are still well defined."""
+    from pyspark.sql import functions as F
 
-    Rank normalization (one global window per column — computed with
-    ntile to avoid a single-partition sort) makes the interleave
-    distribution-independent, the same trick Delta's OPTIMIZE ZORDER
-    uses. Total key width = len(cols)·bits ≤ 63.
+    numericish = (
+        dtype.startswith(("decimal", "tinyint", "smallint", "int", "bigint"))
+        or dtype in ("float", "double", "date", "timestamp", "timestamp_ntz", "boolean")
+    )
+    if numericish:
+        return col.cast("double")
+    return F.xxhash64(col).cast("double")
+
+
+def zorder_key(df: DataFrame, cols: list, bits: int = 16, relative_error: float | None = None):
+    """Morton (Z-order) key over 2+ rank-normalized columns: each
+    column is quantile-bucketed into ``2**bits`` levels, then the
+    bucket bits are interleaved so points close in EVERY dimension get
+    close keys. Returns a Column (bigint) to attach to ``df``.
+
+    Rank normalization is SAMPLED, not windowed: one
+    ``approxQuantile`` pass over all columns at once (Greenwald-Khanna
+    on the executors; the driver holds ~``2**bits`` doubles per
+    column), then bucket assignment runs map-side as a ``bits``-step
+    binary search over the sorted boundary array (``element_at`` on an
+    array literal — no window, no ``Exchange SinglePartition``, no
+    shuffle). This is the same trick Delta's OPTIMIZE ZORDER uses for
+    its range-partition ids: sampled boundaries, never a global sort.
+    Total key width = len(cols)·bits ≤ 63. NULLs land in bucket 0.
     """
     from pyspark.sql import functions as F
 
     n = len(cols)
     assert n * bits <= 63, "z-key must fit a signed bigint"
     levels = 1 << bits
-    # ntile gives equi-populated buckets without collecting quantiles;
-    # the window has no partition, but ntile over an ORDER BY compiles
-    # to a single pass per column — acceptable at write time (writes
-    # already pay a full shuffle) and avoidable by passing pre-bucketed
-    # int columns
-    from pyspark.sql.window import Window
+    if relative_error is None:
+        # tight enough that adjacent buckets stay distinct, loose
+        # enough that the GK sketch stays small on the executors
+        relative_error = max(1e-4, 0.25 / levels)
+
+    def _dtype(col) -> str:
+        # schema analysis only — no job
+        return df.select(col.alias("__zt")).schema[0].dataType.simpleString()
+
+    raw = [F.col(c) if isinstance(c, str) else c for c in cols]
+    dtypes = [_dtype(c) for c in raw]
+
+    # one projected frame + ONE approxQuantile job for every column
+    proj_names = [f"__zq{i}" for i in range(n)]
+    proj = df.select(
+        *[
+            _zorder_numeric(raw[i], dtypes[i]).alias(proj_names[i])
+            for i in range(n)
+        ]
+    )
+    probs = [i / levels for i in range(1, levels)]
+    all_bounds = proj.stat.approxQuantile(proj_names, probs, relative_error)
 
     key = F.lit(0).cast("long")
-    for ci, c in enumerate(cols):
-        col = F.col(c) if isinstance(c, str) else c
-        bucket = (
-            F.ntile(levels).over(Window.orderBy(col.asc_nulls_first())) - 1
-        ).cast("long")
+    for ci in range(n):
+        val = _zorder_numeric(raw[ci], dtypes[ci])
+        bounds = all_bounds[ci]
+        # strictly increasing boundary array (duplicate quantile
+        # values collapse into one — empty buckets are harmless)
+        uniq = []
+        for b in bounds:
+            if not uniq or b > uniq[-1]:
+                uniq.append(b)
+        arr = F.array(*[F.lit(float(b)) for b in uniq])
+        # bucket = #(boundaries <= value): a single higher-order
+        # filter over the boundary array literal — O(2**bits) cheap
+        # JVM-side double comparisons per row, constant expression
+        # size (a binary-search formulation would duplicate the array
+        # literal exponentially in the expression tree)
+        pos = F.size(F.filter(arr, lambda x: x <= val))
+        bucket = F.when(val.isNull(), F.lit(0)).otherwise(pos).cast("long")
         for b in range(bits):
             src_bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
             dst = b * n + ci
             key = key.bitwiseOR(F.shiftleft(src_bit, dst))
     return key
+
+
+def zordered_plan(
+    df: DataFrame,
+    cols: list,
+    num_files: int = 8,
+    bits: int = 10,
+) -> DataFrame:
+    """The pre-write Z-order clustering plan (exposed so tests can pin
+    its shape): key → sampled range exchange → within-partition sort.
+    Contains NO ``Exchange SinglePartition`` and no Window — the key
+    is a pure map-side expression over driver-collected boundaries."""
+    return (
+        df.withColumn("__z", zorder_key(df, cols, bits))
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
 
 
 def write_zordered(
@@ -195,18 +261,10 @@ def write_zordered(
     between ``write_sorted(a)`` (perfect pruning on a, none on b) and
     Z-order (good pruning on both).
 
-    CAVEAT (stated, not hidden): the ntile rank normalization inside
-    :func:`zorder_key` is a global window — one single-partition pass
-    per clustered column at WRITE time. Fine for periodic layout
-    compaction jobs (writes are already the expensive path, and Delta
-    pays the same for its range-partition ids); for continuous ingest
-    pre-bucket the columns upstream and pass int buckets instead.
+    Scale shape: one extra ``approxQuantile`` scan at write time
+    (fully parallel, mergeable GK sketches; driver receives only
+    ~``2**bits`` doubles per clustered column), then the write itself
+    pays exactly what ``write_sorted`` pays — a sampled range
+    exchange. No step funnels the data through a single task.
     """
-    (
-        df.withColumn("__z", zorder_key(cols, bits))
-        .repartitionByRange(num_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode(mode)
-        .parquet(path)
-    )
+    zordered_plan(df, cols, num_files, bits).write.mode(mode).parquet(path)
