@@ -44,22 +44,34 @@ _events = st.lists(
 )
 
 
+# right rows carry an is_null flag so the generator exercises the
+# input class round 4 got wrong: a MATCHED right row whose value is
+# NULL must surface as NULL, never fall back to an earlier non-null
+_right_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 10000), st.booleans()),
+    min_size=1,
+    max_size=40,
+)
+
+
 @settings(**_SETTINGS)
-@given(left=_events, right=_events)
+@given(left=_events, right=_right_events)
 def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     """asof_join ≡ pandas merge_asof(direction='backward',
-    allow_exact_matches=True) for any unique-right input."""
+    allow_exact_matches=True) for any unique-right input — including
+    right rows whose value column is NULL (the matched row's NULL must
+    be carried, not skipped for an older non-null row)."""
     # unique (key, ts) on the right — the operator's contract
     rseen = {}
-    for i, (k, t) in enumerate(right):
-        rseen[(k, t)] = float(i)
+    for i, (k, t, is_null) in enumerate(right):
+        rseen[(k, t)] = None if is_null else float(i)
     ldf = spark.createDataFrame(
         [(i, k, _dt(t)) for i, (k, t) in enumerate(left)],
         ["row_id", "k", "ts"],
     )
     rdf = spark.createDataFrame(
         [(k, _dt(t), v) for (k, t), v in rseen.items()],
-        ["k", "ts", "v"],
+        "k long, ts timestamp, v double",
     )
     got = {
         r.row_id: (r.v, r.asof_ts)
@@ -74,16 +86,23 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         [(k, _dt(t), v) for (k, t), v in rseen.items()],
         columns=["k", "ts", "v"],
     ).sort_values("ts", kind="stable")
+    # rts = the matched right row's own ts: lets the oracle tell
+    # "no match" (rts NaN) apart from "matched a NULL-valued row"
+    rp["rts"] = rp["ts"]
     want = pd.merge_asof(
         lp, rp, on="ts", by="k", direction="backward", suffixes=("", "_r")
     )
     assert len(got) == len(left)
     for _, row in want.iterrows():
-        gv, _gts = got[row.row_id]
-        if pd.isna(row.v):
-            assert gv is None
+        gv, gts = got[row.row_id]
+        if pd.isna(row.rts):
+            assert gv is None and gts is None
         else:
-            assert gv == row.v
+            assert gts == row.rts.to_pydatetime()
+            if pd.isna(row.v):
+                assert gv is None  # matched row with NULL value
+            else:
+                assert gv == row.v
 
 
 @settings(**_SETTINGS)
