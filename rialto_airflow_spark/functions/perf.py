@@ -50,3 +50,31 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def release_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie a cached prefix's lifetime to the result plan built on it.
+
+    Registry query functions return a PLAN; the driver collects it
+    later, so a ``try/finally`` unpersist inside the function would
+    evict the cache before it's ever read. Instead, each ``cached``
+    DataFrame is unpersisted when ``result`` is garbage-collected —
+    once the driver has collected and dropped the result, the cached
+    partitions leave executor memory instead of accumulating across
+    registry runs in a long-lived session (round-5 advice: q50's
+    fingerprint persist leaked).
+
+    ``unpersist(blocking=False)`` inside a guard: at interpreter
+    shutdown or after ``spark.stop()`` the JVM side may be gone —
+    a failed eviction must never surface as a GC-time error."""
+    import weakref
+
+    def _evict(c: DataFrame) -> None:
+        try:
+            c.unpersist(blocking=False)
+        except Exception:
+            pass
+
+    for c in cached:
+        weakref.finalize(result, _evict, c)
+    return result

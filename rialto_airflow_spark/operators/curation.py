@@ -475,6 +475,19 @@ def remove_duplicate_spans(
     is min(struct(id, start)), no RNG. NULL text is treated as ''
     (size(null) is -1 under non-ANSI SQL — without the coalesce a
     null row would emit negative token counts).
+
+    HASH-COLLISION CAVEAT (what "exact" does NOT mean here): windows
+    are matched by 64-bit xxhash, not by content, so two DIFFERENT
+    windows collide with probability ~W²/2⁶⁵ over W total windows.
+    Negligible at W ≤ 1e8 (< 3e-4 expected collisions), but at the
+    100-TB scale (W ≈ 1e13 whitespace tokens) the birthday bound
+    expects ~10⁶ colliding window PAIRS — each falsely deleting one
+    unique ~``window``-token span (a few MB of text corpus-wide:
+    bounded, random, but nonzero, where the paper's suffix-array
+    method deletes none). For collision-free semantics at that scale,
+    re-verify marked starts by joining window TEXT for marked hashes
+    only (duplicate-sized work, not corpus-sized) or widen the key to
+    two independent hashes (~W²/2¹²⁸).
     """
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     base = docs.select(
@@ -666,6 +679,17 @@ def gopher_quality_filter(
         & (alpha_frac >= min_alpha_word_frac)
         & (stop_hits >= min_stopword_hits)
     )
+    if passthrough:
+        # `*` + metric columns: a clash would produce duplicate /
+        # ambiguous names and a downstream where('keep') could bind
+        # the WRONG column — fail fast instead
+        clashes = sorted(set(docs.columns) & (set(m) | {"keep"}))
+        if clashes:
+            raise ValueError(
+                "gopher_quality_filter(passthrough=True): input "
+                f"columns collide with metric names {clashes}; rename "
+                "them or run with passthrough=False and join by id"
+            )
     lead = [F.col("*")] if passthrough else [F.col(id_col)]
     return docs.select(
         *lead,

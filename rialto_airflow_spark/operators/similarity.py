@@ -455,6 +455,24 @@ def _pick_centroids(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: i
     return _centroid_arrays(cent_rows)
 
 
+_INTEGRAL_DTYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral_ids(df: DataFrame, cols: list[str], op: str) -> None:
+    """Fail fast on the long-id contract: these operators carry ids as
+    bigint internally, and casting a string/UUID id to long silently
+    yields NULL — collapsing groups and emitting NULL ids instead of
+    erroring. Schema-only check, no job."""
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if dtypes.get(c) not in _INTEGRAL_DTYPES:
+            raise TypeError(
+                f"{op} requires integral id columns (got {c}: "
+                f"{dtypes.get(c)}); map string ids to longs first "
+                "(e.g. xxhash64 or a dictionary join)"
+            )
+
+
 def _centroid_assign(
     side: DataFrame,
     id_col: str,
@@ -469,7 +487,10 @@ def _centroid_assign(
     argsort per Arrow batch (mapInPandas), emitting each vector's
     ``top_n`` nearest centroids. Map-only — the input never shuffles.
     NaN scores (zero-norm vectors) map to +inf so ranking matches the
-    SQL oracles' NaN-first DESC order."""
+    SQL oracles' NaN-first DESC order. Ids must be integral
+    (:func:`_require_integral_ids`) — a lossy long cast would NULL
+    them silently."""
+    _require_integral_ids(side, [id_col], "_centroid_assign")
     import numpy as np
     import pandas as pd
 
@@ -1213,10 +1234,14 @@ def mmr_rerank(
     vector usually means the caller's join back to the vector table
     missed, which should surface as a shorter shortlist, not a
     stage failure). All candidate vectors must share one dimension.
+    Query/candidate ids must be integral (bigint contract) — string
+    ids raise TypeError up front rather than silently casting to
+    NULL and collapsing groups.
     """
     import numpy as np
     import pandas as pd
 
+    _require_integral_ids(candidates, [query_col, id_col], "mmr_rerank")
     inp = candidates.where(F.col(vec_col).isNotNull()).select(
         F.col(query_col).cast("long").alias(query_col),
         F.col(id_col).cast("long").alias(id_col),
@@ -1278,7 +1303,9 @@ def ann_recall(
     [, rank])`` shaped, exactly what ``brute_force_topk`` /
     ``lsh_topk`` / ``ivf_topk`` / ``pq_topk`` emit; ``k`` optionally
     truncates each side by its ``rank`` column first so recall@k can
-    be read off results computed at a larger k.
+    be read off results computed at a larger k (both sides must carry
+    ``rank`` when ``k`` is passed — ValueError otherwise, never a
+    silent recall-at-the-wrong-k).
 
     Per query: |approx ∩ exact| / |exact| via an inner join on
     (query, neighbor) and two counts — result-set sized work (|Q|·k
@@ -1290,10 +1317,22 @@ def ann_recall(
     a = approx.select(query_col, id_col)
     e = exact.select(query_col, id_col)
     if k is not None:
-        if "rank" in approx.columns:
-            a = approx.where(F.col("rank") <= k).select(query_col, id_col)
-        if "rank" in exact.columns:
-            e = exact.where(F.col("rank") <= k).select(query_col, id_col)
+        # a side without a rank column can't be truncated — silently
+        # using its full result set would report recall at a
+        # DIFFERENT k than requested
+        missing = [
+            name
+            for name, side in (("approx", approx), ("exact", exact))
+            if "rank" not in side.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"ann_recall(k={k}) needs a 'rank' column to truncate "
+                f"by, but {' and '.join(missing)} lack(s) one; pass "
+                "k=None to compare the full result sets"
+            )
+        a = approx.where(F.col("rank") <= k).select(query_col, id_col)
+        e = exact.where(F.col("rank") <= k).select(query_col, id_col)
     hits = e.join(a, [query_col, id_col], "left_semi")
     n_exact = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
     n_hit = hits.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_hit"))

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rialto_airflow_spark.functions.perf import release_on_gc
 from rialto_airflow_spark.operators import curation as CUR
 from rialto_airflow_spark.operators import dedup as D
 from rialto_airflow_spark.operators import events as E
@@ -861,10 +862,11 @@ def q47_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = SA.hash_split(
         labeled, "doc_id", {"train": 0.9, "eval": 0.1}, salt="split"
     )
-    return split.groupBy("split", "lang").agg(
+    result = split.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("clean_text")).alias("clean_chars"),
     )
+    return release_on_gc(result, survivors, gated)
 
 
 @register(
@@ -982,11 +984,12 @@ def q50_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_near_dups"))
     )
-    return fp.join(partners, "doc_id", "left").select(
+    result = fp.join(partners, "doc_id", "left").select(
         "doc_id",
         "wfp",
         F.coalesce("n_near_dups", F.lit(0)).cast("long").alias("n_near_dups"),
     )
+    return release_on_gc(result, fp)
 
 
 @register(

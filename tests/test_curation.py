@@ -741,3 +741,19 @@ def test_gopher_passthrough_keeps_payload_without_join(spark):
     assert "Exchange" not in plan and "Join" not in plan
     row = out.collect()[0]
     assert row["src"] == "web" and row["keep"] is True
+
+
+def test_gopher_passthrough_rejects_metric_name_collision(spark):
+    """An input column named like a metric ('keep', 'n_words', ...)
+    would make passthrough output ambiguous — the gate's
+    where('keep') could bind the wrong column. Fail fast instead."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox", True)],
+        "doc_id long, text string, keep boolean",
+    )
+    with pytest.raises(ValueError, match="collide.*keep"):
+        C.gopher_quality_filter(docs, passthrough=True)
+    # non-passthrough mode only projects id + metrics — no clash
+    assert C.gopher_quality_filter(docs).count() == 1

@@ -1365,3 +1365,58 @@ def test_ann_recall_measures_ivf_against_brute_force(spark, sf_dir):
     }
     assert got[1] == (4, 2, 0.5)
     assert got[2] == (2, 0, 0.0)  # missed query still reported
+
+
+def test_ann_recall_requires_rank_for_k_truncation(spark):
+    """k without a rank column on BOTH sides must raise — silently
+    skipping the truncation would report recall at a different k
+    than requested (round-5 advice)."""
+    import pytest
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1)], "query_id long, neighbor_id long, rank int"
+    )
+    unranked = spark.createDataFrame(
+        [(1, 10)], "query_id long, neighbor_id long"
+    )
+    with pytest.raises(ValueError, match="exact lack"):
+        S.ann_recall(ranked, unranked, k=3)
+    with pytest.raises(ValueError, match="approx"):
+        S.ann_recall(unranked, ranked, k=3)
+    # both ranked: truncation applies
+    assert S.ann_recall(ranked, ranked, k=1).collect()[0]["recall"] == 1.0
+    # no k: rank-free sides are fine
+    assert S.ann_recall(unranked, unranked).count() == 1
+
+
+def test_mmr_rerank_rejects_non_integral_ids(spark):
+    """String ids would silently cast to NULL longs, collapsing every
+    query group into one — TypeError up front instead."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("q1", "n1", [1.0, 0.0], 0.9)],
+        "query_id string, neighbor_id string, vec array<double>, score double",
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        S.mmr_rerank(df)
+
+
+def test_release_on_gc_unpersists_cached_prefix(spark):
+    """Registry queries persist expensive prefixes; release_on_gc must
+    evict them when the RESULT is garbage-collected (a try/finally
+    would evict before the driver ever collects), so caches don't
+    accumulate across registry runs in a long-lived session."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from rialto_airflow_spark.functions.perf import release_on_gc
+
+    cached = spark.range(100).withColumn("v", F.col("id") * 2).persist()
+    result = release_on_gc(cached.groupBy().sum("v"), cached)
+    assert result.collect()[0][0] == 9900
+    assert cached.storageLevel.useMemory  # still cached while alive
+    del result
+    gc.collect()
+    assert not cached.storageLevel.useMemory  # evicted after GC

@@ -12,13 +12,15 @@ queries()  # load extension registries
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    return (
-        REGISTRY[name]
-        .fn(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    # keep the DataFrame referenced until the plan string is captured:
+    # cached prefixes are released when the result is GC'd
+    # (release_on_gc), and CPython frees a chained temporary right
+    # after its attribute access — which would unpersist the cache
+    # BEFORE executedPlan() renders it
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    del df
+    return plan
 
 
 def test_q01_scan_prunes_and_pushes(spark, sf_dir):
