@@ -1268,7 +1268,12 @@ def mmr_rerank(
         kk = min(k, n)
         chosen = np.empty(kk, dtype=np.int64)
         scores = np.empty(kk, dtype=np.float64)
-        max_sim = np.zeros(n, dtype=np.float64)
+        # -inf, not 0: the max-similarity-to-selected penalty must be
+        # the TRUE max, which is negative for candidates
+        # anti-correlated with everything chosen — a zero floor would
+        # under-reward exactly the most diverse candidates (only read
+        # for r >= 1, when at least one real sim has been folded in)
+        max_sim = np.full(n, -np.inf, dtype=np.float64)
         alive = np.ones(n, dtype=bool)
         for r in range(kk):
             mmr = lam * rel - (1.0 - lam) * max_sim if r else lam * rel
@@ -1278,12 +1283,23 @@ def mmr_rerank(
             chosen[r], scores[r] = i, mmr[i]
             alive[i] = False
             max_sim = np.maximum(max_sim, sims[:, i])
+        # round-half-away ON THE SCALED DOUBLE (floor(|x|·1e6 + 0.5)),
+        # the exact semantics of C std::round and hence DuckDB's
+        # round(DOUBLE, 6) — NOT np.round (binary half-even) and NOT
+        # decimal-repr HALF_UP. This matters systematically here:
+        # rank-1 mmr = lam·rel with rel already 6-dp, so the product
+        # sits on a 7th-decimal …5 boundary whenever rel's 6th digit
+        # is odd, and any other rule diverges from the SQL oracle on
+        # those rows.
+        out_scores = (
+            np.copysign(np.floor(np.abs(scores) * 1e6 + 0.5), scores) / 1e6
+        )
         return pd.DataFrame(
             {
                 query_col: pdf[query_col].to_numpy()[chosen],
                 id_col: pdf[id_col].to_numpy()[chosen],
                 "mmr_rank": np.arange(1, kk + 1, dtype=np.int32),
-                "mmr_score": np.round(scores, 6),
+                "mmr_score": out_scores,
             }
         )
 

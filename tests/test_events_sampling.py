@@ -1420,3 +1420,33 @@ def test_release_on_gc_unpersists_cached_prefix(spark):
     del result
     gc.collect()
     assert not cached.storageLevel.useMemory  # evicted after GC
+
+
+def test_mmr_rerank_negative_cosine_rewards_diversity(spark):
+    """Regression (round-6): the diversity penalty must use the TRUE
+    max similarity to the selected set — negative for anti-correlated
+    candidates, which then score ABOVE pure relevance. A zeros-
+    initialized running max silently floored the penalty at 0."""
+    rows = [
+        # rank 1 pick: id 1 (rel .9). Candidate 2 is ANTI-correlated
+        # with it (cosine -1 => mmr = .5*.5 + .5*1 = .75), candidate 3
+        # is orthogonal but higher-rel (mmr = .5*.6 = .30). With the
+        # zero floor both would score lam*rel and 3 would win.
+        (1, 1, [1.0, 0.0], 0.9),
+        (1, 2, [-1.0, 0.0], 0.5),
+        (1, 3, [0.0, 1.0], 0.6),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, vec array<double>, score double"
+    )
+    got = {
+        r["mmr_rank"]: (r["neighbor_id"], r["mmr_score"])
+        for r in S.mmr_rerank(df, k=3, lam=0.5).collect()
+    }
+    assert got[1] == (1, 0.45)
+    assert got[2] == (2, 0.75)  # anti-correlated beats higher-rel orthogonal
+    # python model agrees
+    cands = [(i, s, v) for (_, i, v, s) in rows]
+    assert [(nid, sc) for nid, _, sc in _py_mmr(cands, k=3, lam=0.5)] == [
+        (got[r][0], got[r][1]) for r in (1, 2, 3)
+    ]
