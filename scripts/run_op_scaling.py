@@ -71,10 +71,26 @@ def op_semantic_dedup(spark, d):
     )
 
 
+_BPE_MERGES: list | None = None  # trained once at the smallest scale:
+# the MODEL is scale-independent; what's being measured is encode
+# throughput vs corpus size
+
+
+def op_bpe_encode(spark, d):
+    global _BPE_MERGES
+    from rialto_airflow_spark.operators import bpe as B
+
+    docs = load_tables(spark, d, "documents")["documents"]
+    if _BPE_MERGES is None:
+        _BPE_MERGES = B.train_bpe(docs.limit(200), num_merges=60)
+    return B.bpe_encode(docs, _BPE_MERGES)
+
+
 OPS = {
     "remove_duplicate_spans": op_exact_substr,
     "gopher_quality_filter": op_gopher,
     "semantic_dedup": op_semantic_dedup,
+    "bpe_encode": op_bpe_encode,
 }
 
 

@@ -114,3 +114,31 @@ def test_bpe_model_roundtrip(spark, sf_dir, tmp_path):
     path = str(tmp_path / "bpe_model")
     B.save_bpe(spark, merges, path)
     assert B.load_bpe(spark, path) == merges
+
+
+def test_bpe_encode_precompute_top_is_equivalent(spark, sf_dir):
+    """Seeding the batch caches with the broadcast top-k word
+    encodings must not change a single token — it only moves where
+    the head of the Zipf curve gets encoded."""
+    from rialto_airflow_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    merges = B.train_bpe(docs.limit(50), num_merges=12)
+    plain = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in B.bpe_encode(docs, merges).collect()
+    }
+    seeded = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in B.bpe_encode(docs, merges, precompute_top=100).collect()
+    }
+    assert plain == seeded
+
+
+def test_bpe_encode_rejects_absurd_merge_table(spark):
+    import pytest
+
+    df = spark.createDataFrame([("hi",)], "text string")
+    fake = [(str(i), str(i + 1)) for i in range(1_000_001)]
+    with pytest.raises(ValueError, match="merge table"):
+        B.bpe_encode(df, fake)
