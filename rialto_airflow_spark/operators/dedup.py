@@ -38,7 +38,11 @@ def _hstr(col: Column, salt: int | str) -> Column:
 
 # re-exported for backward compatibility; implementations live in
 # functions.perf (shared with the text operators)
-from rialto_airflow_spark.functions.perf import bind_once, ensure_parallelism  # noqa: E402,F401
+from rialto_airflow_spark.functions.perf import (  # noqa: E402,F401
+    bind_once,
+    ensure_parallelism,
+    release_on_gc,
+)
 
 
 def _h64(col: Column, salt: int | str) -> Column:
@@ -673,3 +677,165 @@ def winnow_near_dups(
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash index — incremental near-dup dedup
+# ---------------------------------------------------------------------------
+#
+# The daily-ingest shape at 100 TB: nobody re-fingerprints the whole
+# corpus to dedup a new batch. The corpus HISTORY persists as banded
+# signature rows (thin: id + band hash — no text), partitioned by a
+# bounded bucket of the band hash; a new batch fingerprints map-side
+# and joins against the index on the band key. Probe cost is
+# batch-sized fingerprinting + one thin-row join; small probes prune
+# to their bucket partitions at file-listing time, and the 100-TB
+# text is never re-read.
+
+_MINHASH_WRITE_SALT = 8
+
+
+def _pbucket(band_idx: Column, band_hash: Column, bands: int, buckets: int) -> Column:
+    """Single bounded partition value: band_idx · buckets + a hash
+    bucket of the band hash. Cardinality ≤ bands·buckets regardless
+    of corpus size, so the partition-directory count stays fixed and
+    a probe's distinct pbucket list is ALWAYS driver-small."""
+    return (
+        band_idx.cast("long") * buckets
+        + F.pmod(F.xxhash64(band_hash), F.lit(buckets))
+    ).cast("int")
+
+
+def _minhash_index_meta(spark, path: str) -> tuple[int, int, int, int]:
+    r = spark.read.parquet(f"{path}/meta").collect()[0]
+    return r["num_perm"], r["bands"], r["shingle_n"], r["buckets"]
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    buckets: int = 64,
+) -> None:
+    """Materialize the corpus's banded MinHash rows as a persisted
+    dedup index: ``{path}/rows`` parquet PARTITIONED by ``pbucket``
+    (≤ bands·buckets directories), ``{path}/meta`` holding the
+    signature parameters so every probe fingerprints with EXACTLY the
+    build's settings (mismatched params silently find nothing — the
+    index is self-describing instead).
+
+    Write shape mirrors ``similarity.write_lsh_index``: repartition
+    on (pbucket, salt) so a hot band hash never funnels one write
+    task, while partitionBy still lays each row in its directory."""
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(num_perm, bands, shingle_n, buckets)],
+        "num_perm int, bands int, shingle_n int, buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    rows = banded_rows(docs, id_col, text_col, num_perm, bands, shingle_n).select(
+        F.col(id_col).alias("index_id"),
+        "band_idx",
+        "band_hash",
+        _pbucket(F.col("band_idx"), F.col("band_hash"), bands, buckets).alias(
+            "pbucket"
+        ),
+    )
+    salt = F.pmod(F.xxhash64(F.col("index_id")), F.lit(_MINHASH_WRITE_SALT))
+    (
+        rows.repartition(F.col("pbucket"), salt)
+        .write.partitionBy("pbucket")
+        .mode("overwrite")
+        .parquet(f"{path}/rows")
+    )
+
+
+def append_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Extend an existing index with a new batch: fingerprint under
+    the PERSISTED parameters and append — new files land inside the
+    existing pbucket directories, so probes see old + new rows with
+    partition pruning intact (the ``append_ivf_index`` maintenance
+    contract). Appending the same batch twice leaves duplicate index
+    rows: harmless for correctness (probe pairs are distinct) but
+    compact periodically with a fresh ``write_minhash_index``."""
+    spark = docs.sparkSession
+    num_perm, bands, shingle_n, buckets = _minhash_index_meta(spark, path)
+    rows = banded_rows(docs, id_col, text_col, num_perm, bands, shingle_n).select(
+        F.col(id_col).alias("index_id"),
+        "band_idx",
+        "band_hash",
+        _pbucket(F.col("band_idx"), F.col("band_hash"), bands, buckets).alias(
+            "pbucket"
+        ),
+    )
+    salt = F.pmod(F.xxhash64(F.col("index_id")), F.lit(_MINHASH_WRITE_SALT))
+    (
+        rows.repartition(F.col("pbucket"), salt)
+        .write.partitionBy("pbucket")
+        .mode("append")
+        .parquet(f"{path}/rows")
+    )
+
+
+def minhash_dups_against_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prune: bool | None = None,
+) -> DataFrame:
+    """Near-dup pairs between a new batch and the persisted corpus
+    index: ``(new_id, index_id)``, one row per colliding pair
+    (distinct over bands), same ≥1-shared-band semantics as
+    ``minhash_near_dups`` — so probing batch B against index(A)
+    finds exactly the A×B pairs a full ``minhash_near_dups(A ∪ B)``
+    would (equivalence pinned by test).
+
+    ``prune=None`` auto-enables partition pruning when the probe's
+    distinct pbucket set (bounded ≤ bands·buckets — driver-small BY
+    CONSTRUCTION, not by contract) leaves some partitions untouched:
+    the probed buckets become a literal IN filter on the partition
+    column, so a one-document probe lists only its ~bands
+    directories of a 100-TB index. Large batches touch every bucket
+    and skip the filter (it would be a no-op).
+
+    Ids must be unique across batch and index; a doc probed against
+    an index that already contains it matches ITSELF (same id, same
+    text) — callers replaying a batch can drop ``new_id == index_id``
+    pairs or treat them as the replay signal (see
+    ``streaming.events.stream_minhash_dedup``)."""
+    spark = new_docs.sparkSession
+    num_perm, bands, shingle_n, buckets = _minhash_index_meta(spark, path)
+    probe = banded_rows(
+        new_docs, id_col, text_col, num_perm, bands, shingle_n
+    ).select(
+        F.col(id_col).alias("new_id"),
+        "band_idx",
+        "band_hash",
+        _pbucket(F.col("band_idx"), F.col("band_hash"), bands, buckets).alias(
+            "pbucket"
+        ),
+    )
+    from pyspark import StorageLevel
+
+    probe = probe.persist(StorageLevel.MEMORY_AND_DISK)
+    idx = spark.read.parquet(f"{path}/rows")
+    if prune is not False:
+        pbs = [r["pbucket"] for r in probe.select("pbucket").distinct().collect()]
+        if prune or len(pbs) < bands * buckets:
+            idx = idx.where(F.col("pbucket").isin(pbs))
+    pairs = (
+        probe.join(idx, ["band_idx", "band_hash"])
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    return release_on_gc(pairs, probe)

