@@ -1363,3 +1363,73 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    positives: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_col: str = "query_id",
+    pos_col: str = "positive_id",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    labeled query, the ``k`` corpus vectors MOST similar to it that
+    are neither the query itself nor one of its labeled positives —
+    the standard shortlist (DPR / SimCSE recipe) for building
+    (anchor, positive, hard-negative) training triples, where random
+    negatives are too easy to teach the margin.
+
+    Distributed shape mirrors :func:`brute_force_topk`: the labeled
+    queries (and their positive sets — both labeled-data-sized, never
+    corpus-sized) broadcast; the corpus streams map-side through the
+    scoring join; exclusions apply BEFORE the per-query top-k window
+    (an after-the-cut filter would under-fill k — the subtle bug this
+    operator exists to avoid); one shuffle for the window. For
+    corpus-scale query sets swap the scoring join for an IVF/LSH
+    shortlist (``ivf_topk_indexed``) and apply the same anti-join +
+    re-rank — the exclusion algebra is identical.
+
+    Output: ``(query_col, rank, neighbor_id, score)`` with rank
+    counted among NEGATIVES (rank 1 = hardest negative). Queries in
+    ``positives`` missing from the corpus produce no rows (no vector
+    to score with — surface that upstream, not as NULL scores).
+    """
+    q = F.broadcast(
+        positives.select(F.col(query_col)).distinct()
+        .join(
+            corpus.select(
+                F.col(id_col).alias(query_col),
+                F.col(vec_col).alias("__qv"),
+                norm(F.col(vec_col)).alias("__qn"),
+            ),
+            query_col,
+        )
+    )
+    pos = F.broadcast(
+        positives.select(
+            F.col(query_col), F.col(pos_col).alias("neighbor_id")
+        ).distinct()
+    )
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+    )
+    sim = F.round(
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+    )
+    scored = (
+        q.join(c, F.col(query_col) != F.col("neighbor_id"))
+        .select(query_col, "neighbor_id", sim.alias("score"))
+        .join(pos, [query_col, "neighbor_id"], "left_anti")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_col, "rank", "neighbor_id", "score")
+    )

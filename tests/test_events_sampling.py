@@ -1450,3 +1450,83 @@ def test_mmr_rerank_negative_cosine_rewards_diversity(spark):
     assert [(nid, sc) for nid, _, sc in _py_mmr(cands, k=3, lam=0.5)] == [
         (got[r][0], got[r][1]) for r in (1, 2, 3)
     ]
+
+
+def test_mine_hard_negatives_oracle_and_exclusions(spark, sf_dir):
+    """Hard-negative mining (round 6): per labeled query, top-k by
+    cosine excluding self AND labeled positives, replayed in DuckDB.
+    The positive exclusion must apply BEFORE the top-k cut — a query
+    whose nearest neighbor is its positive still gets k negatives."""
+    from rialto_airflow_spark.session import load_tables
+    from tests.oracle_util import compare
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # labels: queries 0..9; positives = each query's two successors
+    positives = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(F.col("vec_id") + 1, F.col("vec_id") + 2)
+        ).alias("positive_id"),
+    )
+    out = S.mine_hard_negatives(
+        emb, positives, "vec_id", "embedding", k=4
+    )
+    sql = """
+    WITH pos AS (
+      SELECT vec_id AS query_id, vec_id + 1 AS positive_id FROM embeddings WHERE vec_id < 10
+      UNION ALL
+      SELECT vec_id, vec_id + 2 FROM embeddings WHERE vec_id < 10
+    ),
+    q AS (
+      SELECT DISTINCT p.query_id, e.embedding AS qv
+      FROM pos p JOIN embeddings e ON e.vec_id = p.query_id
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(sum(qv[d.i]::DOUBLE * c.embedding[d.i]::DOUBLE)
+             / (sqrt(sum(qv[d.i]::DOUBLE * qv[d.i]::DOUBLE))
+                * sqrt(sum(c.embedding[d.i]::DOUBLE * c.embedding[d.i]::DOUBLE))), 6) AS score
+      FROM q JOIN embeddings c ON c.vec_id != q.query_id
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+      GROUP BY q.query_id, c.vec_id, qv, c.embedding
+    ),
+    neg AS (
+      SELECT s.* FROM scored s
+      WHERE NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.query_id = s.query_id
+                          AND p.positive_id = s.neighbor_id)
+    )
+    SELECT query_id, rank, neighbor_id, score FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM neg
+    ) WHERE rank <= 4
+    """
+    compare(out, sql, sf_dir, "mine_hard_negatives")
+    rows = out.collect()
+    # structural guarantees: k rows per query, no self, no positives
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["neighbor_id"] not in (r["query_id"] + 1, r["query_id"] + 2)
+    assert set(per_q) == set(range(10))
+    assert all(len(v) == 4 for v in per_q.values())
+
+
+def test_mine_hard_negatives_broadcasts_labels_not_corpus(spark, sf_dir):
+    """Scale pin: both label-sized sides (queries, positive pairs)
+    broadcast; the corpus is never hash-shuffled on its row id —
+    the only Exchange is the per-query top-k window."""
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    positives = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") + 1).alias("positive_id"),
+    )
+    df = S.mine_hard_negatives(emb, positives, "vec_id", "embedding", k=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # queries + positives
+    assert "hashpartitioning(neighbor_id" not in plan
+    assert "CartesianProduct" not in plan
