@@ -226,3 +226,55 @@ def stratified_sample(
         else frac.otherwise(default_fraction)
     )
     return df.where(hash_uniform(id_col, salt) < frac)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsample",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic:
+    Efraimidis–Spirakis A-ES (2006) — each row gets key
+    ``u^(1/w)`` for a hash-uniform ``u`` (equivalently ``ln(u)/w``,
+    used here for numeric stability), and the ``n`` LARGEST keys are
+    the sample. Inclusion probability is proportional to weight in
+    the without-replacement sense; re-running with the same salt
+    reproduces the sample exactly, a different salt redraws it —
+    the same (id, salt) determinism contract as ``hash_split``, so
+    the draw is replayable in SQL and stable under repartitioning.
+
+    The training-data use: sample documents by token count or
+    quality weight for a fixed-budget mixture without a full shuffle
+    of the corpus. Plan shape: map-side key computation + ONE
+    TakeOrdered(n) — never a global sort. With ``group_cols`` the
+    top-n applies per group (stratified weighted sampling) via a
+    rank window instead — one shuffle on the group key.
+
+    Rows with NULL or non-positive weight are excluded (they have
+    zero inclusion probability; ln(u)/w would flip sign for w < 0).
+    Ties (identical keys) break on ascending id.
+    """
+    u = hash_uniform(id_col, salt)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    base = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__wkey", key)
+    if group_cols:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col("__wkey").desc(), F.col(id_col).asc()
+        )
+        return (
+            base.withColumn("__wrn", F.row_number().over(w))
+            .where(F.col("__wrn") <= n)
+            .drop("__wkey", "__wrn")
+        )
+    return (
+        base.orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__wkey")
+    )

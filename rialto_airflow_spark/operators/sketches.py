@@ -370,3 +370,136 @@ def histogram_quantile(
         *group_cols,
         F.when(F.col("bin").isNotNull(), F.round(mid, 6)).alias(label),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) theta sketch — distinct-count SET ALGEBRA
+# ---------------------------------------------------------------------------
+#
+# HLL answers |A|, |A ∪ B|; it cannot intersect. The KMV/theta sketch
+# (Bar-Yossef et al. 2002; Beyer et al. 2007 "On Synopses for
+# Distinct-Value Estimation") keeps the k SMALLEST hash values of the
+# distinct set — a uniform sample of the hash space — so two groups'
+# sketches support union, intersection, and Jaccard estimates: the
+# audience-overlap questions (users on source A AND source B) that
+# every analytics deployment eventually asks of its distinct counts.
+# Bottom-k is EXACTLY mergeable (bottom-k of unions of bottom-k's ==
+# bottom-k of the union), unlike MG's lossy reduction.
+
+
+def _kmv_u(value_col) -> "F.Column":
+    """Deterministic uniform in [0, 1): xxhash64 mapped from signed
+    long to the unit interval. No RNG — the same value always lands
+    at the same point, which is what makes sketches of overlapping
+    sets comparable."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    return F.xxhash64(c).cast("double") / F.lit(float(2**64)) + F.lit(0.5)
+
+
+def _kmv_estimate(arr, k: int):
+    """len(arr) < k → the sketch IS the distinct set (exact count);
+    otherwise the classic (k-1)/theta with theta = k-th smallest."""
+    n = F.size(arr)
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.element_at(arr, k)
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketch + distinct estimate. Output: group_cols +
+    ``[kmv (array<double>, ascending, ≤ k), approx_distinct]``.
+    Relative standard error ≈ 1/sqrt(k−2) (~6% at k=256); below k
+    distinct values the count is EXACT (the sketch holds the whole
+    hashed set).
+
+    Two-phase shape (the Misra–Gries discipline): per-(group,
+    input-partition) partials of ≤ k sorted distinct hashes, then a
+    per-group merge whose input is ≤ partitions·k doubles — the
+    shuffle never carries raw values, and no task ever materializes
+    a group's full distinct set. NULL values are excluded (the
+    ``countDistinct`` convention)."""
+    u = _kmv_u(value_col)
+    partials = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, F.spark_partition_id().alias("__p"))
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list(u))), 1, k
+            ).alias("__part")
+        )
+    )
+    merged = partials.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("__part")))),
+            1,
+            k,
+        ).alias("kmv")
+    )
+    return merged.withColumn("approx_distinct", _kmv_estimate(F.col("kmv"), k))
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """Union stored KMV sketch rows (optionally rolled up to coarser
+    groups) — bottom-k of the concatenated sketches, which equals the
+    sketch of the unioned data EXACTLY (pinned by test). Incremental
+    path: input is sketch rows, never raw data."""
+    agg = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
+        1,
+        k,
+    ).alias(sketch_col)
+    out = sketches.groupBy(*group_cols).agg(agg) if group_cols else sketches.agg(agg)
+    return out.withColumn("approx_distinct", _kmv_estimate(F.col(sketch_col), k))
+
+
+def kmv_set_estimates(
+    a: DataFrame,
+    b: DataFrame,
+    on: list[str] | None = None,
+    k: int = 256,
+    sketch_col: str = "kmv",
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """Union / intersection / Jaccard estimates from two sketch
+    tables (Beyer et al. §4): take L = bottom-k of the two sketches'
+    union, ρ = |L ∩ SA ∩ SB|; then Jaccard ≈ ρ/|L|, |A ∪ B| ≈
+    (|L|−1)/θ_L, |A ∩ B| ≈ Jaccard · |A ∪ B|. Pure array algebra on
+    ≤ k-element arrays — no raw data, no shuffle beyond the join on
+    ``on`` (or a 1×1 crossJoin when ``on`` is None for whole-table
+    sketches)."""
+    ka, kb = f"{sketch_col}{suffixes[0]}", f"{sketch_col}{suffixes[1]}"
+    sa = a.select(*(on or []), F.col(sketch_col).alias(ka))
+    sb = b.select(*(on or []), F.col(sketch_col).alias(kb))
+    joined = sa.join(sb, on) if on else sa.crossJoin(sb)
+    both = F.array_sort(
+        F.array_distinct(F.concat(F.col(ka), F.col(kb)))
+    )
+    L = F.slice(both, 1, k)
+    nL = F.size(L)
+    in_both = F.size(
+        F.filter(
+            L,
+            lambda h: F.array_contains(F.col(ka), h)
+            & F.array_contains(F.col(kb), h),
+        )
+    )
+    union_est = F.when(
+        F.size(both) < k, F.size(both).cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.element_at(L, k))
+    jacc = F.when(nL > 0, in_both / nL.cast("double")).otherwise(F.lit(0.0))
+    return joined.select(
+        *(on or []),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jacc * union_est, 4).alias("intersection_est"),
+        F.round(jacc, 6).alias("jaccard_est"),
+    )

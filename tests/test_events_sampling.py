@@ -1530,3 +1530,93 @@ def test_mine_hard_negatives_broadcasts_labels_not_corpus(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan  # queries + positives
     assert "hashpartitioning(neighbor_id" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_duckdb_replay_and_laws(spark, sf_dir):
+    """Efraimidis–Spirakis draw replayed in DuckDB (same salted-md5
+    uniform as hash_split, key = ln(u)/w, top-n), plus the structural
+    laws: subset of input, stable under repartitioning, nonpositive
+    and NULL weights excluded."""
+    from rialto_airflow_spark.operators import sampling as SA
+    from rialto_airflow_spark.session import load_tables
+    from tests.oracle_util import compare
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", F.col("n_chars").cast("double").alias("w")
+    )
+    out = SA.weighted_sample(docs, "doc_id", "w", n=25, salt="wsample")
+    sql = """
+    SELECT doc_id, w FROM (
+      SELECT doc_id, n_chars::DOUBLE AS w,
+             ln(CAST('0x' || substr(md5(doc_id::VARCHAR || '#wsample'), 1, 8) AS BIGINT)
+                / 4294967296.0) / n_chars::DOUBLE AS wkey
+      FROM documents
+      WHERE n_chars > 0
+    ) ORDER BY wkey DESC, doc_id ASC LIMIT 25
+    """
+    compare(out, sql, sf_dir, "weighted_sample")
+
+    # stability under repartitioning
+    again = SA.weighted_sample(
+        docs.repartition(5, "doc_id"), "doc_id", "w", n=25, salt="wsample"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+    # weight guards
+    weird = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)], "doc_id long, w double"
+    )
+    got = SA.weighted_sample(weird, "doc_id", "w", n=10).collect()
+    assert [r["doc_id"] for r in got] == [1]
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Statistical law over many salts: a row with 50x the weight of
+    the others must be sampled far more often (A-ES inclusion is
+    weight-proportional without replacement)."""
+    from rialto_airflow_spark.operators import sampling as SA
+
+    rows = [(i, 50.0 if i == 0 else 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy_hits, light_hits = 0, 0
+    for s in range(30):
+        ids = {
+            r["doc_id"]
+            for r in SA.weighted_sample(df, "doc_id", "w", n=5, salt=f"s{s}").collect()
+        }
+        assert len(ids) == 5
+        heavy_hits += 0 in ids
+        light_hits += 1 in ids
+    assert heavy_hits >= 25  # ~always in a top-5 of 40 at 50x weight
+    assert light_hits <= heavy_hits - 10
+
+
+def test_weighted_sample_per_group_stratified(spark, sf_dir):
+    """group_cols: per-group top-n by the same key — stratified
+    weighted sampling, n rows per group (fewer if the group is
+    smaller), each group's draw equal to sampling it alone."""
+    from rialto_airflow_spark.operators import sampling as SA
+    from rialto_airflow_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("w")
+    )
+    out = SA.weighted_sample(docs, "doc_id", "w", n=3, group_cols=["lang"])
+    by_lang = {}
+    for r in out.collect():
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    sizes = {
+        r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()
+    }
+    assert set(by_lang) == set(sizes)
+    for lang, ids in by_lang.items():
+        assert len(ids) == min(3, sizes[lang])
+        solo = {
+            r["doc_id"]
+            for r in SA.weighted_sample(
+                docs.where(F.col("lang") == lang), "doc_id", "w", n=3
+            ).collect()
+        }
+        assert ids == solo, lang

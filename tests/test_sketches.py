@@ -301,3 +301,80 @@ def test_histogram_underflow_nonfinite_and_labels(spark):
     assert got["pos"] is not None and got["pos"] > 0
     assert histogram_quantile(sk, ["g"], 0.57).columns[-1] == "q57"
     assert histogram_quantile(sk, ["g"], 0.999).columns[-1] == "q99_9"
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) theta sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k_and_error_bound(spark, sf_dir):
+    """Below k distinct values the estimate is EXACT; above, within
+    ~4 relative standard errors (RSE ≈ 1/sqrt(k−2)) of truth."""
+    from rialto_airflow_spark.operators.sketches import kmv_sketch
+    from rialto_airflow_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    # big k: every group is below k → exact
+    for r in kmv_sketch(ev, ["event_type"], "user_id", k=100000).collect():
+        assert r["approx_distinct"] == exact[r["event_type"]]
+        assert len(r["kmv"]) == exact[r["event_type"]]
+    # small k: estimation regime, bounded error
+    k = 128
+    rse = 1.0 / (k - 2) ** 0.5
+    for r in kmv_sketch(ev, ["event_type"], "user_id", k=k).collect():
+        n = exact[r["event_type"]]
+        if n >= k:
+            assert abs(r["approx_distinct"] - n) <= 4 * rse * n, (
+                r["event_type"], r["approx_distinct"], n,
+            )
+
+
+def test_kmv_merge_equals_sketch_of_union_exactly(spark, sf_dir):
+    """Bottom-k mergeability is EXACT (unlike MG's lossy reduction):
+    merging per-source sketches equals sketching the unioned data —
+    same arrays, not just close estimates. Also partition-invariant."""
+    from rialto_airflow_spark.operators.sketches import kmv_merge, kmv_sketch
+    from rialto_airflow_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    k = 64
+    fine = kmv_sketch(ev, ["event_type"], "user_id", k=k)
+    rolled = kmv_merge(fine, None, k=k).collect()[0]
+    direct = kmv_sketch(ev.repartition(7), [], "user_id", k=k).collect()[0]
+    assert list(rolled["kmv"]) == list(direct["kmv"])
+    assert rolled["approx_distinct"] == direct["approx_distinct"]
+
+
+def test_kmv_set_estimates_overlap(spark):
+    """Constructed overlap: A = 0..3999, B = 2000..5999 (overlap
+    2000, union 6000, jaccard 1/3). Exact when k exceeds the sets;
+    within estimator error at small k."""
+    from rialto_airflow_spark.operators.sketches import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    a = spark.range(0, 4000).select(F.col("id").alias("v"))
+    b = spark.range(2000, 6000).select(F.col("id").alias("v"))
+    big_a = kmv_sketch(a, [], "v", k=10000)
+    big_b = kmv_sketch(b, [], "v", k=10000)
+    exact = kmv_set_estimates(big_a, big_b, None, k=10000).collect()[0]
+    assert exact["union_est"] == 6000.0
+    assert exact["intersection_est"] == 2000.0
+    assert abs(exact["jaccard_est"] - 1 / 3) < 1e-4
+
+    k = 256
+    sa = kmv_sketch(a, [], "v", k=k)
+    sb = kmv_sketch(b, [], "v", k=k)
+    est = kmv_set_estimates(sa, sb, None, k=k).collect()[0]
+    rse = 1.0 / (k - 2) ** 0.5
+    assert abs(est["union_est"] - 6000) <= 5 * rse * 6000
+    assert abs(est["intersection_est"] - 2000) <= 8 * rse * 2000
+    assert abs(est["jaccard_est"] - 1 / 3) <= 8 * rse
