@@ -843,3 +843,50 @@ def stream_minhash_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_kmv_sketches(
+    docs: DataFrame,
+    store,
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    checkpoint: str,
+    k: int = 256,
+) -> None:
+    """Incremental KMV (bottom-k) theta sketches over a stream — the
+    set-algebra twin of :func:`stream_distinct_sketches`: every
+    micro-batch sketches per group and merges with the stored rows.
+    Stored state is one ≤k-double array per group; batch readers get
+    distinct estimates at any time AND can intersect groups later
+    via ``kmv_set_estimates`` (the question HLL state cannot answer).
+
+    Replay-idempotent for the same reason the HLL union is: bottom-k
+    of a union is insensitive to re-unioning the same values —
+    min-like, not additive — so no replay stamp is needed (contrast
+    ``stream_histogram_sketches``, whose counter addition IS
+    additive and carries one)."""
+    from rialto_airflow_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        spark = batch.sparkSession
+        fresh = kmv_sketch(batch, group_cols, value_col, k=k).select(
+            *group_cols, "kmv"
+        )
+        try:
+            prev = store.read(spark, table).select(*group_cols, "kmv")
+        except FileNotFoundError:
+            merged = kmv_merge(fresh, group_cols, k=k)
+        else:
+            merged = kmv_merge(prev.unionByName(fresh), group_cols, k=k)
+        store.write(merged, table)
+
+    q = (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -695,3 +695,53 @@ def test_stream_histogram_sketch_matches_batch_and_skips_replay(
             (r["event_type"], r["bin"]): r["cnt"]
             for r in store.read(spark, "hist").collect()
         } == got
+
+
+def test_stream_kmv_sketches_match_batch_and_intersect(spark, sf_dir, tmp_path):
+    """KMV streaming rollup: two staged deliveries drain into stored
+    per-group bottom-k sketches ARRAY-identical to the single-pass
+    batch sketch of all the data (bottom-k is exactly mergeable), and
+    the stored rows still support the set-algebra read path
+    (intersection of two event types' user sets)."""
+    from rialto_airflow_spark.operators.sketches import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+    from rialto_airflow_spark.storage import TableStore
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    store = TableStore(str(tmp_path / "store"))
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(in_dir)
+
+    with SE.few_state_partitions(spark):
+        SE.stream_kmv_sketches(
+            SE.read_event_stream(spark, in_dir), store, "kmv_uniq",
+            ["event_type"], "user_id", ckpt, k=64,
+        )
+        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(in_dir)
+        SE.stream_kmv_sketches(
+            SE.read_event_stream(spark, in_dir), store, "kmv_uniq",
+            ["event_type"], "user_id", ckpt, k=64,
+        )
+    stored = store.read(spark, "kmv_uniq")
+    got = {r["event_type"]: list(r["kmv"]) for r in stored.collect()}
+    want = {
+        r["event_type"]: list(r["kmv"])
+        for r in kmv_sketch(ev, ["event_type"], "user_id", k=64).collect()
+    }
+    assert got == want  # arrays identical, not just estimates
+
+    # set-algebra read path over the STORED rows: the jaccard of two
+    # event types' user sets is a sane fraction (users overlap across
+    # types in the synthetic data)
+    types = sorted(got)[:2]
+    a = stored.where(F.col("event_type") == types[0])
+    b = stored.where(F.col("event_type") == types[1])
+    est = kmv_set_estimates(a.drop("event_type"), b.drop("event_type"),
+                            None, k=64).collect()[0]
+    assert 0.0 <= est["jaccard_est"] <= 1.0
+    assert est["union_est"] >= max(
+        r["approx_distinct"] for r in stored.where(
+            F.col("event_type").isin(types)).collect()
+    ) * 0.5
