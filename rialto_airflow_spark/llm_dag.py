@@ -8,8 +8,10 @@ Stage layout (the Gopher/C4/RefinedWeb ordering — cheap map-only
 gates first so the expensive corpus-wide stages see fewer rows):
 
   clean → c4_gate → gopher_gate → signals → exact_dedup → near_dedup
-  (LSH → connected components → survivors) → decontaminate → classify
-  (TF-IDF + logistic regression on weak labels) → split → report
+  (LSH → connected components → survivors) → span_dedup (ExactSubstr)
+  → decontaminate → classify (TF-IDF + logistic regression on weak
+  labels) → budget_sample (quality-weighted, optional) → split →
+  report
 
 (q47 in the driver registry composes the same chain as one oracle-
 checked lineage; this graph is the OPERATIONAL form — checkpointed
@@ -116,9 +118,27 @@ def build_curation_dag() -> Dag:
         survivors = D.cluster_survivors(docs, comps, "doc_id")
         ctx["store"].write(survivors, "docs_dedup")
 
-    @dag.task("decontaminate", upstream=("near_dedup",))
-    def decon(ctx):
+    @dag.task("span_dedup", upstream=("near_dedup",))
+    def span_dedup(ctx):
+        """ExactSubstr duplicate-span removal over the near-dedup
+        survivors (the Lee et al. ordering q47 replays): repeated
+        ≥window-token spans keep only their first occurrence
+        corpus-wide. The operator projects (id, clean_text,
+        n_removed); the survivors' metadata joins back by id."""
         docs = ctx["store"].read(ctx["spark"], "docs_dedup")
+        span = CUR.remove_duplicate_spans(
+            docs, "doc_id", "text", window=ctx.get("span_window", 10)
+        ).select(
+            "doc_id",
+            F.col("clean_text").alias("text"),
+            F.col("n_removed").alias("span_removed"),
+        )
+        out = docs.drop("text").join(span, "doc_id")
+        ctx["store"].write(out, "docs_span")
+
+    @dag.task("decontaminate", upstream=("span_dedup",))
+    def decon(ctx):
+        docs = ctx["store"].read(ctx["spark"], "docs_span")
         bench = ctx.get("benchmark_df")
         if bench is None:  # no eval set supplied — pass-through
             ctx["store"].write(docs, "docs_decon")
@@ -151,9 +171,30 @@ def build_curation_dag() -> Dag:
         ).drop("tfidf")
         ctx["store"].write(scored, "docs_scored")
 
-    @dag.task("split", upstream=("classify",))
-    def split(ctx):
+    @dag.task("budget_sample", upstream=("classify",))
+    def budget_sample(ctx):
+        """Optional fixed-budget cut: when the context carries
+        ``sample_docs``, keep that many documents drawn WITHOUT
+        replacement with inclusion ∝ classifier quality
+        (Efraimidis–Spirakis, deterministic under ``sample_salt``) —
+        the quality-weighted downsample real pipelines apply when
+        the cleaned corpus still exceeds the training budget.
+        Pass-through otherwise, like the decontaminate stage."""
         docs = ctx["store"].read(ctx["spark"], "docs_scored")
+        n = ctx.get("sample_docs")
+        if n:
+            docs = SA.weighted_sample(
+                docs,
+                "doc_id",
+                "quality_prob",
+                n,
+                salt=ctx.get("sample_salt", "budget"),
+            )
+        ctx["store"].write(docs, "docs_sampled")
+
+    @dag.task("split", upstream=("budget_sample",))
+    def split(ctx):
+        docs = ctx["store"].read(ctx["spark"], "docs_sampled")
         ctx["store"].write(
             SA.hash_split(docs, "doc_id", {"train": 0.95, "eval": 0.05}),
             "docs_final",

@@ -162,6 +162,7 @@ def test_llm_curation_dag_end_to_end(spark, sf_dir, tmp_path):
             "benchmark_df": bench,
             "clf_dim": 128,
             "clf_iters": 15,
+            "sample_docs": 40,  # budget cut: quality-weighted 40 docs
         }
     )
     store = ctx["store"]
@@ -169,9 +170,18 @@ def test_llm_curation_dag_end_to_end(spark, sf_dir, tmp_path):
     n_gated = store.read(spark, "docs_gated").count()
     n_gopher = store.read(spark, "docs_gopher").count()
     n_dedup = store.read(spark, "docs_dedup").count()
+    n_span = store.read(spark, "docs_span").count()
     final = store.read(spark, "docs_final")
     n_final = final.count()
-    assert 0 < n_final <= n_dedup <= n_gopher <= n_gated <= n_in
+    assert 0 < n_final <= n_span <= n_dedup <= n_gopher <= n_gated <= n_in
+    # span stage: row-preserving (it cuts tokens, not docs) and audited
+    span_tbl = store.read(spark, "docs_span")
+    assert n_span == n_dedup
+    assert span_tbl.where(F.col("span_removed") < 0).count() == 0
+    # budget sample: exactly min(40, candidates) docs survive the cut
+    n_scored = store.read(spark, "docs_scored").count()
+    n_sampled = store.read(spark, "docs_sampled").count()
+    assert n_sampled == min(40, n_scored)
     # decontamination removed the benchmark docs themselves
     decon = store.read(spark, "docs_decon")
     assert decon.join(bench.select("doc_id"), "doc_id", "left_semi").count() == 0
