@@ -1433,3 +1433,80 @@ def mine_hard_negatives(
         .where(F.col("rank") <= k)
         .select(query_col, "rank", "neighbor_id", "score")
     )
+
+
+def ivf_drift_stats(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    low_threshold: float = 0.0,
+) -> DataFrame:
+    """Quantizer-drift monitor for a persisted IVF index — the signal
+    that answers ``append_ivf_index``'s documented trade ("retrain +
+    rebuild when the distribution moves") with a measurement instead
+    of a guess: compare how well a NEW batch fits the stored
+    centroids against how well the indexed corpus itself fits them.
+
+    Returns ONE row: ``(index_mean_cos, batch_mean_cos, drift,
+    batch_frac_low, n_index, n_batch)`` where each ``mean_cos`` is
+    the mean cosine of a vector to its assigned (nearest) centroid,
+    ``drift = index_mean_cos − batch_mean_cos`` (positive = the new
+    data fits the old centroids worse; alert/retrain above a chosen
+    bound), and ``batch_frac_low`` is the share of batch vectors
+    whose best-centroid cosine falls below ``low_threshold``
+    (orphans no list represents well).
+
+    Cost shape: the index side reads LIST rows (vectors + their
+    assigned centroid_id — no reassignment, no raw-corpus read) and
+    joins the broadcast centroid table; the batch side is the same
+    map-only vectorized assignment pass every probe uses. Both
+    reduce to one aggregate row. Works on float, int8, and PQ-coded
+    lists is NOT supported (codes don't reconstruct exactly —
+    measure drift before encoding)."""
+    spark = batch.sparkSession
+    cids, cmat, cnorms = _load_centroids(spark, index_path)
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(c), [float(x) for x in row], float(n))
+                for c, row, n in zip(cids, cmat, cnorms)
+            ],
+            "centroid_id long, __ctr array<double>, __ctrn double",
+        )
+    )
+
+    idx = spark.read.parquet(f"{index_path}/lists")
+    if "qvec" in idx.columns:
+        idx = idx.withColumn("vec", dequant())
+    elif "vec" not in idx.columns:
+        raise ValueError(
+            "ivf_drift_stats: PQ-coded lists don't reconstruct exactly; "
+            "measure drift on the raw vectors before encoding "
+            f"(list columns: {idx.columns})"
+        )
+    icos = dot(F.col("vec"), F.col("__ctr")) / (
+        F.col("vec_norm") * F.col("__ctrn")
+    )
+    index_side = idx.join(cent, "centroid_id").agg(
+        F.avg(icos).alias("index_mean_cos"),
+        F.count(F.lit(1)).alias("n_index"),
+    )
+
+    assigned = _centroid_assign(batch, id_col, vec_col, "__bid", 1, cids, cmat, cnorms)
+    bcos = dot(F.col("__v"), F.col("__ctr")) / (F.col("__vn") * F.col("__ctrn"))
+    batch_side = assigned.join(cent, "centroid_id").agg(
+        F.avg(bcos).alias("batch_mean_cos"),
+        F.avg((bcos < low_threshold).cast("double")).alias("batch_frac_low"),
+        F.count(F.lit(1)).alias("n_batch"),
+    )
+    return index_side.crossJoin(batch_side).select(
+        F.round("index_mean_cos", 6).alias("index_mean_cos"),
+        F.round("batch_mean_cos", 6).alias("batch_mean_cos"),
+        F.round(
+            F.col("index_mean_cos") - F.col("batch_mean_cos"), 6
+        ).alias("drift"),
+        F.round("batch_frac_low", 6).alias("batch_frac_low"),
+        "n_index",
+        "n_batch",
+    )

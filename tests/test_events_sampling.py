@@ -1620,3 +1620,49 @@ def test_weighted_sample_per_group_stratified(spark, sf_dir):
             ).collect()
         }
         assert ids == solo, lang
+
+
+def test_ivf_drift_stats_flags_distribution_shift(spark, sf_dir, tmp_path):
+    """Drift monitor (round 6): a same-distribution batch shows
+    ~zero drift against the index's own fit; a shifted batch (vectors
+    pushed toward a constant direction) fits the stored centroids
+    measurably worse — the retrain signal append_ivf_index's
+    docstring promises. Also pins the int8-list path and the PQ
+    rejection."""
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(emb, path, "vec_id", "embedding", n_centroids=8)
+
+    same = S.ivf_drift_stats(emb, path, "vec_id", "embedding").collect()[0]
+    assert abs(same["drift"]) < 1e-6  # identical data, identical fit
+    assert same["n_index"] == same["n_batch"]
+
+    shifted = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 0.1 + 5.0
+        ).alias("embedding"),
+    )
+    moved = S.ivf_drift_stats(shifted, path, "vec_id", "embedding").collect()[0]
+    # the all-positive shifted cloud clusters around the ones-vector;
+    # old centroids fit it differently — drift magnitude is clearly
+    # nonzero where the same-data drift was exactly zero
+    assert abs(moved["drift"]) > 0.01, moved
+
+    # int8 index: same-data drift stays ~zero within quantization error
+    qpath = str(tmp_path / "ivfq")
+    S.write_ivf_index(emb, qpath, "vec_id", "embedding", n_centroids=8, quantize=True)
+    qsame = S.ivf_drift_stats(emb, qpath, "vec_id", "embedding").collect()[0]
+    assert abs(qsame["drift"]) < 0.01
+
+    import pytest
+
+    from rialto_airflow_spark.operators.similarity import train_pq_codebooks
+
+    cb = train_pq_codebooks(emb, "vec_id", "embedding", m=4, ksub=4, max_iters=1)
+    ppath = str(tmp_path / "ivfpq")
+    S.write_ivf_index(emb, ppath, "vec_id", "embedding", n_centroids=8, pq_codebooks=cb)
+    with pytest.raises(ValueError, match="PQ"):
+        S.ivf_drift_stats(emb, ppath, "vec_id", "embedding")
