@@ -71,3 +71,77 @@ def salted_join(
     )
     out = probe_s.join(build_rep, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_n: int = 5,
+) -> DataFrame:
+    """Key-distribution profile for a prospective groupBy/join on
+    ``keys`` — the measurement that decides BETWEEN the plain
+    operator, AQE's runtime splitting, and the explicit salting
+    helpers above (guessing a salt factor without this is cargo
+    culting).
+
+    ONE row out: ``(n_rows, n_keys, max_key_rows, top_share,
+    topN_share, mean_key_rows, p99_key_rows, skew_ratio,
+    suggested_buckets)`` where ``skew_ratio = max_key_rows /
+    mean_key_rows`` (1 = perfectly uniform) and ``suggested_buckets``
+    is the power of two that would spread the hottest key to roughly
+    mean-sized slices (capped at 64; 1 = salting buys nothing).
+
+    Cost shape: one map-side-combinable count per key, then (a) a
+    single-row algebraic reduction over the per-key counts (max /
+    avg / approx-percentile — all sketch- or scalar-state, NEVER a
+    collect of the key table) and (b) a TakeOrdered(top_n) for the
+    top-N mass — bounded work regardless of key cardinality. Read
+    the row, then: skew_ratio ≲ 4 → do nothing (AQE handles it);
+    hot key in a JOIN → ``salted_join`` with ``suggested_buckets``;
+    hot key in an AGG → ``salted_agg`` (AQE cannot split a single
+    group)."""
+    per_key = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_total = F.sum("__n")
+    totals = per_key.agg(
+        w_total.alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__n").alias("max_key_rows"),
+        F.round(F.avg("__n"), 2).alias("mean_key_rows"),
+        F.percentile_approx("__n", 0.99).alias("p99_key_rows"),
+    )
+    top = (
+        per_key.select("__n")
+        .orderBy(F.col("__n").desc())
+        .limit(top_n)  # TakeOrderedAndProject: bounded, no global sort
+        .agg(F.sum("__n").alias("__top_sum"))
+    )
+    return totals.crossJoin(F.broadcast(top)).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round(F.col("max_key_rows") / F.col("n_rows"), 6).alias("top_share"),
+        F.round(F.col("__top_sum") / F.col("n_rows"), 6).alias(
+            f"top{top_n}_share"
+        ),
+        "mean_key_rows",
+        "p99_key_rows",
+        F.round(
+            F.col("max_key_rows") / F.col("mean_key_rows"), 2
+        ).alias("skew_ratio"),
+        F.least(
+            F.lit(64),
+            F.pow(
+                F.lit(2.0),
+                F.ceil(
+                    F.log2(
+                        F.greatest(
+                            F.col("max_key_rows") / F.col("mean_key_rows"),
+                            F.lit(1.0),
+                        )
+                    )
+                ),
+            ).cast("int"),
+        ).alias("suggested_buckets"),
+    )

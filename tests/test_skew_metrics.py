@@ -140,3 +140,55 @@ def test_snapshot_diff_null_transitions(spark):
         3: ("delete", ()),
         4: ("insert", ()),
     }
+
+
+def test_skew_stats_profile_and_oracle(spark, sf_dir):
+    """skew_stats vs a DuckDB replay of the same profile (exact
+    fields; p99 compared leniently since Spark's percentile_approx
+    is a sketch), plus the decision semantics on a constructed
+    hot-key table."""
+    from rialto_airflow_spark.operators.skew import skew_stats
+    from rialto_airflow_spark.session import load_tables
+    from tests.oracle_util import duckdb_run
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    got = skew_stats(ev, ["event_type"]).collect()[0]
+    cols, rows, _ = duckdb_run(
+        """
+        WITH pk AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+        SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+               max(n)::BIGINT AS max_key_rows,
+               round(max(n) / sum(n), 6) AS top_share,
+               (SELECT sum(n) FROM (SELECT n FROM pk ORDER BY n DESC LIMIT 5))
+                 / sum(n) AS top5_share,
+               round(avg(n), 2) AS mean_key_rows,
+               round(max(n) / avg(n), 2) AS skew_ratio
+        FROM pk
+        """,
+        sf_dir,
+    )
+    want = dict(zip(cols, rows[0]))
+    assert got["n_rows"] == want["n_rows"]
+    assert got["n_keys"] == want["n_keys"]
+    assert got["max_key_rows"] == want["max_key_rows"]
+    assert got["top_share"] == float(want["top_share"])
+    assert abs(got["top5_share"] - float(want["top5_share"])) < 1e-6
+    assert got["mean_key_rows"] == float(want["mean_key_rows"])
+    assert got["skew_ratio"] == float(want["skew_ratio"])
+    assert got["p99_key_rows"] <= got["max_key_rows"]
+
+    # uniform keys → ratio 1, salting buys nothing
+    uni = spark.range(1000).select((F.col("id") % 10).alias("k"))
+    u = skew_stats(uni, ["k"]).collect()[0]
+    assert u["skew_ratio"] == 1.0 and u["suggested_buckets"] == 1
+
+    # one hot key with ~32x the mean → suggested buckets reaches it
+    hot = spark.range(310).select(
+        F.when(F.col("id") < 300, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    h = skew_stats(hot, ["k"]).collect()[0]
+    assert h["max_key_rows"] == 300 and h["n_keys"] == 11
+    assert h["suggested_buckets"] >= 16
+    # bounded plan: the top-N cut is TakeOrdered, never a global sort
+    plan = skew_stats(ev, ["event_type"])._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
