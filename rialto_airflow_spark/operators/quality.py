@@ -131,3 +131,58 @@ def foreign_key(
     return CheckResult(
         f"foreign_key({child_col}->{parent_col})", orphans == 0, orphans
     )
+
+
+def profile_columns(df: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """ANALYZE-style column profile in ONE aggregation pass (the same
+    single-scan discipline as ``run_checks``): for every column one
+    output row ``(column, dtype, n_rows, n_nulls, null_frac,
+    approx_distinct, min_value, max_value)``.
+
+    All per-column statistics compile into one ``agg()`` — null
+    counts are ``count_if``, distincts are HLL
+    (``approx_count_distinct`` at ``rsd`` relative error), min/max
+    cast to string for a uniform report schema (complex types —
+    arrays/maps/structs — profile nulls and distincts but skip
+    min/max, which aren't ordered). The wide one-row result unpivots
+    driver-side: #columns cells, metadata-sized.
+
+    Use it for ingest drift review (yesterday's profile vs today's),
+    picking broadcast candidates (approx_distinct · row size), and
+    choosing range-partition/Z-order columns (min/max spread)."""
+    simple = {
+        c: t
+        for c, t in df.dtypes
+        if not t.startswith(("array", "map", "struct", "binary"))
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in df.columns:
+        aggs.append(F.count_if(F.col(c).isNull()).alias(f"__null_{c}"))
+        aggs.append(
+            F.approx_count_distinct(c, rsd).alias(f"__dist_{c}")
+        )
+        if c in simple:
+            aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+    row = df.agg(*aggs).collect()[0]  # ONE row: #columns · 4 cells
+
+    dtypes = dict(df.dtypes)
+    out = [
+        (
+            c,
+            dtypes[c],
+            row["__n"],
+            row[f"__null_{c}"],
+            round(row[f"__null_{c}"] / row["__n"], 6) if row["__n"] else 0.0,
+            row[f"__dist_{c}"],
+            row[f"__min_{c}"] if c in simple else None,
+            row[f"__max_{c}"] if c in simple else None,
+        )
+        for c in df.columns
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, dtype string, n_rows long, n_nulls long, "
+        "null_frac double, approx_distinct long, "
+        "min_value string, max_value string",
+    )

@@ -72,6 +72,39 @@ class TableStore:
             raise FileNotFoundError(f"table {name} has no committed version")
         return spark.read.parquet(path)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_mb: int = 128,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Small-files compaction: rewrite the CURRENT version into
+        ~``target_mb``-sized files and atomically repoint — the
+        maintenance job that keeps a frequently-merged table readable
+        (every streaming MERGE / incremental upsert writes a fresh
+        small-file version; thousands of tiny files turn scans into
+        file-listing storms and starve row-group pruning).
+
+        Sizing uses the on-disk bytes of the current version (driver
+        walks the directory listing — metadata only), targeting
+        ``ceil(bytes / target_mb)`` output files via coalesce (no
+        shuffle — compaction merges, it doesn't redistribute).
+        Readers are never disrupted: the rewrite lands as a NEW
+        version, the pointer swap is atomic, and ``vacuum`` reclaims
+        the old one later."""
+        src = self.current_version(name)
+        if src is None:
+            raise FileNotFoundError(f"table {name} has no committed version")
+        total = 0
+        for root, _dirs, files in os.walk(src):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, f))
+        n_files = max(1, -(-total // (target_mb * 1024 * 1024)))
+        df = spark.read.parquet(src).coalesce(n_files)
+        return self.write(df, name, partition_by=partition_by)
+
     def vacuum(self, name: str, keep: int = 2) -> list[str]:
         """Drop all but the newest ``keep`` versions (the reference
         retains 30 days of snapshots — README.md:31)."""

@@ -95,3 +95,66 @@ def test_foreign_key_check(spark, sf_dir):
     half = t["customer"].where(F.col("c_custkey") % 2 == 0)
     bad = Q.foreign_key(t["orders"], "o_custkey", half, "c_custkey")
     assert not bad.passed and bad.observed > 0
+
+
+def test_profile_columns_single_pass_and_values(spark, sf_dir):
+    """Column profile vs exact per-column facts, and the single-scan
+    pin: one FileScan in the aggregation plan no matter how many
+    columns are profiled."""
+    from rialto_airflow_spark.operators.quality import profile_columns
+    from rialto_airflow_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    prof = {r["column"]: r for r in profile_columns(docs).collect()}
+    assert set(prof) == set(docs.columns)
+    n = docs.count()
+    for c, r in prof.items():
+        assert r["n_rows"] == n
+        exact_nulls = docs.where(F.col(c).isNull()).count()
+        assert r["n_nulls"] == exact_nulls
+        exact_distinct = docs.select(c).distinct().count()
+        # HLL rsd=0.02 → generous 10% envelope at this scale
+        assert abs(r["approx_distinct"] - exact_distinct) <= max(
+            2, 0.1 * exact_distinct
+        ), c
+    # min/max spot check on a numeric column
+    lo, hi = docs.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
+    assert prof["n_chars"]["min_value"] == str(lo)
+    assert prof["n_chars"]["max_value"] == str(hi)
+
+
+def test_profile_columns_nulls_and_complex_types(spark):
+    from rialto_airflow_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, None, [1, 2]), (2, "x", None), (None, "x", [3])],
+        "a int, b string, c array<int>",
+    )
+    prof = {r["column"]: r for r in profile_columns(df).collect()}
+    assert prof["a"]["n_nulls"] == 1 and prof["b"]["n_nulls"] == 1
+    assert prof["b"]["approx_distinct"] == 1
+    assert prof["c"]["min_value"] is None  # complex type: no ordering
+    assert prof["a"]["min_value"] == "1" and prof["a"]["max_value"] == "2"
+    assert prof["b"]["null_frac"] == round(1 / 3, 6)
+
+
+def test_table_store_compact_reduces_files_preserves_rows(spark, tmp_path):
+    """compact() rewrites a many-small-files version into few files,
+    repoints atomically, keeps content identical, and vacuum can then
+    reclaim the fragmented version."""
+    from rialto_airflow_spark.storage import TableStore
+
+    store = TableStore(str(tmp_path / "t"))
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    store.write(df.repartition(40), "frag")  # 40 tiny files
+    import glob
+
+    before = len(glob.glob(store.current_version("frag") + "/part-*"))
+    assert before >= 40
+    store.compact(spark, "frag", target_mb=128)
+    after_dir = store.current_version("frag")
+    after = len(glob.glob(after_dir + "/part-*"))
+    assert after < before and after <= 2
+    got = store.read(spark, "frag")
+    assert got.count() == 10_000
+    assert got.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
