@@ -890,3 +890,69 @@ def stream_kmv_sketches(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_cm_sketch(
+    events: DataFrame,
+    store,
+    table: str,
+    key_col: str,
+    checkpoint: str,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> None:
+    """Incremental frequency tracking over a stream: each micro-batch
+    builds a count-min sketch (operators/sketches.py) and ADDS its
+    counters into the versioned TableStore — live approximate
+    per-key frequencies from O(depth × width) stored rows, point-
+    queryable by batch consumers at any time via ``cm_estimate``.
+
+    Completes the streaming sketch family's idempotence taxonomy:
+    HLL and KMV unions are MIN/MAX-like (replay-safe with no
+    bookkeeping); histogram and count-min additions are ADDITIVE, so
+    this carries the same checkpoint-scoped ``__last_batch`` replay
+    stamp as :func:`stream_histogram_sketch` — merge + stamp commit
+    in one atomic pointer swap, a replayed batch id skips, and a
+    FOREIGN checkpoint's batches are refused (ids are only monotonic
+    within one checkpoint) instead of silently double-counting."""
+    from rialto_airflow_spark.operators.sketches import cm_merge, cm_sketch
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        spark = batch.sparkSession
+        fresh = cm_sketch(
+            batch, key_col, width=width, depth=depth, weight_col=weight_col
+        )
+        try:
+            prev = store.read(spark, table)
+        except FileNotFoundError:
+            merged = fresh
+        else:
+            head = prev.select("__ckpt", "__last_batch").first()
+            if head is not None and head["__ckpt"] != checkpoint:
+                raise ValueError(
+                    f"sketch table '{table}' was built by checkpoint "
+                    f"{head['__ckpt']!r}; merging batches from "
+                    f"{checkpoint!r} would double-count (batch ids are "
+                    "checkpoint-scoped). Rebuild the table or reuse the "
+                    "original checkpoint."
+                )
+            if head is not None and head["__last_batch"] >= batch_id:
+                return  # same-checkpoint replayed batch — skip
+            merged = cm_merge(prev.drop("__last_batch", "__ckpt"), fresh)
+        store.write(
+            merged.withColumn("__last_batch", F.lit(batch_id)).withColumn(
+                "__ckpt", F.lit(checkpoint)
+            ),
+            table,
+        )
+
+    q = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

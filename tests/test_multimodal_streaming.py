@@ -745,3 +745,64 @@ def test_stream_kmv_sketches_match_batch_and_intersect(spark, sf_dir, tmp_path):
         r["approx_distinct"] for r in stored.where(
             F.col("event_type").isin(types)).collect()
     ) * 0.5
+
+
+def test_stream_cm_sketch_matches_batch_and_guards_replay(
+    spark, sf_dir, tmp_path
+):
+    """Count-min streaming rollup (the additive branch of the
+    streaming sketch family): two staged deliveries add into stored
+    counters identical to the single-pass batch sketch; point
+    estimates never undercount the true frequencies; a foreign
+    checkpoint is refused."""
+    import pytest
+
+    from rialto_airflow_spark.operators.sketches import cm_estimate, cm_sketch
+    from rialto_airflow_spark.storage import TableStore
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    store = TableStore(str(tmp_path / "store"))
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(in_dir)
+
+    with SE.few_state_partitions(spark):
+        SE.stream_cm_sketch(
+            SE.read_event_stream(spark, in_dir), store, "cms",
+            "event_type", ckpt, width=256, depth=3,
+        )
+        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(in_dir)
+        SE.stream_cm_sketch(
+            SE.read_event_stream(spark, in_dir), store, "cms",
+            "event_type", ckpt, width=256, depth=3,
+        )
+    stored = store.read(spark, "cms").drop("__last_batch", "__ckpt")
+    got = {
+        (r["depth_idx"], r["pos"]): r["cnt"] for r in stored.collect()
+    }
+    want = {
+        (r["depth_idx"], r["pos"]): r["cnt"]
+        for r in cm_sketch(ev, "event_type", width=256, depth=3).collect()
+    }
+    assert got == want  # counters identical, not just close
+
+    # point estimates over the STORED sketch: never undercount
+    truth = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    keys = ev.select("event_type").distinct()
+    est = {
+        r["event_type"]: r["cm_count"]
+        for r in cm_estimate(stored, keys, "event_type", width=256, depth=3).collect()
+    }
+    for k, n in truth.items():
+        assert est[k] >= n
+
+    # foreign checkpoint: refused, not double-counted
+    ckpt2 = str(tmp_path / "ck2")
+    with SE.few_state_partitions(spark):
+        with pytest.raises(Exception, match="checkpoint"):
+            SE.stream_cm_sketch(
+                SE.read_event_stream(spark, in_dir), store, "cms",
+                "event_type", ckpt2, width=256, depth=3,
+            )
