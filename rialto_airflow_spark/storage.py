@@ -72,6 +72,65 @@ class TableStore:
             raise FileNotFoundError(f"table {name} has no committed version")
         return spark.read.parquet(path)
 
+    def versions(self, name: str) -> list[dict]:
+        """All retained versions, oldest first: ``{version, path,
+        current}`` — version ids are millisecond-timestamp-prefixed,
+        so lexicographic order IS commit order. Metadata only (a
+        directory listing); feeds time travel and audit."""
+        table_dir = os.path.join(self.root, name)
+        if not os.path.isdir(table_dir):
+            return []
+        current = self.current_version(name)
+        out = []
+        for v in sorted(os.listdir(table_dir)):
+            p = os.path.join(table_dir, v)
+            if os.path.isdir(p):
+                out.append(
+                    {
+                        "version": v,
+                        "path": p,
+                        "current": bool(
+                            current
+                            and os.path.abspath(p) == os.path.abspath(current)
+                        ),
+                    }
+                )
+        return out
+
+    def read_version(
+        self, spark: SparkSession, name: str, version: str
+    ) -> DataFrame:
+        """Time travel: read a specific retained version (as listed by
+        :meth:`versions`) without moving the pointer — the
+        what-did-the-table-say-yesterday debugging read the reference
+        got from Postgres snapshots. Vacuumed versions are gone;
+        raise instead of silently reading the current one."""
+        p = os.path.join(self.root, name, version)
+        if not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"table {name} has no retained version {version!r} "
+                f"(vacuumed, or never committed); see versions({name!r})"
+            )
+        return spark.read.parquet(p)
+
+    def restore(self, name: str, version: str) -> str:
+        """Roll the pointer back to a retained version — the
+        bad-publish undo. The restore itself is another atomic
+        pointer swap; no data is copied, and the rolled-back-from
+        version stays retained until vacuum."""
+        p = os.path.join(self.root, name, version)
+        if not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"table {name} has no retained version {version!r}"
+            )
+        tmp = self._pointer(name) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"path": p, "written_at": time.time(), "restored": True}, f
+            )
+        os.replace(tmp, self._pointer(name))
+        return p
+
     def compact(
         self,
         spark: SparkSession,

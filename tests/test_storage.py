@@ -205,3 +205,34 @@ def test_zorder_key_handles_strings_and_nulls(spark):
     rows = out.select("z").collect()
     assert len(rows) == 40
     assert all(r["z"] is not None and 0 <= r["z"] < (1 << 8) for r in rows)
+
+
+def test_time_travel_and_restore(spark, tmp_path):
+    """versions() lists commits in order, read_version reads history
+    without moving the pointer, restore rolls back atomically, and
+    vacuum invalidates time travel loudly (FileNotFoundError, never a
+    silent read of the wrong version)."""
+    store = TableStore(str(tmp_path / "t"))
+    store.write(spark.range(3).withColumn("v", F.lit("a")), "tbl")
+    store.write(spark.range(5).withColumn("v", F.lit("b")), "tbl")
+    store.write(spark.range(7).withColumn("v", F.lit("c")), "tbl")
+
+    vs = store.versions("tbl")
+    assert len(vs) == 3
+    assert [v["current"] for v in vs] == [False, False, True]
+
+    # time travel reads history; pointer untouched
+    assert store.read_version(spark, "tbl", vs[0]["version"]).count() == 3
+    assert store.read(spark, "tbl").count() == 7
+
+    # restore rolls the pointer back; data of the newer version stays
+    store.restore("tbl", vs[1]["version"])
+    assert store.read(spark, "tbl").count() == 5
+    assert store.read_version(spark, "tbl", vs[2]["version"]).count() == 7
+
+    # unknown / vacuumed versions fail loudly
+    with pytest.raises(FileNotFoundError):
+        store.read_version(spark, "tbl", "nope")
+    store.vacuum("tbl", keep=1)
+    with pytest.raises(FileNotFoundError):
+        store.read_version(spark, "tbl", vs[0]["version"])
