@@ -839,3 +839,60 @@ def minhash_dups_against_index(
         .distinct()
     )
     return release_on_gc(pairs, probe)
+
+
+def pair_metrics(
+    predicted: DataFrame,
+    truth: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Precision / recall / F1 of a candidate-pair set against labeled
+    truth pairs — the evaluation loop every near-dup parameter sweep
+    runs (num_perm × bands trades recall against candidate volume;
+    measuring it beats folklore). The ANN twin is
+    ``similarity.ann_recall``; this is the DEDUP-side metric, over
+    unordered id pairs.
+
+    Pairs are normalized to (min, max) so orientation never affects
+    the score, then both sides dedupe; counts come from one semi-join
+    (result-set-sized work — |pred| + |truth| rows, never
+    corpus-sized). Output is ONE row: ``(n_predicted, n_truth, n_hit,
+    precision, recall, f1)``. Empty sides are well-defined: empty
+    truth → recall 1 (nothing to find), empty predictions →
+    precision 1 (nothing claimed), both conventions chosen so a
+    parameter sweep over a clean corpus doesn't divide by zero."""
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        ).distinct()
+
+    p = canon(predicted)
+    t = canon(truth)
+    hits = t.join(p, ["a", "b"], "left_semi")
+    counts = (
+        p.agg(F.count(F.lit(1)).alias("n_predicted"))
+        .crossJoin(t.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    prec = F.when(
+        F.col("n_predicted") > 0, F.col("n_hit") / F.col("n_predicted")
+    ).otherwise(F.lit(1.0))
+    rec = F.when(
+        F.col("n_truth") > 0, F.col("n_hit") / F.col("n_truth")
+    ).otherwise(F.lit(1.0))
+    return counts.select(
+        "n_predicted",
+        "n_truth",
+        "n_hit",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("f1"),
+    )

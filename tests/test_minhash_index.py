@@ -177,3 +177,62 @@ def test_stream_minhash_dedup_accepts_once_and_replays_converge(
     run()
     got3 = {r["doc_id"] for r in store.read(spark, "docs_clean").collect()}
     assert got3 == got2
+
+
+def test_pair_metrics_oracle_and_edge_cases(spark, sf_dir):
+    """pair_metrics vs a DuckDB replay (canonicalized unordered
+    pairs, semi-join hit count), and the empty-side conventions. The
+    integration case scores the LSH candidate set against verified
+    n-gram-Jaccard truth — the num_perm/bands tuning read-out."""
+    from pyspark.sql import functions as F
+
+    from rialto_airflow_spark.plans.llm_queries import _spark_near_corpus
+    from tests.oracle_util import compare
+
+    pred = spark.createDataFrame(
+        [(1, 2), (3, 4), (6, 5), (9, 9)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame(
+        [(2, 1), (5, 6), (7, 8)], "id_a long, id_b long"
+    )
+    out = D.pair_metrics(pred, truth)
+    sql = """
+    WITH p AS (SELECT DISTINCT least(id_a,id_b) AS a, greatest(id_a,id_b) AS b
+               FROM (VALUES (1,2),(3,4),(6,5),(9,9)) AS t(id_a,id_b)),
+         tr AS (SELECT DISTINCT least(id_a,id_b) AS a, greatest(id_a,id_b) AS b
+               FROM (VALUES (2,1),(5,6),(7,8)) AS t(id_a,id_b)),
+         h AS (SELECT tr.a, tr.b FROM tr JOIN p USING (a, b))
+    SELECT (SELECT count(*) FROM p)::BIGINT AS n_predicted,
+           (SELECT count(*) FROM tr)::BIGINT AS n_truth,
+           (SELECT count(*) FROM h)::BIGINT AS n_hit,
+           round((SELECT count(*) FROM h) / (SELECT count(*) FROM p), 6) AS precision,
+           round((SELECT count(*) FROM h) / (SELECT count(*) FROM tr), 6) AS recall,
+           round(2.0 * ((SELECT count(*) FROM h) / (SELECT count(*) FROM p))
+                     * ((SELECT count(*) FROM h) / (SELECT count(*) FROM tr))
+                 / (((SELECT count(*) FROM h) / (SELECT count(*) FROM p))
+                    + ((SELECT count(*) FROM h) / (SELECT count(*) FROM tr))), 6) AS f1
+    """
+    compare(out, sql, sf_dir, "pair_metrics")
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    r = D.pair_metrics(empty, truth).collect()[0]
+    assert r["precision"] == 1.0 and r["recall"] == 0.0
+    r2 = D.pair_metrics(pred, empty).collect()[0]
+    assert r2["recall"] == 1.0 and r2["precision"] == 0.0
+
+    # integration: LSH candidates scored against the PLANTED truth of
+    # the tiled near-dup corpus (every doc_id % 10 == 0 has a
+    # perturbed twin at +1000000 by construction) — the
+    # num_perm/bands tuning read-out
+    corpus = _spark_near_corpus(spark, sf_dir)
+    cand = D.minhash_near_dups(corpus, "doc_id", "text")
+    truth_pairs = corpus.where(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 1_000_000)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"),
+    )
+    m = D.pair_metrics(cand, truth_pairs).collect()[0]
+    assert m["n_truth"] > 0
+    assert m["recall"] >= 0.9  # banded LSH finds ~all planted twins
+    assert 0 < m["precision"] <= 1.0  # extra candidates are allowed
