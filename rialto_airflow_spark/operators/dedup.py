@@ -896,3 +896,55 @@ def pair_metrics(
             6,
         ).alias("f1"),
     )
+
+
+def lsh_parameter_sweep(
+    corpus: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    grid: list[tuple[int, int]] = ((8, 2), (12, 4), (16, 4), (24, 8)),
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Run the num_perm × bands grid and score each configuration's
+    candidate set against labeled truth — the tuning table behind the
+    banding trade (more bands → higher recall AND more candidates;
+    the S-curve threshold is ≈ (1/bands)^(bands/num_perm)).
+
+    Driver loop by design: the grid is a handful of configurations
+    and EACH one is a full distributed pipeline (signature → bucket
+    join → metrics); the loop only sequences jobs and collects one
+    metric ROW per config. Returns ``(num_perm, bands, threshold,
+    n_candidates, n_truth, n_hit, precision, recall, f1)`` sorted by
+    f1 descending — pick the cheapest config above your recall floor.
+    """
+    spark = corpus.sparkSession
+    rows = []
+    for num_perm, bands in grid:
+        if num_perm % bands:
+            raise ValueError(
+                f"num_perm={num_perm} not divisible by bands={bands}"
+            )
+        cand = minhash_near_dups(
+            corpus, id_col, text_col, num_perm=num_perm, bands=bands,
+            shingle_n=shingle_n,
+        )
+        m = pair_metrics(cand, truth).collect()[0]
+        rows.append(
+            (
+                num_perm,
+                bands,
+                round((1.0 / bands) ** (bands / num_perm), 4),
+                m["n_predicted"],
+                m["n_truth"],
+                m["n_hit"],
+                m["precision"],
+                m["recall"],
+                m["f1"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "num_perm int, bands int, threshold double, n_candidates long, "
+        "n_truth long, n_hit long, precision double, recall double, f1 double",
+    ).orderBy(F.col("f1").desc(), F.col("num_perm").asc())

@@ -236,3 +236,32 @@ def test_pair_metrics_oracle_and_edge_cases(spark, sf_dir):
     assert m["n_truth"] > 0
     assert m["recall"] >= 0.9  # banded LSH finds ~all planted twins
     assert 0 < m["precision"] <= 1.0  # extra candidates are allowed
+
+
+def test_lsh_parameter_sweep_orders_configs(spark, sf_dir):
+    """The sweep returns one scored row per config; recall is
+    monotone-ish in banding aggressiveness on the planted-twin truth,
+    and the divisibility guard fires."""
+    import pytest
+
+    from rialto_airflow_spark.plans.llm_queries import _spark_near_corpus
+
+    corpus = _spark_near_corpus(spark, sf_dir)
+    truth = corpus.where(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 1_000_000)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"),
+    )
+    out = D.lsh_parameter_sweep(
+        corpus, truth, grid=[(12, 4), (12, 2)]
+    ).collect()
+    assert len(out) == 2
+    by_bands = {r["bands"]: r for r in out}
+    # 4 bands of 3 rows is a laxer threshold than 2 bands of 6 rows:
+    # recall can only go up, candidates can only grow
+    assert by_bands[4]["recall"] >= by_bands[2]["recall"]
+    assert by_bands[4]["n_candidates"] >= by_bands[2]["n_candidates"]
+    assert by_bands[4]["threshold"] < by_bands[2]["threshold"]
+    with pytest.raises(ValueError, match="divisible"):
+        D.lsh_parameter_sweep(corpus, truth, grid=[(10, 4)])
