@@ -196,7 +196,7 @@ def lsh_candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -208,6 +208,10 @@ def lsh_candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
         )
         .distinct()
     )
+    # the cache dies with the pair plan — loop callers (streaming
+    # micro-batches, parameter sweeps) would otherwise accumulate one
+    # banded cache per invocation forever
+    return release_on_gc(pairs, banded)
 
 
 def minhash_near_dups(
@@ -706,8 +710,30 @@ def _pbucket(band_idx: Column, band_hash: Column, bands: int, buckets: int) -> C
     ).cast("int")
 
 
-def _minhash_index_meta(spark, path: str) -> tuple[int, int, int, int]:
-    r = spark.read.parquet(f"{path}/meta").collect()[0]
+def minhash_index_current(path: str) -> tuple[str, str] | None:
+    """Resolve the index's CURRENT (rows_dir, meta_dir), or None if no
+    version is committed. Versions live under ``{path}/v...-...`` and
+    an ``INDEX.json`` pointer names the live one — the TableStore
+    pointer-swap discipline, so a REBUILD (compaction, retrain)
+    publishes atomically while live probes keep reading the snapshot
+    they resolved. (Bare ``{path}/rows`` layouts from before the
+    pointer scheme still resolve, read-compatibly.)"""
+    import json
+    import os
+
+    ptr = os.path.join(path, "INDEX.json")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            base = json.load(f)["path"]
+        return os.path.join(base, "rows"), os.path.join(base, "meta")
+    legacy = os.path.join(path, "rows")
+    if os.path.isdir(legacy):
+        return legacy, os.path.join(path, "meta")
+    return None
+
+
+def _minhash_index_meta(spark, meta_dir: str) -> tuple[int, int, int, int]:
+    r = spark.read.parquet(meta_dir).collect()[0]
     return r["num_perm"], r["bands"], r["shingle_n"], r["buckets"]
 
 
@@ -730,12 +756,26 @@ def write_minhash_index(
 
     Write shape mirrors ``similarity.write_lsh_index``: repartition
     on (pbucket, salt) so a hot band hash never funnels one write
-    task, while partitionBy still lays each row in its directory."""
+    task, while partitionBy still lays each row in its directory.
+
+    PUBLISH IS ATOMIC: rows + meta land in a fresh version directory
+    and an ``INDEX.json`` pointer swap makes them live together — a
+    rebuild (periodic compaction of appended duplicates, a retrain)
+    never exposes concurrent probes to a half-written rows dir or a
+    meta/rows parameter mismatch. Superseded version dirs are
+    retained; delete them once no probe can still hold them."""
+    import json as _json
+    import os
+    import time as _time
+    import uuid as _uuid
+
     spark = docs.sparkSession
+    version = f"v{int(_time.time() * 1000)}-{_uuid.uuid4().hex[:8]}"
+    base = os.path.join(path, version)
     spark.createDataFrame(
         [(num_perm, bands, shingle_n, buckets)],
         "num_perm int, bands int, shingle_n int, buckets int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "meta"))
 
     rows = banded_rows(docs, id_col, text_col, num_perm, bands, shingle_n).select(
         F.col(id_col).alias("index_id"),
@@ -750,8 +790,12 @@ def write_minhash_index(
         rows.repartition(F.col("pbucket"), salt)
         .write.partitionBy("pbucket")
         .mode("overwrite")
-        .parquet(f"{path}/rows")
+        .parquet(os.path.join(base, "rows"))
     )
+    tmp = os.path.join(path, f".INDEX.json.tmp.{_uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        _json.dump({"path": base, "written_at": _time.time()}, f)
+    os.replace(tmp, os.path.join(path, "INDEX.json"))  # atomic on POSIX
 
 
 def append_minhash_index(
@@ -768,7 +812,11 @@ def append_minhash_index(
     rows: harmless for correctness (probe pairs are distinct) but
     compact periodically with a fresh ``write_minhash_index``."""
     spark = docs.sparkSession
-    num_perm, bands, shingle_n, buckets = _minhash_index_meta(spark, path)
+    cur = minhash_index_current(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed minhash index at {path}")
+    rows_dir, meta_dir = cur
+    num_perm, bands, shingle_n, buckets = _minhash_index_meta(spark, meta_dir)
     rows = banded_rows(docs, id_col, text_col, num_perm, bands, shingle_n).select(
         F.col(id_col).alias("index_id"),
         "band_idx",
@@ -782,7 +830,7 @@ def append_minhash_index(
         rows.repartition(F.col("pbucket"), salt)
         .write.partitionBy("pbucket")
         .mode("append")
-        .parquet(f"{path}/rows")
+        .parquet(rows_dir)
     )
 
 
@@ -814,7 +862,11 @@ def minhash_dups_against_index(
     pairs or treat them as the replay signal (see
     ``streaming.events.stream_minhash_dedup``)."""
     spark = new_docs.sparkSession
-    num_perm, bands, shingle_n, buckets = _minhash_index_meta(spark, path)
+    cur = minhash_index_current(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed minhash index at {path}")
+    rows_dir, meta_dir = cur
+    num_perm, bands, shingle_n, buckets = _minhash_index_meta(spark, meta_dir)
     probe = banded_rows(
         new_docs, id_col, text_col, num_perm, bands, shingle_n
     ).select(
@@ -828,7 +880,7 @@ def minhash_dups_against_index(
     from pyspark import StorageLevel
 
     probe = probe.persist(StorageLevel.MEMORY_AND_DISK)
-    idx = spark.read.parquet(f"{path}/rows")
+    idx = spark.read.parquet(rows_dir)
     if prune is not False:
         pbs = [r["pbucket"] for r in probe.select("pbucket").distinct().collect()]
         if prune or len(pbs) < bands * buckets:

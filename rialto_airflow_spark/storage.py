@@ -151,10 +151,31 @@ class TableStore:
         shuffle — compaction merges, it doesn't redistribute).
         Readers are never disrupted: the rewrite lands as a NEW
         version, the pointer swap is atomic, and ``vacuum`` reclaims
-        the old one later."""
+        the old one later.
+
+        The source version's partition LAYOUT is preserved: when
+        ``partition_by`` is not given it is inferred from the
+        version's ``col=value`` directory chain, so compacting the
+        pub_year-partitioned publications table keeps its directory
+        pruning (silently flattening the layout would keep the data
+        and lose every partition-pruned read)."""
         src = self.current_version(name)
         if src is None:
             raise FileNotFoundError(f"table {name} has no committed version")
+        if partition_by is None:
+            partition_by = []
+            level = src
+            while True:
+                subs = [
+                    d
+                    for d in os.listdir(level)
+                    if os.path.isdir(os.path.join(level, d)) and "=" in d
+                ]
+                if not subs:
+                    break
+                partition_by.append(subs[0].split("=", 1)[0])
+                level = os.path.join(level, subs[0])
+            partition_by = partition_by or None
         total = 0
         for root, _dirs, files in os.walk(src):
             for f in files:
@@ -238,21 +259,41 @@ def write_sorted(
 
 
 def _zorder_numeric(col, dtype: str):
-    """Project a column to a double for quantile bucketing: numerics
-    and timestamps cast directly; anything else (strings, binary) is
-    xxhash64'd first so rank buckets are still well defined."""
+    """Project a column to an ORDER-PRESERVING double for quantile
+    bucketing (order preservation is what makes the clustered files'
+    min/max footers prunable on the original column — a hash would
+    cluster fine but spread every file's min/max across the whole
+    domain, silently killing pruning):
+
+      * numerics/booleans/timestamps cast directly;
+      * date via ``unix_date`` and timestamp_ntz via a timestamp hop
+        (neither casts to double directly — Spark rejects both);
+      * strings/binary order by their first-8-byte prefix: hex-encode,
+        right-pad the hex to 16 with '0' (so shorter strings sort
+        before their extensions, matching byte order), and read it as
+        a base-16 number. Values sharing an 8-byte prefix land in the
+        same bucket — exact order within a bucket doesn't matter for
+        clustering.
+    """
     from pyspark.sql import functions as F
 
+    if dtype == "date":
+        return F.unix_date(col).cast("double")
+    if dtype == "timestamp_ntz":
+        return col.cast("timestamp").cast("double")
     numericish = (
         dtype.startswith(("decimal", "tinyint", "smallint", "int", "bigint"))
-        or dtype in ("float", "double", "date", "timestamp", "timestamp_ntz", "boolean")
+        or dtype in ("float", "double", "timestamp", "boolean")
     )
     if numericish:
         return col.cast("double")
-    return F.xxhash64(col).cast("double")
+    raw = col if dtype == "binary" else F.encode(col.cast("string"), "UTF-8")
+    return F.conv(
+        F.rpad(F.substring(F.hex(raw), 1, 16), 16, "0"), 16, 10
+    ).cast("double")
 
 
-def zorder_key(df: DataFrame, cols: list, bits: int = 16, relative_error: float | None = None):
+def zorder_key(df: DataFrame, cols: list, bits: int = 10, relative_error: float | None = None):
     """Morton (Z-order) key over 2+ rank-normalized columns: each
     column is quantile-bucketed into ``2**bits`` levels, then the
     bucket bits are interleaved so points close in EVERY dimension get
@@ -261,12 +302,19 @@ def zorder_key(df: DataFrame, cols: list, bits: int = 16, relative_error: float 
     Rank normalization is SAMPLED, not windowed: one
     ``approxQuantile`` pass over all columns at once (Greenwald-Khanna
     on the executors; the driver holds ~``2**bits`` doubles per
-    column), then bucket assignment runs map-side as a ``bits``-step
-    binary search over the sorted boundary array (``element_at`` on an
-    array literal — no window, no ``Exchange SinglePartition``, no
-    shuffle). This is the same trick Delta's OPTIMIZE ZORDER uses for
-    its range-partition ids: sampled boundaries, never a global sort.
+    column), then bucket assignment runs map-side as a single
+    size(filter(boundaries, b -> b <= value)) over the boundary array
+    literal — no window, no ``Exchange SinglePartition``, no shuffle.
+    This is the same trick Delta's OPTIMIZE ZORDER uses for its
+    range-partition ids: sampled boundaries, never a global sort.
     Total key width = len(cols)·bits ≤ 63. NULLs land in bucket 0.
+
+    COST SCALES WITH 2**bits (quantile probs computed, boundary
+    literals embedded in the plan, comparisons per row) — the default
+    10 (1024 buckets ≈ Delta's 1000-way range split) is the sane
+    ceiling; raising it past ~12 buys no extra file pruning (you
+    can't have more buckets than output files benefit from) and
+    bloats codegen.
     """
     from pyspark.sql import functions as F
 
@@ -274,9 +322,9 @@ def zorder_key(df: DataFrame, cols: list, bits: int = 16, relative_error: float 
     assert n * bits <= 63, "z-key must fit a signed bigint"
     levels = 1 << bits
     if relative_error is None:
-        # tight enough that adjacent buckets stay distinct, loose
-        # enough that the GK sketch stays small on the executors
-        relative_error = max(1e-4, 0.25 / levels)
+        # a quarter-bucket: adjacent bucket boundaries stay distinct,
+        # and the GK sketch stays small on the executors
+        relative_error = 0.25 / levels
 
     def _dtype(col) -> str:
         # schema analysis only — no job

@@ -733,6 +733,15 @@ def stream_histogram_sketch(
         except FileNotFoundError:
             merged = fresh
         else:
+            if "__ckpt" not in prev.columns or "__last_batch" not in prev.columns:
+                raise ValueError(
+                    f"sketch table '{table}' exists without replay "
+                    "stamps (__ckpt/__last_batch) — it was seeded by a "
+                    "batch write, and ADDING stream batches to it "
+                    "cannot be made replay-safe. Start the stream on a "
+                    "fresh table (merge the batch-built sketch "
+                    "afterwards) or rebuild."
+                )
             head = prev.select("__ckpt", "__last_batch").first()
             if head is not None and head["__ckpt"] != checkpoint:
                 raise ValueError(
@@ -771,6 +780,9 @@ def stream_minhash_dedup(
     checkpoint: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_perm: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
 ) -> None:
     """Streaming near-duplicate dedup against a growing corpus
     history — the continuous-ingest form of the batch
@@ -795,12 +807,21 @@ def stream_minhash_dedup(
     the index probe is a thin-row join pruned to the batch's bucket
     partitions; the index append writes into existing bucket dirs.
     Nothing re-reads historical TEXT — the 100-TB history participates
-    only as its signature rows."""
+    only as its signature rows.
+
+    ``num_perm``/``bands``/``shingle_n`` seed the index on the FIRST
+    batch; every later batch dedups WITHIN itself using the index's
+    persisted parameters (not these arguments) — in-batch and
+    cross-batch collisions must use one threshold, or a replayed doc
+    could match under one banding what it missed under the other and
+    the replay-convergence claim would break."""
     from rialto_airflow_spark.operators.dedup import (
+        _minhash_index_meta,
         append_minhash_index,
         cluster_survivors,
         connected_components,
         minhash_dups_against_index,
+        minhash_index_current,
         minhash_near_dups,
         write_minhash_index,
     )
@@ -808,9 +829,16 @@ def stream_minhash_dedup(
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns or batch.isEmpty():
             return
-        import os
-
-        pairs_in = minhash_near_dups(batch, id_col, text_col)
+        spark = batch.sparkSession
+        cur = minhash_index_current(index_path)
+        if cur is None:
+            np_, nb, nsh = num_perm, bands, shingle_n
+        else:
+            # the index's params govern BOTH collision paths
+            np_, nb, nsh, _ = _minhash_index_meta(spark, cur[1])
+        pairs_in = minhash_near_dups(
+            batch, id_col, text_col, num_perm=np_, bands=nb, shingle_n=nsh
+        )
         # synchronous scope: everything below collects inside this
         # call, so plain persist + finally-unpersist is correct here
         # (unlike the registry queries, which return plans)
@@ -818,21 +846,29 @@ def stream_minhash_dedup(
             batch, connected_components(pairs_in), id_col
         ).persist()
         try:
-            if os.path.isdir(f"{index_path}/rows"):
+            if cur is not None:
+                # hold the probe result in a LOCAL until the merge and
+                # append actions have run: its release_on_gc would
+                # otherwise fire as soon as a chained temporary is
+                # dropped, evicting the probe cache mid-batch
+                pairs_x = minhash_dups_against_index(
+                    survivors, index_path, id_col, text_col
+                )
                 hits = (
-                    minhash_dups_against_index(
-                        survivors, index_path, id_col, text_col
-                    )
-                    .where(F.col("new_id") != F.col("index_id"))
+                    pairs_x.where(F.col("new_id") != F.col("index_id"))
                     .select(F.col("new_id").alias(id_col))
                     .distinct()
                 )
                 accepted = survivors.join(hits, id_col, "left_anti")
                 _merge_batch(store, table, id_col, accepted)
                 append_minhash_index(accepted, index_path, id_col, text_col)
+                del pairs_x
             else:
                 _merge_batch(store, table, id_col, survivors)
-                write_minhash_index(survivors, index_path, id_col, text_col)
+                write_minhash_index(
+                    survivors, index_path, id_col, text_col,
+                    num_perm=np_, bands=nb, shingle_n=nsh,
+                )
         finally:
             survivors.unpersist()
 
@@ -930,6 +966,15 @@ def stream_cm_sketch(
         except FileNotFoundError:
             merged = fresh
         else:
+            if "__ckpt" not in prev.columns or "__last_batch" not in prev.columns:
+                raise ValueError(
+                    f"sketch table '{table}' exists without replay "
+                    "stamps (__ckpt/__last_batch) — it was seeded by a "
+                    "batch write, and ADDING stream batches to it "
+                    "cannot be made replay-safe. Start the stream on a "
+                    "fresh table (merge the batch-built sketch "
+                    "afterwards) or rebuild."
+                )
             head = prev.select("__ckpt", "__last_batch").first()
             if head is not None and head["__ckpt"] != checkpoint:
                 raise ValueError(

@@ -265,3 +265,50 @@ def test_lsh_parameter_sweep_orders_configs(spark, sf_dir):
     assert by_bands[4]["threshold"] < by_bands[2]["threshold"]
     with pytest.raises(ValueError, match="divisible"):
         D.lsh_parameter_sweep(corpus, truth, grid=[(10, 4)])
+
+
+def test_index_rebuild_is_atomic_pointer_swap(spark, sf_dir, tmp_path):
+    """A rebuild publishes a fresh version dir and swaps INDEX.json —
+    probes never see half-written rows or a meta/rows mismatch, and
+    the superseded version stays on disk until explicitly removed."""
+    import glob
+    import json
+    import os
+
+    history = _corpus(spark, sf_dir)
+    path = str(tmp_path / "mh")
+    D.write_minhash_index(history, path, num_perm=12, bands=4)
+    ptr1 = json.load(open(os.path.join(path, "INDEX.json")))["path"]
+    probe = _near_batch(history, 7, 1_000_000)
+    got1 = {tuple(r) for r in D.minhash_dups_against_index(probe, path).collect()}
+    assert got1
+
+    # rebuild with DIFFERENT parameters: pointer moves, old dir stays
+    D.write_minhash_index(history, path, num_perm=24, bands=8)
+    ptr2 = json.load(open(os.path.join(path, "INDEX.json")))["path"]
+    assert ptr2 != ptr1 and os.path.isdir(ptr1)
+    assert len(glob.glob(os.path.join(path, "v*"))) == 2
+    # probes now fingerprint under the NEW meta automatically
+    got2 = {tuple(r) for r in D.minhash_dups_against_index(probe, path).collect()}
+    assert got2  # 24/8 banding is laxer — twins still collide
+    assert got2 >= got1
+
+
+def test_lsh_pair_cache_released_on_gc(spark, sf_dir):
+    """Round-6 review fix: the banded MEMORY_AND_DISK cache inside
+    lsh_candidate_pairs must die with the pair plan — loop callers
+    (streaming micro-batches, parameter sweeps) would otherwise leak
+    one cache per invocation forever."""
+    import gc
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    gc.collect()
+    before = n_cached()
+    pairs = D.minhash_near_dups(_corpus(spark, sf_dir), "doc_id", "text")
+    pairs.collect()
+    assert n_cached() > before  # banded cache materialized
+    del pairs
+    gc.collect()
+    assert n_cached() == before  # and released with the result

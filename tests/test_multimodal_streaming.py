@@ -806,3 +806,26 @@ def test_stream_cm_sketch_matches_batch_and_guards_replay(
                 SE.read_event_stream(spark, in_dir), store, "cms",
                 "event_type", ckpt2, width=256, depth=3,
             )
+
+
+def test_stream_sketch_refuses_unstamped_seed_table(spark, sf_dir, tmp_path):
+    """Round-6 review fix: a sketch table seeded by a BATCH write has
+    no replay stamps; the additive streams must refuse it with the
+    designed error instead of dying on an unresolved-column
+    exception."""
+    import pytest
+
+    from rialto_airflow_spark.operators.sketches import cm_sketch
+    from rialto_airflow_spark.storage import TableStore
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    store = TableStore(str(tmp_path / "store"))
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    store.write(cm_sketch(ev, "event_type", width=64, depth=2), "freq")
+    ev.limit(50).write.parquet(in_dir)
+    with SE.few_state_partitions(spark):
+        with pytest.raises(Exception, match="stamps"):
+            SE.stream_cm_sketch(
+                SE.read_event_stream(spark, in_dir), store, "freq",
+                "event_type", ckpt, width=64, depth=2,
+            )

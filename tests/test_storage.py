@@ -236,3 +236,63 @@ def test_time_travel_and_restore(spark, tmp_path):
     store.vacuum("tbl", keep=1)
     with pytest.raises(FileNotFoundError):
         store.read_version(spark, "tbl", vs[0]["version"])
+
+
+def test_zorder_key_temporal_types_and_string_order(spark):
+    """Round-6 review fixes: date/timestamp_ntz columns must not
+    crash (they don't cast to double directly), and STRING columns
+    must bucket in (prefix-)lexicographic order — a hash would
+    cluster fine but spread every file's min/max across the whole
+    domain, silently killing pruning on the original column."""
+    import datetime
+
+    from rialto_airflow_spark.storage import zorder_key
+
+    df = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 1) + datetime.timedelta(days=i), f"c{i:02d}", float(i))
+            for i in range(40)
+        ],
+        "d date, s string, v double",
+    )
+    out = df.withColumn("z", zorder_key(df, ["d", "v"], bits=4)).collect()
+    assert all(r["z"] is not None for r in out)
+
+    # string bucketing preserves order: bucket of s is monotone in s
+    sdf = spark.createDataFrame(
+        [(f"{chr(97 + i)}x", i) for i in range(26)], "s string, v int"
+    )
+    z = sdf.withColumn("z", zorder_key(sdf, ["s"], bits=4))
+    rows = sorted(z.collect(), key=lambda r: r["s"])
+    buckets = [r["z"] for r in rows]  # 1 column → key == bucket
+    assert buckets == sorted(buckets), buckets
+    assert len(set(buckets)) > 1  # actually spread, not one bucket
+
+    # timestamp_ntz path analyzes and evaluates
+    tdf = spark.sql(
+        "SELECT TIMESTAMP_NTZ'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS t,"
+        " CAST(id AS DOUBLE) v FROM range(20)"
+    )
+    assert (
+        tdf.withColumn("z", zorder_key(tdf, ["t", "v"], bits=4)).count() == 20
+    )
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    """compact() without partition_by must infer the current
+    version's col=value directory chain — flattening the layout
+    would silently lose every partition-pruned read."""
+    import glob
+
+    store = TableStore(str(tmp_path / "t"))
+    df = spark.range(1000).withColumn("pub_year", 2000 + (F.col("id") % 4))
+    store.write(df.repartition(20), "pubs", partition_by=["pub_year"])
+    store.compact(spark, "pubs", target_mb=128)
+    cur = store.current_version("pubs")
+    part_dirs = glob.glob(cur + "/pub_year=*")
+    assert len(part_dirs) == 4, part_dirs
+    assert store.read(spark, "pubs").count() == 1000
+    pruned = store.read(spark, "pubs").where(F.col("pub_year") == 2001)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == 250
+    assert "pub_year=2001" in plan or "PartitionFilters" in plan
