@@ -386,3 +386,38 @@ def test_remove_duplicate_spans_matches_model(spark, texts, window):
         for r in C.remove_duplicate_spans(df, window=window).collect()
     }
     assert got == _py_remove_spans_prop(rows, window)
+
+
+@settings(**_SETTINGS)
+@given(
+    values=st.lists(st.integers(0, 500), min_size=1, max_size=120),
+    cut=st.integers(0, 119),
+    k=st.sampled_from([4, 16, 64]),
+)
+def test_kmv_merge_identity_under_random_splits(spark, values, cut, k):
+    """Bottom-k mergeability law on random multisets: splitting the
+    data at ANY point and merging the two sketches yields the exact
+    sketch of the whole — array-identical, not approximately — and
+    the estimate is exact whenever distinct(values) < k."""
+    from rialto_airflow_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    cut = min(cut, len(values) - 1)
+    left = values[: cut + 1]
+    right = values[cut + 1 :]
+    df_all = spark.createDataFrame([(v,) for v in values], "v long")
+    whole = kmv_sketch(df_all, [], "v", k=k).collect()[0]
+
+    parts = [
+        kmv_sketch(spark.createDataFrame([(v,) for v in part], "v long"), [], "v", k=k)
+        for part in (left, right)
+        if part
+    ]
+    merged_in = parts[0]
+    for p in parts[1:]:
+        merged_in = merged_in.unionByName(p)
+    merged = kmv_merge(merged_in.select("kmv"), None, k=k).collect()[0]
+
+    assert list(merged["kmv"]) == list(whole["kmv"])
+    assert merged["approx_distinct"] == whole["approx_distinct"]
+    if len(set(values)) < k:
+        assert whole["approx_distinct"] == len(set(values))
