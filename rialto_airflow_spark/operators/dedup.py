@@ -1000,3 +1000,33 @@ def lsh_parameter_sweep(
         "num_perm int, bands int, threshold double, n_candidates long, "
         "n_truth long, n_hit long, precision double, recall double, f1 double",
     ).orderBy(F.col("f1").desc(), F.col("num_perm").asc())
+
+
+def minhash_index_vacuum(path: str, keep: int = 1) -> list[str]:
+    """Drop all but the newest ``keep`` index versions, never the one
+    INDEX.json points at — the reclamation step after rebuilds
+    (``write_minhash_index`` retains superseded version dirs so live
+    probes finish against their resolved snapshot; vacuum once no
+    probe can still hold them, the TableStore.vacuum contract)."""
+    import json
+    import os
+    import shutil
+
+    ptr = os.path.join(path, "INDEX.json")
+    current = None
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            current = json.load(f)["path"]
+    versions = sorted(
+        d
+        for d in os.listdir(path)
+        if d.startswith("v") and os.path.isdir(os.path.join(path, d))
+    ) if os.path.isdir(path) else []
+    removed = []
+    for v in versions[:-keep] if keep else versions:
+        p = os.path.join(path, v)
+        if current and os.path.abspath(p) == os.path.abspath(current):
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(p)
+    return removed

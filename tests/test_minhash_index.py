@@ -312,3 +312,24 @@ def test_lsh_pair_cache_released_on_gc(spark, sf_dir):
     del pairs
     gc.collect()
     assert n_cached() == before  # and released with the result
+
+
+def test_minhash_index_vacuum_keeps_current(spark, sf_dir, tmp_path):
+    import glob
+    import json
+    import os
+
+    history = _corpus(spark, sf_dir)
+    path = str(tmp_path / "mh")
+    D.write_minhash_index(history, path)
+    D.write_minhash_index(history, path)  # rebuild → 2 versions
+    assert len(glob.glob(os.path.join(path, "v*"))) == 2
+    removed = D.minhash_index_vacuum(path, keep=1)
+    assert len(removed) == 1
+    left = glob.glob(os.path.join(path, "v*"))
+    assert len(left) == 1
+    cur = json.load(open(os.path.join(path, "INDEX.json")))["path"]
+    assert os.path.abspath(left[0]) == os.path.abspath(cur)
+    # index still probes after vacuum
+    probe = _near_batch(history, 7, 1_000_000)
+    assert D.minhash_dups_against_index(probe, path).count() > 0
