@@ -66,7 +66,24 @@ def release_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
 
     ``unpersist(blocking=False)`` inside a guard: at interpreter
     shutdown or after ``spark.stop()`` the JVM side may be gone —
-    a failed eviction must never surface as a GC-time error."""
+    a failed eviction must never surface as a GC-time error.
+
+    CALLER CONTRACT (hold a local): the finalizer fires when THIS
+    returned DataFrame object is collected — derived plans do NOT
+    keep it alive. ``minhash_near_dups(df).where(...)`` drops the
+    intermediate immediately, evicting the banded cache BEFORE the
+    first read and silently recomputing the full prefix (round-7
+    ADVICE #3). If you chain on a wrapped function's result, bind
+    the result to a local for the duration of the actions that
+    should hit the cache::
+
+        pairs = minhash_near_dups(df)        # hold this local
+        hot = pairs.where(...); hot.count()  # cache is live
+        del pairs                            # now eviction may run
+
+    Every public function returning through this wrapper carries a
+    "hold a local" note; registry queries are exempt because the
+    driver collects the returned plan itself before dropping it."""
     import weakref
 
     def _evict(c: DataFrame) -> None:

@@ -222,7 +222,12 @@ def minhash_near_dups(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """End-to-end MinHash LSH near-duplicate pairs (id_a < id_b)."""
+    """End-to-end MinHash LSH near-duplicate pairs (id_a < id_b).
+
+    Hold a local: the banded-rows cache is released when the
+    RETURNED DataFrame is garbage-collected (``release_on_gc``
+    contract in ``functions/perf.py``) — bind the result before
+    chaining, or the cache evicts before first read."""
     banded = banded_rows(df, id_col, text_col, num_perm, bands, shingle_n)
     return lsh_candidate_pairs(banded, id_col)
 
@@ -810,7 +815,17 @@ def append_minhash_index(
     partition pruning intact (the ``append_ivf_index`` maintenance
     contract). Appending the same batch twice leaves duplicate index
     rows: harmless for correctness (probe pairs are distinct) but
-    compact periodically with a fresh ``write_minhash_index``."""
+    compact periodically with a fresh ``write_minhash_index``.
+
+    Writer contract: SINGLE WRITER per index path. A concurrent
+    ``write_minhash_index`` pointer swap would strand this append in
+    a superseded version (silently vacuumable — future duplicates of
+    the appended docs would go undetected), so after the append the
+    pointer is RE-READ and a swap-during-append raises
+    ``RuntimeError`` instead of losing the batch silently (round-7
+    ADVICE #2). On that error, re-run the append against the new
+    current version — appends are idempotent-for-correctness per the
+    duplicate-rows note above."""
     spark = docs.sparkSession
     cur = minhash_index_current(path)
     if cur is None:
@@ -832,6 +847,15 @@ def append_minhash_index(
         .mode("append")
         .parquet(rows_dir)
     )
+    after = minhash_index_current(path)
+    if after is None or after[0] != rows_dir:
+        raise RuntimeError(
+            f"append_minhash_index({path}): index pointer moved during "
+            f"append (was {rows_dir!r}, now "
+            f"{after[0] if after else None!r}); the appended batch landed "
+            "in a superseded version and will NOT be probed — re-run the "
+            "append against the current version"
+        )
 
 
 def minhash_dups_against_index(
@@ -860,7 +884,11 @@ def minhash_dups_against_index(
     an index that already contains it matches ITSELF (same id, same
     text) — callers replaying a batch can drop ``new_id == index_id``
     pairs or treat them as the replay signal (see
-    ``streaming.events.stream_minhash_dedup``)."""
+    ``streaming.events.stream_minhash_dedup``).
+
+    Hold a local: the probe-rows cache is released when the RETURNED
+    DataFrame is garbage-collected (``release_on_gc`` contract in
+    ``functions/perf.py``) — bind the result before chaining."""
     spark = new_docs.sparkSession
     cur = minhash_index_current(path)
     if cur is None:

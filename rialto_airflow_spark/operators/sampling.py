@@ -256,8 +256,15 @@ def weighted_sample(
     Rows with NULL or non-positive weight are excluded (they have
     zero inclusion probability; ln(u)/w would flip sign for w < 0).
     Ties (identical keys) break on ascending id.
+
+    ``u`` is clamped away from 0 before the log: ``hash_uniform``
+    can return exactly 0 (all-zero hash prefix, p = 2^-32 per row),
+    and ``F.log(0)`` is NULL, which sorts out of EVERY draw — a
+    silent permanent dropout for that (id, salt). The clamp value
+    2^-33 sits below the smallest nonzero ``u`` (2^-32), so no
+    other row's key ordering changes.
     """
-    u = hash_uniform(id_col, salt)
+    u = F.greatest(hash_uniform(id_col, salt), F.lit(2.0 ** -33))
     key = F.log(u) / F.col(weight_col).cast("double")
     base = df.where(
         F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)

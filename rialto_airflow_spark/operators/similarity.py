@@ -1395,6 +1395,12 @@ def mine_hard_negatives(
     counted among NEGATIVES (rank 1 = hardest negative). Queries in
     ``positives`` missing from the corpus produce no rows (no vector
     to score with — surface that upstream, not as NULL scores).
+
+    Zero-norm vectors are excluded on BOTH sides before scoring:
+    ``dot/(qn*cn)`` with a zero norm is NaN, and NaN sorts FIRST
+    under ``score DESC`` in Spark, so one zero-norm corpus row would
+    otherwise become the rank-1 "hardest negative" for every query
+    (round-7 ADVICE #4). Mirrors ``_centroid_assign``'s guard.
     """
     q = F.broadcast(
         positives.select(F.col(query_col)).distinct()
@@ -1406,6 +1412,7 @@ def mine_hard_negatives(
             ),
             query_col,
         )
+        .where(F.col("__qn") > 0)
     )
     pos = F.broadcast(
         positives.select(
@@ -1416,7 +1423,7 @@ def mine_hard_negatives(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         norm(F.col(vec_col)).alias("__cn"),
-    )
+    ).where(F.col("__cn") > 0)
     sim = F.round(
         dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
     )

@@ -61,13 +61,25 @@ def salted_join(
     """Skew-resistant equi-join: replicate the build side once per
     salt bucket, salt the probe side, join on (key, salt). Build-side
     rows multiply by ``buckets`` — use only when build is dim-sized.
+
+    The probe salt is CONTENT-derived (xxhash64 over all probe
+    columns, the same recipe as ``with_salt``), not
+    ``monotonically_increasing_id`` — mii changes across task
+    retries and repartitioning, violating this module's no-RNG
+    replayability rule (round-6 verdict). Correctness never depended
+    on the salt value (the build side is replicated across ALL
+    salts), but replayable plans must hash content. Fully identical
+    probe rows share a salt bucket; that's bounded residual skew by
+    the duplicate count, not a correctness issue.
     """
     build_rep = build.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
     probe_s = probe.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)).cast("int"),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(buckets)
+        ).cast("int"),
     )
     out = probe_s.join(build_rep, [on, "__salt"], how)
     return out.drop("__salt")

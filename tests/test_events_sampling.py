@@ -1666,3 +1666,68 @@ def test_ivf_drift_stats_flags_distribution_shift(spark, sf_dir, tmp_path):
     S.write_ivf_index(emb, ppath, "vec_id", "embedding", n_centroids=8, pq_codebooks=cb)
     with pytest.raises(ValueError, match="PQ"):
         S.ivf_drift_stats(emb, ppath, "vec_id", "embedding")
+
+
+def test_mine_hard_negatives_excludes_zero_norm_vectors(spark):
+    """Round-7 ADVICE #4 regression: a zero-norm corpus row used to
+    score NaN against every query, and NaN sorts FIRST under
+    score DESC — so the degenerate row became the rank-1 "hardest
+    negative" for all queries. It must now be excluded before the
+    window, and no NaN score may survive."""
+    import math
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.0, 0.0]),  # zero-norm: must never appear
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    positives = spark.createDataFrame(
+        [(0, 1)], "query_id long, positive_id long"
+    )
+    rows = S.mine_hard_negatives(
+        corpus, positives, "vec_id", "embedding", k=3
+    ).collect()
+    assert rows, "expected negatives for query 0"
+    assert all(r["neighbor_id"] != 3 for r in rows), rows
+    assert all(
+        r["score"] is not None and not math.isnan(r["score"]) for r in rows
+    ), rows
+    # rank 1 is the true nearest non-positive (vec 2), not the NaN row
+    top = next(r for r in rows if r["rank"] == 1)
+    assert top["neighbor_id"] == 2, rows
+
+
+def test_weighted_sample_u_zero_row_still_drawable(spark, monkeypatch):
+    """Round-6 "wrong" #1 regression: hash_uniform can return exactly
+    0 (p = 2^-32 per row); F.log(0) is NULL and NULLs sort out of
+    EVERY draw — a silent permanent dropout. Plant u=0 on one row by
+    patching hash_uniform; with overwhelming weight that row must
+    still win a slot (old code: never sampled, at any weight)."""
+    real = SA.hash_uniform
+
+    def planted(col, salt=""):
+        c = F.col(col) if isinstance(col, str) else col
+        return F.when(c.cast("long") == 7, F.lit(0.0)).otherwise(
+            real(col, salt)
+        )
+
+    monkeypatch.setattr(SA, "hash_uniform", planted)
+    df = spark.createDataFrame(
+        [(i, 1.0 if i != 7 else 1e12) for i in range(50)],
+        "doc_id long, w double",
+    )
+    got = {r["doc_id"] for r in SA.weighted_sample(df, "doc_id", "w", n=5).collect()}
+    assert 7 in got, got
+    # and the stratified path shares the key expression
+    df2 = df.withColumn("g", F.lit("a"))
+    got2 = {
+        r["doc_id"]
+        for r in SA.weighted_sample(
+            df2, "doc_id", "w", n=5, group_cols=["g"]
+        ).collect()
+    }
+    assert 7 in got2, got2

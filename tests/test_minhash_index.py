@@ -105,10 +105,13 @@ def test_small_probe_prunes_index_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [pbucket" in scan.replace(
         "PartitionFilters: [ pbucket", "PartitionFilters: [pbucket"
     ) or "pbucket IN" in scan, scan
-    # a perturbed copy of doc 7 collides with it
+    # a perturbed copy of doc 7 collides with it — asserted directly:
+    # the old `or pairs.count() >= 0` escape hatch was vacuous
+    # (always true), so partition pruning could have broken collision
+    # detection without this test noticing (round-7 ADVICE #1)
     assert {(r["new_id"], r["index_id"]) for r in pairs.collect()} >= {
         (500_007, 7)
-    } or pairs.count() >= 0
+    }
 
 
 def test_stream_minhash_dedup_accepts_once_and_replays_converge(
@@ -339,3 +342,47 @@ def test_minhash_index_vacuum_keeps_current(spark, sf_dir, tmp_path):
     # index still probes after vacuum
     probe = _near_batch(history, 7, 1_000_000)
     assert D.minhash_dups_against_index(probe, path).count() > 0
+
+
+def test_append_detects_concurrent_rebuild_pointer_swap(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-7 ADVICE #2 regression: append resolves the INDEX.json
+    pointer, writes into that version's rows dir, and a concurrent
+    write_minhash_index pointer swap used to strand the appended
+    batch in the superseded version SILENTLY — probes would never
+    see it and vacuum could delete it. The fix re-reads the pointer
+    after the append and raises on a swap. Simulate the race by
+    feeding append a stale resolution while the real pointer has
+    already moved on."""
+    import pytest
+
+    history = _corpus(spark, sf_dir).where(F.col("doc_id") < 80)
+    path = str(tmp_path / "mh")
+    D.write_minhash_index(history, path)
+    stale = D.minhash_index_current(path)  # v1 resolution
+
+    # the "concurrent" rebuild: pointer now names v2
+    D.write_minhash_index(history, path)
+    assert D.minhash_index_current(path)[0] != stale[0]
+
+    calls = {"n": 0}
+    real = D.minhash_index_current
+
+    def first_call_stale(p):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real(p)
+
+    monkeypatch.setattr(D, "minhash_index_current", first_call_stale)
+    batch = _near_batch(history, 7, 1_000_000)
+    with pytest.raises(RuntimeError, match="pointer moved"):
+        D.append_minhash_index(batch, path)
+
+    # and the live version was NOT polluted by the stranded batch:
+    # probing the current index still behaves like history-only
+    monkeypatch.setattr(D, "minhash_index_current", real)
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in D.minhash_dups_against_index(batch, path).collect()
+    }
+    assert got == _cross_pairs_full(history, batch)

@@ -192,3 +192,31 @@ def test_skew_stats_profile_and_oracle(spark, sf_dir):
     # bounded plan: the top-N cut is TakeOrdered, never a global sort
     plan = skew_stats(ev, ["event_type"])._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_join_salt_is_content_derived_and_replayable(spark, sf_dir):
+    """Round-6 "wrong" #2 regression: the probe salt used to come
+    from monotonically_increasing_id(), which changes across task
+    retries/repartitioning — violating the module's no-RNG
+    replayability rule. The salt must now hash row CONTENT: no mii
+    in the plan, and the full result (not just the count) must be
+    identical across a repartition of the probe side."""
+    from rialto_airflow_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    probe = t["customer"].withColumnRenamed("c_nationkey", "n_nationkey")
+    out = salted_join(probe, t["nation"], "n_nationkey", buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically" not in plan, plan
+
+    a = sorted(
+        (r["c_custkey"], r["n_name"])
+        for r in out.select("c_custkey", "n_name").collect()
+    )
+    b = sorted(
+        (r["c_custkey"], r["n_name"])
+        for r in salted_join(
+            probe.repartition(7), t["nation"], "n_nationkey", buckets=4
+        ).select("c_custkey", "n_name").collect()
+    )
+    assert a == b
