@@ -145,11 +145,26 @@ def build_harvest_dag() -> Dag:
     for src in ("openalex", "dim", "wos", "crossref", "pubmed"):
         dag.task(f"fill_in_{src}", upstream=harvest_names)(mk_fill_in(src))
 
+    @dag.task("link_authors", upstream=harvest_names)
+    def link_authors(ctx):
+        """M4 — pub↔author associations discovered DURING harvest
+        (each connector query is per-author, so the link arrives with
+        the payload — authors.py:141-175). Insert-if-absent via
+        ``upsert_edges``; after a full harvest's M5 reset this is
+        what repopulates the edge table, exactly the reference's
+        clear-then-relink lifecycle."""
+        if "incoming_edges" in ctx:
+            from rialto_airflow_spark.operators.merge import upsert_edges
+
+            ctx["author_edges"] = upsert_edges(
+                ctx["author_edges"], ctx["incoming_edges"]
+            )
+
     fill_names = tuple(
         f"fill_in_{s}" for s in ("openalex", "dim", "wos", "crossref", "pubmed")
     )
 
-    @dag.task("dedupe", upstream=fill_names)
+    @dag.task("dedupe", upstream=fill_names + ("link_authors",))
     def dedupe(ctx):
         ctx["pubs"], ctx["author_edges"], ctx["funder_edges"] = H.remove_duplicates(
             ctx["pubs"], ctx["author_edges"], ctx["funder_edges"]
@@ -157,16 +172,28 @@ def build_harvest_dag() -> Dag:
 
     @dag.task("distill", upstream=("dedupe",))
     def distill_task(ctx):
+        """Conditional re-distillation (distill.py:17-65 +
+        rialto.py:116-126): only rows the watermark predicate selects
+        are re-distilled and re-stamped; untouched rows pass through
+        BYTE-IDENTICAL, keeping their ``distilled_at`` — the
+        incremental property the reference gets from row-at-a-time
+        ``needs_distillation()`` checks, expressed as one
+        where/where-not split so the skip costs a filter, not a
+        distill of the whole table."""
         from rialto_airflow_spark.functions.distill import distill
 
         dims = ctx.get("dims", {})
-        ctx["pubs"] = distill(
-            ctx["pubs"],
+        pred = W.needs_distillation()
+        todo = ctx["pubs"].where(pred)
+        keep = ctx["pubs"].where(~pred)
+        done = distill(
+            todo,
             apc_dim=dims.get("apc"),
             issn_source_dim=dims.get("issn_source"),
         )
-        ctx["pubs"] = H.author_flags(ctx["pubs"], ctx["author_edges"], ctx["authors"])
-        ctx["pubs"] = ctx["pubs"].withColumn("distilled_at", F.current_timestamp())
+        done = H.author_flags(done, ctx["author_edges"], ctx["authors"])
+        done = done.withColumn("distilled_at", F.current_timestamp())
+        ctx["pubs"] = keep.unionByName(done.select(*keep.columns))
 
     @dag.task("link_funders", upstream=("dedupe",))
     def link(ctx):

@@ -548,8 +548,9 @@ def semantic_dedup(
     vec_col: str,
     threshold: float = 0.95,
     centroids=None,
-    k: int = 8,
+    k: int | None = None,
     max_iters: int = 3,
+    target_cluster_size: int = 1000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column — cluster the corpus with
@@ -566,11 +567,20 @@ def semantic_dedup(
     as the block, and grouping is :func:`connected_components`.
 
     Scale contract: all-pairs work is bounded by the squared cluster
-    size — pick ``k`` so clusters stay ~1e4-1e5 rows at the target
-    scale (the paper uses k=50k for LAION). Known approximation,
-    inherited from the paper: a near-dup pair split across a cluster
-    boundary is never examined; raise ``k`` gradually or run a
-    second pass with re-seeded centroids if boundary recall matters.
+    size. ``k`` therefore DEFAULTS to corpus-derived —
+    ``max(8, n_rows // target_cluster_size)`` (one count() over the
+    corpus, the same discipline as the paper's n/⟨cluster⟩ choice:
+    LAION at k=50k is ~3e4 rows/cluster) — so within-cluster pair
+    work grows LINEARLY with the corpus instead of quadratically at
+    a fixed k (the measured anti-pattern: fixed k=8 cost 100× pair
+    work for 10× data at the x10 tile, see SCALING.md). Pass an
+    explicit ``k`` to pin the quantizer (reproducibility, or a
+    pre-sized cluster budget); pass ``centroids`` to skip training
+    entirely, in which case ``k``/``target_cluster_size`` are unused.
+    Known approximation, inherited from the paper: a near-dup pair
+    split across a cluster boundary is never examined; raise ``k``
+    gradually or run a second pass with re-seeded centroids if
+    boundary recall matters.
     ``centroids`` accepts a pre-trained ``(cids, cmat, cnorms)``
     triple (e.g. from ``similarity.kmeans_centroids`` or a persisted
     IVF index) so the quantizer trains once per corpus, not per call.
@@ -583,6 +593,14 @@ def semantic_dedup(
     )
 
     if centroids is None:
+        if k is None:
+            # corpus-derived k: clusters stay ~target_cluster_size so
+            # the pair stage's per-cluster quadratic never outgrows a
+            # scale-up; bounded below (tiny corpora) and above (k can
+            # never exceed the row count)
+            n_rows = df.count()
+            k = max(8, n_rows // target_cluster_size)
+            k = max(1, min(k, n_rows))
         centroids = kmeans_centroids(
             df, id_col, vec_col, k=k, max_iters=max_iters
         )
@@ -715,21 +733,34 @@ def _pbucket(band_idx: Column, band_hash: Column, bands: int, buckets: int) -> C
     ).cast("int")
 
 
+def _minhash_store(path: str):
+    """The index's shared versioned-store handle: commit-log layout
+    under ``{path}/_commits`` (``commitlog.VersionedStore`` — one
+    object-store-safe commit protocol for every store in the engine),
+    with the pre-log ``INDEX.json`` pointer as read-only legacy."""
+    import os
+
+    from ..commitlog import VersionedStore
+
+    return VersionedStore(
+        path,
+        version_prefix="v",
+        legacy_pointer=os.path.join(path, "INDEX.json"),
+    )
+
+
 def minhash_index_current(path: str) -> tuple[str, str] | None:
     """Resolve the index's CURRENT (rows_dir, meta_dir), or None if no
     version is committed. Versions live under ``{path}/v...-...`` and
-    an ``INDEX.json`` pointer names the live one — the TableStore
-    pointer-swap discipline, so a REBUILD (compaction, retrain)
-    publishes atomically while live probes keep reading the snapshot
-    they resolved. (Bare ``{path}/rows`` layouts from before the
-    pointer scheme still resolve, read-compatibly.)"""
-    import json
+    the ``_commits`` log names the live one — the shared
+    ``commitlog.VersionedStore`` discipline, so a REBUILD (compaction,
+    retrain) publishes atomically while live probes keep reading the
+    snapshot they resolved. (Legacy ``INDEX.json`` pointers and bare
+    ``{path}/rows`` layouts still resolve, read-compatibly.)"""
     import os
 
-    ptr = os.path.join(path, "INDEX.json")
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            base = json.load(f)["path"]
+    base = _minhash_store(path).current_path()
+    if base is not None:
         return os.path.join(base, "rows"), os.path.join(base, "meta")
     legacy = os.path.join(path, "rows")
     if os.path.isdir(legacy):
@@ -764,19 +795,18 @@ def write_minhash_index(
     task, while partitionBy still lays each row in its directory.
 
     PUBLISH IS ATOMIC: rows + meta land in a fresh version directory
-    and an ``INDEX.json`` pointer swap makes them live together — a
-    rebuild (periodic compaction of appended duplicates, a retrain)
+    and one commit to the ``_commits`` log makes them live together —
+    a rebuild (periodic compaction of appended duplicates, a retrain)
     never exposes concurrent probes to a half-written rows dir or a
-    meta/rows parameter mismatch. Superseded version dirs are
-    retained; delete them once no probe can still hold them."""
-    import json as _json
+    meta/rows parameter mismatch, and the commit primitive is
+    put-if-absent (object-store-safe), not a POSIX rename. Superseded
+    version dirs are retained; reclaim with
+    :func:`minhash_index_vacuum` once no probe can still hold them."""
     import os
-    import time as _time
-    import uuid as _uuid
 
     spark = docs.sparkSession
-    version = f"v{int(_time.time() * 1000)}-{_uuid.uuid4().hex[:8]}"
-    base = os.path.join(path, version)
+    store = _minhash_store(path)
+    base = store.new_version_path()
     spark.createDataFrame(
         [(num_perm, bands, shingle_n, buckets)],
         "num_perm int, bands int, shingle_n int, buckets int",
@@ -797,10 +827,7 @@ def write_minhash_index(
         .mode("overwrite")
         .parquet(os.path.join(base, "rows"))
     )
-    tmp = os.path.join(path, f".INDEX.json.tmp.{_uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        _json.dump({"path": base, "written_at": _time.time()}, f)
-    os.replace(tmp, os.path.join(path, "INDEX.json"))  # atomic on POSIX
+    store.commit(base)
 
 
 def append_minhash_index(
@@ -1030,31 +1057,15 @@ def lsh_parameter_sweep(
     ).orderBy(F.col("f1").desc(), F.col("num_perm").asc())
 
 
-def minhash_index_vacuum(path: str, keep: int = 1) -> list[str]:
-    """Drop all but the newest ``keep`` index versions, never the one
-    INDEX.json points at — the reclamation step after rebuilds
+def minhash_index_vacuum(
+    path: str, keep: int = 1, older_than_s: float | None = None
+) -> list[str]:
+    """Drop all but the newest ``keep`` index versions, never the
+    current one — the reclamation step after rebuilds
     (``write_minhash_index`` retains superseded version dirs so live
-    probes finish against their resolved snapshot; vacuum once no
-    probe can still hold them, the TableStore.vacuum contract)."""
-    import json
-    import os
-    import shutil
-
-    ptr = os.path.join(path, "INDEX.json")
-    current = None
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            current = json.load(f)["path"]
-    versions = sorted(
-        d
-        for d in os.listdir(path)
-        if d.startswith("v") and os.path.isdir(os.path.join(path, d))
-    ) if os.path.isdir(path) else []
-    removed = []
-    for v in versions[:-keep] if keep else versions:
-        p = os.path.join(path, v)
-        if current and os.path.abspath(p) == os.path.abspath(current):
-            continue
-        shutil.rmtree(p, ignore_errors=True)
-        removed.append(p)
-    return removed
+    probes finish against their resolved snapshot). ``older_than_s``
+    additionally spares versions committed more recently than that —
+    set it ≥ the longest probe lifetime so vacuum can run on a timer
+    without racing in-flight probes (the shared
+    ``commitlog.VersionedStore.vacuum`` contract)."""
+    return _minhash_store(path).vacuum(keep=keep, older_than_s=older_than_s)

@@ -43,6 +43,44 @@ from rialto_airflow_spark.operators.dedup import dot, norm
 _WRITE_SALT = 8
 
 
+def _index_store(path: str):
+    """Versioned-store handle for a persisted ANN index — the shared
+    ``commitlog.VersionedStore`` commit protocol (put-if-absent log,
+    object-store-safe), same layer as TableStore and the MinHash
+    index. A rebuild lands in a fresh ``{path}/v...`` dir and one
+    commit makes lists + centroids + codebooks live TOGETHER; the
+    pre-log in-place layout (lists/centroids directly under ``path``)
+    still resolves read-only via :func:`index_data_dir`."""
+    from ..commitlog import VersionedStore
+
+    return VersionedStore(path, version_prefix="v")
+
+
+def index_data_dir(path: str, name: str = "lists") -> str:
+    """Current version's ``name`` data dir for a persisted index —
+    the supported way to read index internals (tests, ops tooling).
+    Resolves the commit log; legacy in-place layouts fall back to
+    ``{path}/{name}``. For LSH indexes the rows live under
+    ``name="buckets"``; legacy LSH wrote the partitioned rows at
+    ``path`` itself, which ``name=""`` resolves."""
+    import os
+
+    base = _index_store(path).current_path()
+    if base is None:
+        base = path
+    return os.path.join(base, name) if name else base
+
+
+def index_vacuum(
+    path: str, keep: int = 1, older_than_s: float | None = None
+) -> list[str]:
+    """Reclaim superseded index versions (never the current one);
+    ``older_than_s`` spares recently-committed versions so vacuum can
+    run on a timer without racing in-flight probes — the shared
+    ``commitlog.VersionedStore.vacuum`` contract."""
+    return _index_store(path).vacuum(keep=keep, older_than_s=older_than_s)
+
+
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
     """Deterministic LSH bucket: bit i is the sign of dimension i.
     For zero-centered embeddings this is a fixed random-hyperplane
@@ -92,7 +130,7 @@ def _load_centroids(spark, index_path: str):
     (ascending cid so stable argsorts tie-break like the oracles)."""
     return _centroid_arrays(
         sorted(
-            spark.read.parquet(f"{index_path}/centroids").collect(),
+            spark.read.parquet(index_data_dir(index_path, "centroids")).collect(),
             key=lambda r: int(r.cid),
         )
     )
@@ -347,7 +385,15 @@ def write_lsh_index(
     ``quantize=True`` stores int8 codes + per-vector scale instead of
     the float vector (same contract as the IVF writer: ``vec_norm``
     is the DEQUANTIZED vector's norm, so indexed scores are exact
-    cosines of the reconstruction)."""
+    cosines of the reconstruction).
+
+    PUBLISH IS ATOMIC: rows land under a fresh ``{path}/v.../buckets``
+    version dir and one commit to the shared ``commitlog`` makes them
+    live (put-if-absent — object-store-safe, no rename); a rebuild
+    never exposes probes to a half-written index, and superseded
+    versions stay for in-flight probes until :func:`index_vacuum`."""
+    store = _index_store(path)
+    base = store.new_version_path()
     out = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
@@ -367,8 +413,9 @@ def write_lsh_index(
         out.repartition(F.col("bucket"), salt)
         .write.partitionBy("bucket")
         .mode("overwrite")
-        .parquet(path)
+        .parquet(f"{base}/buckets")
     )
+    store.commit(base, extra={"kind": "lsh", "bits": bits})
 
 
 def lsh_topk_indexed(
@@ -409,7 +456,9 @@ def lsh_topk_indexed(
     probed = [
         r["__qb"] for r in q.select("__qb").distinct().collect()
     ]  # driver-side-small by contract (query batch × nprobe)
-    idx = spark.read.parquet(index_path).where(F.col("bucket").isin(probed))
+    rows_base = _index_store(index_path).current_path()
+    rows_dir = f"{rows_base}/buckets" if rows_base else index_path  # legacy: in-place
+    idx = spark.read.parquet(rows_dir).where(F.col("bucket").isin(probed))
     if quantized is None:
         quantized = "qvec" in idx.columns
     if quantized:
@@ -560,6 +609,8 @@ def write_ivf_index(
     :func:`ivf_pq_topk_indexed`."""
     if quantize and pq_codebooks is not None:
         raise ValueError("quantize and pq_codebooks are exclusive")
+    store = _index_store(path)
+    base = store.new_version_path()
     cids, cmat, cnorms = centroids or _pick_centroids(
         corpus, id_col, vec_col, n_centroids
     )
@@ -567,7 +618,7 @@ def write_ivf_index(
     spark.createDataFrame(
         [(int(c), [float(x) for x in row]) for c, row in zip(cids, cmat)],
         "cid long, ctr array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).write.mode("overwrite").parquet(f"{base}/centroids")
     assigned = _centroid_assign(
         corpus, id_col, vec_col, "neighbor_id", 1, cids, cmat, cnorms
     ).select(
@@ -593,7 +644,7 @@ def write_ivf_index(
                 for c in range(ksub)
             ],
             "j int, c int, ctr array<double>",
-        ).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+        ).write.mode("overwrite").parquet(f"{base}/pq_codebooks")
         assigned = pq_encode(
             assigned, "neighbor_id", "vec", pq_codebooks,
             keep_cols=("centroid_id",),
@@ -608,7 +659,15 @@ def write_ivf_index(
         assigned.repartition(F.col("centroid_id"), salt)
         .write.partitionBy("centroid_id")
         .mode("overwrite")
-        .parquet(f"{path}/lists")
+        .parquet(f"{base}/lists")
+    )
+    store.commit(
+        base,
+        extra={
+            "kind": "ivf",
+            "n_centroids": len(cids),
+            "format": "int8" if quantize else ("pq" if pq_codebooks is not None else "float"),
+        },
     )
 
 
@@ -662,7 +721,7 @@ def ivf_topk_indexed(
     probed = [
         r["centroid_id"] for r in q.select("centroid_id").distinct().collect()
     ]  # |queries| × nprobe ids at most — driver-side small by contract
-    idx = spark.read.parquet(f"{index_path}/lists").where(
+    idx = spark.read.parquet(index_data_dir(index_path, "lists")).where(
         F.col("centroid_id").isin(probed)
     )
     if quantized is None:
@@ -710,12 +769,24 @@ def append_ivf_index(
     index. Quantizer drift is the operator's documented trade:
     appended vectors use the original centroids/codebooks (exactly
     like FAISS add()); retrain + rebuild when the distribution
-    moves."""
+    moves.
+
+    Writer contract: SINGLE WRITER per index path (the
+    ``append_minhash_index`` contract). The append resolves the
+    CURRENT version, lands inside it, then re-reads the commit log:
+    a concurrent rebuild's commit would strand this batch in a
+    superseded, vacuumable version — that raises ``RuntimeError``
+    instead of losing the batch silently; re-run the append against
+    the new current version (duplicate appends are
+    correctness-harmless: probe top-k dedups on neighbor_id rank)."""
     import math
 
     import numpy as np
 
     spark = corpus.sparkSession
+    store = _index_store(path)
+    seq0 = store.current_seq()
+    lists_dir = index_data_dir(path, "lists")
     cids, cmat, cnorms = _load_centroids(spark, path)
 
     assigned = _centroid_assign(
@@ -726,7 +797,7 @@ def append_ivf_index(
         F.col("__vn").alias("vec_norm"),
         "centroid_id",
     )
-    existing = spark.read.parquet(f"{path}/lists").columns
+    existing = spark.read.parquet(lists_dir).columns
     if "qvec" in existing:
         assigned = quantize_embeddings(assigned, "vec").select(
             "neighbor_id",
@@ -736,7 +807,9 @@ def append_ivf_index(
             "centroid_id",
         )
     elif "pq_codes" in existing:
-        books_rows = spark.read.parquet(f"{path}/pq_codebooks").collect()
+        books_rows = spark.read.parquet(
+            index_data_dir(path, "pq_codebooks")
+        ).collect()
         m = max(r.j for r in books_rows) + 1
         ksub = max(r.c for r in books_rows) + 1
         dsub = len(books_rows[0].ctr)
@@ -756,8 +829,15 @@ def append_ivf_index(
         assigned.repartition(F.col("centroid_id"), salt)
         .write.partitionBy("centroid_id")
         .mode("append")
-        .parquet(f"{path}/lists")
+        .parquet(lists_dir)
     )
+    if store.current_seq() != seq0:
+        raise RuntimeError(
+            f"append_ivf_index({path}): index version moved during the "
+            f"append (commit {seq0} → {store.current_seq()}); the "
+            "appended batch landed in a superseded version and will NOT "
+            "be probed — re-run the append against the current version"
+        )
 
 
 def ivf_pq_topk_indexed(
@@ -782,7 +862,7 @@ def ivf_pq_topk_indexed(
 
     import numpy as np
 
-    books_rows = spark.read.parquet(f"{index_path}/pq_codebooks").collect()
+    books_rows = spark.read.parquet(index_data_dir(index_path, "pq_codebooks")).collect()
     m = max(r.j for r in books_rows) + 1
     ksub = max(r.c for r in books_rows) + 1
     dsub = len(books_rows[0].ctr)
@@ -800,7 +880,7 @@ def ivf_pq_topk_indexed(
         r["centroid_id"] for r in qa.select("centroid_id").distinct().collect()
     ]  # driver-small by contract
     lists = (
-        spark.read.parquet(f"{index_path}/lists")
+        spark.read.parquet(index_data_dir(index_path, "lists"))
         .where(F.col("centroid_id").isin(probed))
         .select(F.col("neighbor_id").alias("pq_id"), "pq_codes")
     )
@@ -1483,7 +1563,7 @@ def ivf_drift_stats(
         )
     )
 
-    idx = spark.read.parquet(f"{index_path}/lists")
+    idx = spark.read.parquet(index_data_dir(index_path, "lists"))
     if "qvec" in idx.columns:
         idx = idx.withColumn("vec", dequant())
     elif "vec" not in idx.columns:

@@ -344,17 +344,15 @@ def _lang_oracle() -> str:
     """
 
 
-@register("q26_lang_id", oracle=_lang_oracle())
-def q26_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language-ID heuristic (operators.text.lang_id)."""
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return docs.select("doc_id", T.lang_id("text").alias("lang_guess"))
-
-
-@register(
-    "q27_quality_score",
-    oracle="""
-    WITH feat AS (
+def _text_metrics_oracle() -> str:
+    fp_expr = (
+        "array_to_string(list_sort(list_distinct("
+        f"list_transform({SQL_SHINGLES.format(t='text')}, s -> md5(s))"
+        "))[1:4], '|')"
+    )
+    return f"""
+    WITH lang AS ({_lang_oracle()}),
+    feat AS (
       SELECT doc_id,
              len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
              len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -362,48 +360,46 @@ def q26_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                / len(regexp_split_to_array(trim(text), '\\s+')) AS stop_r,
              (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
                / length(text) AS punct_r,
-             length(text) AS n_chars2
+             length(text) AS n_chars2,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpe_tokens,
+             {fp_expr} AS fp
       FROM documents
     )
-    SELECT doc_id, n_tokens,
-           round(stop_r, 4) AS stop_ratio,
-           round(punct_r, 4) AS punct_ratio,
-           round(least(n_chars2 / 500.0, 1.0) * 0.4
-                 + least(stop_r * 5.0, 1.0) * 0.4
-                 + greatest(0.0, 1.0 - punct_r * 10.0) * 0.2, 4) AS quality
-    FROM feat
-    """,
-)
-def q27_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document quality scoring (operators.text.quality_score):
-    length / stopword / punctuation features, composite in [0,1]."""
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    SELECT l.doc_id AS doc_id, l.lang_guess,
+           f.n_tokens,
+           round(f.stop_r, 4) AS stop_ratio,
+           round(f.punct_r, 4) AS punct_ratio,
+           round(least(f.n_chars2 / 500.0, 1.0) * 0.4
+                 + least(f.stop_r * 5.0, 1.0) * 0.4
+                 + greatest(0.0, 1.0 - f.punct_r * 10.0) * 0.2, 4) AS quality,
+           f.n_bpe_tokens, f.fp
+    FROM lang l JOIN feat f ON l.doc_id = f.doc_id
+    """
+
+
+@register("q26_text_metrics", oracle=_text_metrics_oracle())
+def q26_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis, ONE scan: language-ID
+    (operators.text.lang_id), quality scoring (quality_score +
+    stopword/punct features), token counting (token_count /
+    bpe_ish_token_count), and fingerprinting (fingerprint, k-smallest
+    shingle hashes). Round 8 merged the former q26/q27/q28/q29 —
+    every column family is row-wise over the same documents scan, so
+    four registry slots were four redundant scans (the freed slots
+    now gate profile/metric operators); each operator stays
+    individually hash-gated because the driver hashes ALL columns."""
+    from rialto_airflow_spark.functions.perf import ensure_parallelism
+
+    docs = ensure_parallelism(load_tables(spark, sf_dir, "documents")["documents"])
     return docs.select(
         "doc_id",
+        T.lang_id("text").alias("lang_guess"),
         T.token_count("text").alias("n_tokens"),
         F.round(T.stopword_ratio("text"), 4).alias("stop_ratio"),
         F.round(T.punct_ratio("text"), 4).alias("punct_ratio"),
         F.round(T.quality_score("text"), 4).alias("quality"),
-    )
-
-
-@register(
-    "q28_token_counts",
-    oracle="""
-    SELECT doc_id,
-           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpe_tokens
-    FROM documents
-    """,
-)
-def q28_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace + BPE-ish regex sub-tokens
-    (operators.text.token_count / bpe_ish_token_count)."""
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return docs.select(
-        "doc_id",
-        T.token_count("text").alias("n_tokens"),
         T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        T.fingerprint("text", n=3, k=4).alias("fp"),
     )
 
 
@@ -507,20 +503,61 @@ def q31_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q29_fingerprint",
+    "q49_pair_metrics",
     oracle=f"""
-    SELECT doc_id,
-           array_to_string(
-             list_sort(list_distinct(
-               list_transform({SQL_SHINGLES.format(t="text")}, s -> md5(s))
-             ))[1:4], '|') AS fp
-    FROM documents
+    WITH {minhash_pair_ctes()},
+    tshingled AS (
+      SELECT doc_id, lang, source, length(text) // 128 AS length_bucket,
+             {SQL_SHINGLES.format(t="text")} AS sh
+      FROM corpus
+    ),
+    truth_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tshingled a JOIN tshingled b
+        ON a.lang = b.lang AND a.source = b.source
+           AND a.length_bucket = b.length_bucket AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ),
+    p AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM pairs),
+    t AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM truth_pairs),
+    c AS (
+      SELECT (SELECT count(*) FROM p) AS n_predicted,
+             (SELECT count(*) FROM t) AS n_truth,
+             (SELECT count(*) FROM t
+              WHERE EXISTS (SELECT 1 FROM p WHERE p.a = t.a AND p.b = t.b)) AS n_hit
+    )
+    SELECT n_predicted, n_truth, n_hit,
+           round(CASE WHEN n_predicted > 0 THEN n_hit::DOUBLE / n_predicted ELSE 1.0 END, 6) AS "precision",
+           round(CASE WHEN n_truth > 0 THEN n_hit::DOUBLE / n_truth ELSE 1.0 END, 6) AS recall,
+           round(CASE WHEN (CASE WHEN n_predicted > 0 THEN n_hit::DOUBLE / n_predicted ELSE 1.0 END)
+                         + (CASE WHEN n_truth > 0 THEN n_hit::DOUBLE / n_truth ELSE 1.0 END) > 0
+                 THEN 2 * (CASE WHEN n_predicted > 0 THEN n_hit::DOUBLE / n_predicted ELSE 1.0 END)
+                        * (CASE WHEN n_truth > 0 THEN n_hit::DOUBLE / n_truth ELSE 1.0 END)
+                      / ((CASE WHEN n_predicted > 0 THEN n_hit::DOUBLE / n_predicted ELSE 1.0 END)
+                         + (CASE WHEN n_truth > 0 THEN n_hit::DOUBLE / n_truth ELSE 1.0 END))
+                 ELSE 0.0 END, 6) AS f1
+    FROM c
     """,
 )
-def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: k-smallest shingle hashes
-    (operators.text.fingerprint)."""
-    from rialto_airflow_spark.functions.perf import ensure_parallelism
-
-    docs = ensure_parallelism(load_tables(spark, sf_dir, "documents")["documents"])
-    return docs.select("doc_id", T.fingerprint("text", n=3, k=4).alias("fp"))
+def q49_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pair evaluation (operators.dedup.pair_metrics, round-6
+    operator): precision/recall/F1 of the MinHash-LSH candidate set
+    (q21's operator) against exact n-gram-Jaccard≥0.5 pairs (q23's
+    operator) as labeled truth — the parameter-sweep evaluation loop
+    over REAL operator outputs, one row, all counts from one
+    semi-join. The oracle recomputes both pair sets and the metric
+    arithmetic in SQL."""
+    corpus = _spark_near_corpus(spark, sf_dir)
+    pred = D.minhash_near_dups(
+        corpus, "doc_id", "text", num_perm=NUM_PERM, bands=BANDS, shingle_n=3
+    )
+    truth = D.ngram_jaccard_pairs(
+        corpus.withColumn("length_bucket", F.floor(F.length("text") / 128)),
+        "doc_id",
+        "text",
+        ["lang", "source", "length_bucket"],
+        shingle_n=3,
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    return D.pair_metrics(pred, truth)

@@ -369,7 +369,9 @@ def q38_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"rialto_q38_ivf_{sf_dir.strip('/').replace('/', '_')}"
         f"_{int(st.st_mtime)}_{st.st_size}",
     )
-    if not os.path.isdir(os.path.join(path, "lists")):
+    # resolve through the commit log (index_data_dir): a committed
+    # version's lists dir exists; an absent/uncommitted index doesn't
+    if not os.path.isdir(S.index_data_dir(path, "lists")):
         S.write_ivf_index(emb, path, "vec_id", "embedding", n_centroids=8)
     shortlist = S.ivf_topk_indexed(
         spark,
@@ -495,11 +497,34 @@ def q40_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q41_salted_agg",
     oracle="""
-    SELECT event_type,
-           round(sum(value), 2) AS total_value,
-           count(*) AS n
-    FROM events
-    GROUP BY event_type
+    WITH agg AS (
+      SELECT event_type,
+             round(sum(value), 2) AS total_value,
+             count(*) AS n
+      FROM events
+      GROUP BY event_type
+    ),
+    per_key AS (
+      SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    ),
+    sk AS (
+      -- ::BIGINT: DuckDB sums BIGINT into HUGEINT, which pandas
+      -- surfaces as float and the driver hashes differently (q22)
+      SELECT sum(cnt)::BIGINT AS n_rows,
+             count(*) AS n_keys,
+             max(cnt) AS max_key_rows,
+             round(max(cnt)::DOUBLE / sum(cnt), 6) AS top_share,
+             round((SELECT sum(cnt) FROM (
+                      SELECT cnt FROM per_key ORDER BY cnt DESC LIMIT 5
+                    ))::DOUBLE / sum(cnt), 6) AS top5_share,
+             round(avg(cnt), 2) AS mean_key_rows,
+             round(max(cnt)::DOUBLE / round(avg(cnt), 2), 2) AS skew_ratio,
+             least(64, CAST(power(2, ceil(log2(
+                 greatest(max(cnt)::DOUBLE / round(avg(cnt), 2), 1.0)
+             ))) AS INTEGER)) AS suggested_buckets
+      FROM per_key
+    )
+    SELECT agg.*, sk.* FROM agg CROSS JOIN sk
     """,
 )
 def q41_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,11 +532,19 @@ def q41_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.skew.salted_agg): partial per (key, salt), final per
     key. The oracle is the PLAIN group-by — proving salting is
     semantically transparent, which is the whole point: hot keys
-    spread over 16 tasks with no result change."""
-    from rialto_airflow_spark.operators.skew import salted_agg
+    spread over 16 tasks with no result change.
+
+    Round 8 extends every row with the key-distribution profile that
+    DECIDES whether to salt (operators.skew.skew_stats, round-6
+    operator — one row, cross-joined): exact columns only
+    (p99_key_rows is percentile_approx, sketch-valued by design and
+    not oracle-matchable; its math is pytest-gated). The profile's
+    arithmetic — shares, skew_ratio, the power-of-two
+    suggested_buckets — is recomputed exactly by the oracle."""
+    from rialto_airflow_spark.operators.skew import salted_agg, skew_stats
 
     ev = load_tables(spark, sf_dir, "events")["events"]
-    return salted_agg(
+    agg = salted_agg(
         ev,
         ["event_type"],
         partial=lambda: [
@@ -524,6 +557,8 @@ def q41_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         buckets=16,
     )
+    profile = skew_stats(ev, ["event_type"], top_n=5).drop("p99_key_rows")
+    return agg.crossJoin(F.broadcast(profile))
 
 
 @register(
@@ -1227,3 +1262,171 @@ def q51_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "q52_column_profile",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+      FROM orders
+    ),
+    stats AS (
+      SELECT count(*) AS n,
+             count_if(o_orderkey IS NULL)      AS null_k,
+             count_if(o_custkey IS NULL)       AS null_c,
+             count_if(o_orderstatus IS NULL)   AS null_s,
+             count_if(o_orderpriority IS NULL) AS null_p,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_k, CAST(max(o_orderkey) AS VARCHAR) AS max_k,
+             CAST(min(o_custkey) AS VARCHAR)  AS min_c, CAST(max(o_custkey) AS VARCHAR)  AS max_c,
+             min(o_orderstatus)   AS min_s, max(o_orderstatus)   AS max_s,
+             min(o_orderpriority) AS min_p, max(o_orderpriority) AS max_p
+      FROM s
+    )
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS "column", 'bigint' AS dtype, n AS n_rows,
+             null_k::BIGINT AS n_nulls, round(null_k::DOUBLE / n, 6) AS null_frac,
+             min_k AS min_value, max_k AS max_value, TRUE AS distinct_ok
+      FROM stats
+      UNION ALL
+      SELECT 'o_custkey', 'bigint', n, null_c::BIGINT, round(null_c::DOUBLE / n, 6),
+             min_c, max_c, TRUE FROM stats
+      UNION ALL
+      SELECT 'o_orderstatus', 'string', n, null_s::BIGINT, round(null_s::DOUBLE / n, 6),
+             min_s, max_s, TRUE FROM stats
+      UNION ALL
+      SELECT 'o_orderpriority', 'string', n, null_p::BIGINT, round(null_p::DOUBLE / n, 6),
+             min_p, max_p, TRUE FROM stats
+    )
+    """,
+)
+def q52_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling (operators.quality.
+    profile_columns, round-6 operator): one aggregation pass over the
+    table computes per-column null counts, HLL distincts, and min/max
+    — one output row per column. The exact columns (nulls, fracs,
+    min/max-as-string) hash-match the oracle; the HLL distinct — a
+    sketch, not oracle-matchable by design — is gated as the q40
+    pattern: ``distinct_ok`` asserts the estimate lands within 15% of
+    the exact count (HLL++ at rsd=0.02 is deterministic per dataset)
+    and the oracle expects the assertion to hold. Profiled columns
+    avoid double/timestamp on purpose: min/max cast to string must
+    match BYTE-wise across engines, and float formatting does not."""
+    from rialto_airflow_spark.operators.quality import profile_columns
+
+    sub = load_tables(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    prof = profile_columns(sub)
+    exact_row = sub.agg(
+        *[F.countDistinct(c).alias(c) for c in sub.columns]
+    ).collect()[0]  # ONE row, #columns cells — metadata-sized
+    exact = spark.createDataFrame(
+        [(c, int(exact_row[c])) for c in sub.columns],
+        "column string, __exact long",
+    )
+    return (
+        prof.join(F.broadcast(exact), "column")
+        .select(
+            "column",
+            "dtype",
+            "n_rows",
+            "n_nulls",
+            "null_frac",
+            "min_value",
+            "max_value",
+            (
+                F.abs(F.col("approx_distinct") - F.col("__exact"))
+                / F.col("__exact")
+                < 0.15
+            ).alias("distinct_ok"),
+        )
+    )
+
+
+@register(
+    "q53_kmv_sets",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('click', 'view', 'error') AND user_id IS NOT NULL
+    ),
+    b AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('view', 'purchase', 'signup') AND user_id IS NOT NULL
+    ),
+    c AS (
+      SELECT (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_union,
+             (SELECT count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS n_intersection
+    )
+    SELECT n_union, n_intersection,
+           round(n_intersection::DOUBLE / n_union, 6) AS jaccard_exact,
+           TRUE AS union_ok, TRUE AS intersection_ok, TRUE AS jaccard_ok
+    FROM c
+    """,
+)
+def q53_kmv_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra (operators.sketches.kmv_sketch +
+    kmv_set_estimates, round-6 operators): sketch two overlapping
+    user-id sets (split by event_type, 'view' users overlap), then
+    estimate |A∪B| / |A∩B| / Jaccard from the two ≤k-double sketches
+    alone (Beyer et al. §4). Sketches are xxhash64-valued — not
+    oracle-matchable by design — so the gate is the q40 pattern: the
+    query computes the EXACT set sizes distributedly in the same job
+    and asserts each estimate within the 4·RSE envelope (RSE =
+    1/√(k−2) ≈ 12.7% at k=64; k chosen BELOW the sf0.01 user count so
+    the approximate path — not the exact-below-k shortcut — is what's
+    gated). The oracle recomputes the exact sets and expects every
+    assertion to hold."""
+    from rialto_airflow_spark.operators.sketches import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    k = 64
+    rse = (k - 2) ** -0.5
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    a = ev.where(F.col("event_type").isin("click", "view", "error"))
+    b = ev.where(F.col("event_type").isin("view", "purchase", "signup"))
+    est = kmv_set_estimates(
+        kmv_sketch(a, [], "user_id", k=k),
+        kmv_sketch(b, [], "user_id", k=k),
+        on=None,
+        k=k,
+    )
+    tagged = a.select("user_id", F.lit(1).alias("__a"), F.lit(0).alias("__b")).unionByName(
+        b.select("user_id", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
+    ).where(F.col("user_id").isNotNull())
+    exact = (
+        tagged.groupBy("user_id")
+        .agg(F.max("__a").alias("__a"), F.max("__b").alias("__b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_union"),
+            F.count_if((F.col("__a") == 1) & (F.col("__b") == 1)).alias(
+                "n_intersection"
+            ),
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_union",
+        "n_intersection",
+        F.round(F.col("n_intersection") / F.col("n_union"), 6).alias(
+            "jaccard_exact"
+        ),
+        (
+            F.abs(F.col("union_est") - F.col("n_union")) / F.col("n_union")
+            <= 4 * rse
+        ).alias("union_ok"),
+        (
+            F.abs(F.col("intersection_est") - F.col("n_intersection"))
+            / F.col("n_union")
+            <= 4 * rse
+        ).alias("intersection_ok"),
+        (
+            F.abs(
+                F.col("jaccard_est")
+                - F.col("n_intersection") / F.col("n_union")
+            )
+            <= 4 * rse
+        ).alias("jaccard_ok"),
+    )

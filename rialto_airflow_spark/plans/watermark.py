@@ -59,6 +59,25 @@ def fill_in_predicate(source: str, watermark: Column | None) -> Column:
     )
 
 
+def needs_distillation() -> Column:
+    """P5 — conditional re-distillation predicate
+    (schema/rialto.py:116-126, applied per-row by
+    harvest_incremental/distill.py:17-65): a publication is
+    (re-)distilled when it has never been distilled, or when an
+    upsert touched it since (``updated_at > distilled_at`` — the
+    MERGE refreshes ``updated_at`` only on actual change, so an
+    untouched pub keeps its watermark and is skipped).
+
+    NULL-safe by construction: a NULL ``updated_at`` must mean SKIP
+    for an already-distilled row, not a NULL predicate (which would
+    drop the row from BOTH the distill and the keep branch of a
+    where/where-not split)."""
+    return F.col("distilled_at").isNull() | (
+        F.col("updated_at").isNotNull()
+        & (F.col("updated_at") > F.col("distilled_at"))
+    )
+
+
 def clear_author_links(author_edges: DataFrame, is_full: bool) -> DataFrame:
     """M5 — full harvests reset all pub↔author edges
     (authors.py:176-189)."""

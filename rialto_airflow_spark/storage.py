@@ -11,42 +11,48 @@ scale):
     bucketed MERGE/self-join co-locates both sides and skips the
     shuffle entirely (requires saveAsTable; plain-path writes fall
     back to unbucketed);
-  * writes go to a versioned directory then swap a pointer file —
-    readers never see partial output (the TRUNCATE+SERIALIZABLE
-    analog, publish/publication.py:91-95, without Delta).
+  * writes go to a versioned directory then commit to an ordered
+    log — readers never see partial output (the TRUNCATE+SERIALIZABLE
+    analog, publish/publication.py:91-95, without Delta). The commit
+    primitive is pluggable (``commitlog.CommitBackend``): POSIX
+    link-based put-if-absent by default, a conditional-PUT object
+    store in a cloud deployment — NO rename/replace anywhere on the
+    metadata path, because S3/GCS don't have one.
 """
 
 from __future__ import annotations
 
-import json
 import os
-import time
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .commitlog import CommitBackend, VersionedStore
 
 
 class TableStore:
     """Versioned parquet tables under a root directory.
 
-    ``write`` lands a new version and atomically repoints; ``read``
-    follows the pointer. Old versions are retained for time travel /
-    debugging until ``vacuum``.
+    ``write`` lands a new version and atomically commits; ``read``
+    follows the commit log. Old versions are retained for time
+    travel / debugging until ``vacuum``. Pre-commit-log layouts
+    (``{name}.version.json`` pointer files) still resolve, read-only.
     """
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, backend: CommitBackend | None = None):
         self.root = root
+        self.backend = backend
         os.makedirs(root, exist_ok=True)
 
-    def _pointer(self, name: str) -> str:
-        return os.path.join(self.root, f"{name}.version.json")
+    def _store(self, name: str) -> VersionedStore:
+        return VersionedStore(
+            os.path.join(self.root, name),
+            backend=self.backend,
+            version_prefix="",
+            legacy_pointer=os.path.join(self.root, f"{name}.version.json"),
+        )
 
     def current_version(self, name: str) -> str | None:
-        try:
-            with open(self._pointer(name)) as f:
-                return json.load(f)["path"]
-        except FileNotFoundError:
-            return None
+        return self._store(name).current_path()
 
     def write(
         self,
@@ -54,16 +60,13 @@ class TableStore:
         name: str,
         partition_by: list[str] | None = None,
     ) -> str:
-        version = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
-        path = os.path.join(self.root, name, version)
+        store = self._store(name)
+        path = store.new_version_path()
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        tmp = self._pointer(name) + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"path": path, "written_at": time.time()}, f)
-        os.replace(tmp, self._pointer(name))  # atomic on POSIX
+        store.commit(path)
         return path
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
@@ -73,29 +76,13 @@ class TableStore:
         return spark.read.parquet(path)
 
     def versions(self, name: str) -> list[dict]:
-        """All retained versions, oldest first: ``{version, path,
-        current}`` — version ids are millisecond-timestamp-prefixed,
-        so lexicographic order IS commit order. Metadata only (a
-        directory listing); feeds time travel and audit."""
-        table_dir = os.path.join(self.root, name)
-        if not os.path.isdir(table_dir):
-            return []
-        current = self.current_version(name)
-        out = []
-        for v in sorted(os.listdir(table_dir)):
-            p = os.path.join(table_dir, v)
-            if os.path.isdir(p):
-                out.append(
-                    {
-                        "version": v,
-                        "path": p,
-                        "current": bool(
-                            current
-                            and os.path.abspath(p) == os.path.abspath(current)
-                        ),
-                    }
-                )
-        return out
+        """All retained versions, commit order (first-commit seq from
+        the log — authoritative even when two writes share a
+        millisecond): ``{version, path, current, committed}``.
+        Metadata only (a listing + the log); feeds time travel and
+        audit. ``committed: False`` marks an orphan dir — data landed
+        but the writer died before its commit."""
+        return self._store(name).versions()
 
     def read_version(
         self, spark: SparkSession, name: str, version: str
@@ -114,22 +101,16 @@ class TableStore:
         return spark.read.parquet(p)
 
     def restore(self, name: str, version: str) -> str:
-        """Roll the pointer back to a retained version — the
-        bad-publish undo. The restore itself is another atomic
-        pointer swap; no data is copied, and the rolled-back-from
-        version stays retained until vacuum."""
-        p = os.path.join(self.root, name, version)
-        if not os.path.isdir(p):
+        """Roll back to a retained version — the bad-publish undo.
+        The restore is just another commit naming the old path; no
+        data is copied, and the rolled-back-from version stays
+        retained until vacuum."""
+        try:
+            return self._store(name).restore(version)
+        except FileNotFoundError:
             raise FileNotFoundError(
                 f"table {name} has no retained version {version!r}"
-            )
-        tmp = self._pointer(name) + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"path": p, "written_at": time.time(), "restored": True}, f
-            )
-        os.replace(tmp, self._pointer(name))
-        return p
+            ) from None
 
     def compact(
         self,
@@ -185,24 +166,15 @@ class TableStore:
         df = spark.read.parquet(src).coalesce(n_files)
         return self.write(df, name, partition_by=partition_by)
 
-    def vacuum(self, name: str, keep: int = 2) -> list[str]:
-        """Drop all but the newest ``keep`` versions (the reference
-        retains 30 days of snapshots — README.md:31)."""
-        import shutil
-
-        table_dir = os.path.join(self.root, name)
-        if not os.path.isdir(table_dir):
-            return []
-        versions = sorted(os.listdir(table_dir))
-        current = self.current_version(name)
-        removed = []
-        for v in versions[:-keep] if keep else versions:
-            p = os.path.join(table_dir, v)
-            if current and os.path.abspath(p) == os.path.abspath(current):
-                continue
-            shutil.rmtree(p, ignore_errors=True)
-            removed.append(p)
-        return removed
+    def vacuum(
+        self, name: str, keep: int = 2, older_than_s: float | None = None
+    ) -> list[str]:
+        """Drop all but the newest ``keep`` versions, optionally only
+        those committed at least ``older_than_s`` seconds ago — the
+        snapshot-lifetime guard: pick it ≥ the longest-running reader
+        (the reference retains 30 days of snapshots — README.md:31).
+        Never drops the current version."""
+        return self._store(name).vacuum(keep=keep, older_than_s=older_than_s)
 
 
 def write_bucketed(

@@ -51,23 +51,25 @@ def op_gopher(spark, d):
     return gopher_quality_filter(docs, min_words=10, min_stopword_hits=1)
 
 
-_EMB_ROWS: dict[str, int] = {}  # memoized per dir: the k-derivation
-# count is scale metadata, not operator cost — keep it out of the
-# timed window
+# (the default-k count() now runs INSIDE the operator and therefore
+# inside the timed window — that is the default policy's honest cost)
 
 
 def op_semantic_dedup(spark, d):
-    """k follows the operator's scale contract: clusters stay ~250
+    """Measures the operator's DEFAULT k policy (corpus-derived:
+    n // target_cluster_size, round-8 change): clusters stay ~250
     rows, so within-cluster pair work grows linearly with the corpus.
-    (Fixed k is the documented anti-pattern: at the x10 tile, k=8
+    (Fixed k was the documented anti-pattern: at the x10 tile, k=8
     measured 41 s — 100× pair work for 10× data — vs ~linear with
     k scaled; see SCALING.md.)"""
     emb = load_tables(spark, d, "embeddings")["embeddings"]
-    if d not in _EMB_ROWS:
-        _EMB_ROWS[d] = emb.count()
-    k = max(4, _EMB_ROWS[d] // 250)
     return semantic_dedup(
-        emb, "vec_id", "embedding", threshold=0.99, k=k, max_iters=2
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.99,
+        max_iters=2,
+        target_cluster_size=250,
     )
 
 

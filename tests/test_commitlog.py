@@ -1,0 +1,234 @@
+"""Tests for the shared versioned-store commit layer
+(``rialto_airflow_spark.commitlog``): the one commit protocol behind
+TableStore, the MinHash index, and the LSH/IVF indexes.
+
+The fault-injection cases here pin the crash anatomy the module
+docstring promises: orphaned data dirs, torn pointer writes, and
+lost CAS races must all fail CLOSED (old version keeps serving, or a
+loud error) — never serve a half-published version."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rialto_airflow_spark.commitlog import (
+    ANY,
+    CommitConflict,
+    CommitLog,
+    MemoryBackend,
+    PosixBackend,
+    VersionedStore,
+)
+
+
+# ---------------------------------------------------------------- log
+
+
+def test_commit_log_orders_and_resolves(tmp_path):
+    log = CommitLog(str(tmp_path / "_commits"))
+    assert log.head() is None
+    s1 = log.commit({"path": "/a"})
+    s2 = log.commit({"path": "/b"})
+    assert (s1, s2) == (1, 2)
+    seq, payload = log.head()
+    assert seq == 2 and payload["path"] == "/b"
+    assert "committed_at" in payload
+    assert [p["path"] for _s, p in log.history()] == ["/a", "/b"]
+
+
+def test_put_if_absent_has_one_winner(tmp_path):
+    b = PosixBackend()
+    p = str(tmp_path / "x" / "00001.json")
+    assert b.put_if_absent(p, b"first")
+    assert not b.put_if_absent(p, b"second")
+    assert b.read(p) == b"first"  # never overwritten
+    # and no temp litter left behind
+    assert all(
+        not n.startswith(".put.") for n in os.listdir(tmp_path / "x")
+    )
+
+
+def test_cas_commit_conflict(tmp_path):
+    """expected=<seq> is a true CAS: the put-if-absent at seq+1 IS the
+    check, so two writers expecting the same head have exactly one
+    winner and the loser gets CommitConflict, not silent last-wins."""
+    log = CommitLog(str(tmp_path / "_commits"))
+    s1 = log.commit({"path": "/a"})
+    assert log.commit({"path": "/b"}, expected=s1) == 2
+    with pytest.raises(CommitConflict):
+        log.commit({"path": "/c"}, expected=s1)
+    # unconditional commit still proceeds past the contention
+    assert log.commit({"path": "/d"}) == 3
+    # expected=None asserts an EMPTY log
+    with pytest.raises(CommitConflict):
+        log.commit({"path": "/e"}, expected=None)
+
+
+def test_torn_entries_never_committed_never_block(tmp_path):
+    """Torn commit objects (a writer died mid-publish, or a
+    non-atomic backend exposed partial bytes) are never-committed:
+    resolution takes the highest PARSEABLE entry — a torn tail of ANY
+    length (two crashed writers stack two garbage entries) only
+    delays visibility, and new commits sequence ABOVE the garbage so
+    stuck objects can't block writes."""
+    d = tmp_path / "_commits"
+    log = CommitLog(str(d))
+    log.commit({"path": "/a"})
+    log.commit({"path": "/b"})
+    # two crashed publishes: a torn tail of length 2
+    (d / f"{3:020d}.json").write_bytes(b'{"path": "/c", "comm')
+    (d / f"{4:020d}.json").write_bytes(b"\xff\xfe not json")
+    seq, payload = log.head()
+    assert (seq, payload["path"]) == (2, "/b")
+    # new commits go above the torn names, which stay inert
+    assert log.commit({"path": "/d"}) == 5
+    assert log.head()[1]["path"] == "/d"
+    # history skips garbage, keeps every real commit in order
+    assert [p["path"] for _s, p in log.history()] == ["/a", "/b", "/d"]
+
+
+# ------------------------------------------------------- store faults
+
+
+def _write_version(store: VersionedStore, tag: str) -> str:
+    p = store.new_version_path()
+    os.makedirs(p)
+    with open(os.path.join(p, "data.txt"), "w") as f:
+        f.write(tag)
+    return p
+
+
+def test_crash_between_data_write_and_commit_fails_closed(tmp_path):
+    """Fault injection #1: data lands, writer dies before commit.
+    Readers keep resolving the OLD version; the orphan is visible in
+    versions() as committed=False and vacuum reclaims it."""
+    store = VersionedStore(str(tmp_path / "s"))
+    v1 = _write_version(store, "v1")
+    store.commit(v1)
+    orphan = _write_version(store, "crashed")  # no commit — the crash
+
+    assert store.current_path() == v1
+    vs = store.versions()
+    assert {v["path"]: v["committed"] for v in vs} == {v1: True, orphan: False}
+    removed = store.vacuum(keep=1)
+    assert removed == [orphan] and os.path.isdir(v1)
+
+
+def test_torn_pointer_write_fails_closed(tmp_path):
+    """Fault injection #2: the commit OBJECT is torn (simulating a
+    backend without atomic visibility). The store must keep serving
+    the previous version, and the next publish must succeed."""
+    store = VersionedStore(str(tmp_path / "s"))
+    v1 = _write_version(store, "v1")
+    store.commit(v1)
+    v2 = _write_version(store, "v2")
+    # torn commit: partial JSON bytes appear at the head name
+    with open(os.path.join(store.log.dir, f"{2:020d}.json"), "wb") as f:
+        f.write(b'{"path": "' + v2.encode()[: len(v2) // 2])
+
+    assert store.current_path() == v1  # fails closed
+    # recovery: a fresh publish sequences above the torn entry
+    v3 = _write_version(store, "v3")
+    store.commit(v3)
+    assert store.current_path() == v3
+
+
+def test_store_cas_append_guard(tmp_path):
+    """The maintenance-path CAS: work resolved against seq N can
+    detect a concurrent rebuild atomically via expected=N."""
+    store = VersionedStore(str(tmp_path / "s"))
+    v1 = _write_version(store, "v1")
+    store.commit(v1)
+    seq = store.current_seq()
+    # concurrent rebuild publishes v2
+    v2 = _write_version(store, "v2")
+    store.commit(v2)
+    v3 = _write_version(store, "v3")
+    with pytest.raises(CommitConflict):
+        store.commit(v3, expected=seq)
+    assert store.current_path() == v2
+
+
+def test_restore_is_a_commit_and_versions_keep_commit_order(tmp_path):
+    store = VersionedStore(str(tmp_path / "s"))
+    vs = [_write_version(store, t) for t in "abc"]
+    for v in vs:
+        store.commit(v)
+    store.restore(os.path.basename(vs[0]))
+    assert store.current_path() == vs[0]
+    # restore re-commits an old path but does NOT reorder history
+    assert [v["path"] for v in store.versions()] == vs
+    assert [v["current"] for v in store.versions()] == [True, False, False]
+    # age-based retention: nothing is old enough to reclaim
+    assert store.vacuum(keep=1, older_than_s=3600) == []
+    # count-based without the age guard reclaims all but newest+current
+    removed = store.vacuum(keep=1)
+    assert set(removed) == {vs[1]}  # vs[0] current, vs[2] newest
+
+
+def test_vacuum_age_reclaims_old_orphans(tmp_path):
+    store = VersionedStore(str(tmp_path / "s"))
+    v1 = _write_version(store, "v1")
+    store.commit(v1)
+    # an orphan whose embedded timestamp is ancient (1970)
+    old = os.path.join(store.root, "v1000-deadbeef")
+    os.makedirs(old)
+    assert store.vacuum(keep=0, older_than_s=3600) == [old]
+    assert os.path.isdir(v1)  # current survives even keep=0
+
+
+# --------------------------------------------- object-store seam (e2e)
+
+
+def test_tablestore_runs_on_rename_free_backend(spark, tmp_path):
+    """The seam, proven end-to-end: TableStore with MemoryBackend —
+    a backend with ONLY put-if-absent, no rename/replace — supports
+    write, swap, time travel, restore, and vacuum. Parquet data still
+    lands on the local filesystem (Spark's job); every COMMIT routes
+    through the backend, so nothing on the metadata path ever needed
+    POSIX atomicity. Swap MemoryBackend for a conditional-PUT S3/GCS
+    client and the same code runs against an object store."""
+    from rialto_airflow_spark.storage import TableStore
+
+    backend = MemoryBackend()
+    store = TableStore(str(tmp_path / "t"), backend=backend)
+    store.write(spark.range(3).withColumn("v", F.lit("a")), "tbl")
+    store.write(spark.range(5).withColumn("v", F.lit("b")), "tbl")
+    assert store.read(spark, "tbl").count() == 5
+    # commits live in the backend, and NO pointer file on disk
+    assert any("_commits" in k for k in backend.objects)
+    assert not os.path.exists(tmp_path / "t" / "tbl.version.json")
+
+    vs = store.versions("tbl")
+    assert [v["current"] for v in vs] == [False, True]
+    store.restore("tbl", vs[0]["version"])
+    assert store.read(spark, "tbl").count() == 3
+    # keep=0 reclaims everything except the (restored) current version
+    removed = store.vacuum("tbl", keep=0)
+    assert removed == [vs[1]["path"]]
+    assert store.read(spark, "tbl").count() == 3
+
+
+def test_legacy_pointer_layout_still_resolves(spark, tmp_path):
+    """Pre-commit-log tables (a {name}.version.json pointer) keep
+    reading; the first WRITE through the new layer upgrades them to
+    the log (legacy pointer becomes inert, not corrupted)."""
+    from rialto_airflow_spark.storage import TableStore
+
+    root = tmp_path / "t"
+    store = TableStore(str(root))
+    # forge the legacy layout by hand
+    legacy_dir = root / "tbl" / "123-old"
+    spark.range(7).write.parquet(str(legacy_dir))
+    with open(root / "tbl.version.json", "w") as f:
+        json.dump({"path": str(legacy_dir), "written_at": 0}, f)
+
+    assert store.read(spark, "tbl").count() == 7
+    store.write(spark.range(2), "tbl")
+    assert store.read(spark, "tbl").count() == 2
+    # legacy data dir still listed for time travel
+    assert any(v["path"] == str(legacy_dir) for v in store.versions("tbl"))

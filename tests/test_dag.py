@@ -198,3 +198,166 @@ def test_llm_curation_dag_end_to_end(spark, sf_dir, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_two_harvest_incremental_twin(spark, tmp_path):
+    """Full harvest then INCREMENTAL harvest over mutated landing
+    fixtures — the reference's conditional-distillation lifecycle
+    (test/harvest_incremental/test_distill.py:63-122 +
+    schema/rialto.py:116-126) as one two-run DAG test:
+
+      run 1 (full): every pub distills (distilled_at NULL), dup
+      group collapses to its survivor;
+      run 2 (incremental): a mutated openalex payload touches ONE
+      doi — only that pub re-distills (updated_at > distilled_at),
+      untouched pubs keep their run-1 distilled_at byte-identical,
+      the run-1 survivor persists, a new orphan payload is dropped,
+      and the fill-in watermark predicate selects exactly the
+      touched row.
+
+    Tables are materialized through TableStore between runs (the
+    Postgres-persistence analog): distilled_at/updated_at are
+    current_timestamp expressions, so an unmaterialized lineage
+    would re-stamp them on every action and erase the watermark
+    semantics this test pins."""
+    from rialto_airflow_spark.plans import watermark as W
+    from rialto_airflow_spark.storage import TableStore
+
+    store = TableStore(str(tmp_path / "tables"))
+
+    oa1 = tmp_path / "oa_run1"
+    oa1.mkdir()
+    (oa1 / "batch.jsonl").write_text(
+        json.dumps({"doi": "https://doi.org/10.1/A", "title": "Run1 OA",
+                    "type": "article", "id": "https://openalex.org/W77"})
+    )
+
+    pubs = spark.createDataFrame(
+        [
+            mkpub(1, doi="10.1/a", updated=2, sulpub_harvested=ts(1),
+                  dim_json={"id": "pub.1", "title": "Dim T", "type": "article",
+                            "year": 2020}),
+            # W1 dup group: 3 survives over 2 (newer updated_at)
+            mkpub(2, openalex_id="W1", updated=1),
+            mkpub(3, openalex_id="W1", updated=5, dim_harvested=ts(2)),
+        ],
+        PUB_SCHEMA,
+    )
+    authors = spark.createDataFrame(
+        [(10, "ada", None, "0-1", "Ada", "L", True, True, "faculty",
+          ["Eng"], ["CS"], "Eng", "CS", None, ts(1), ts(1))],
+        "id bigint, sunet string, cap_profile_id string, orcid string, "
+        "first_name string, last_name string, status boolean, "
+        "academic_council boolean, role string, schools array<string>, "
+        "departments array<string>, primary_school string, primary_dept string, "
+        "primary_division string, created_at timestamp, updated_at timestamp",
+    )
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10)], "publication_id bigint, author_id bigint"
+    )
+    base_ctx = dict(
+        spark=spark,
+        authors=authors,
+        funder_edges=spark.createDataFrame(
+            [], "publication_id bigint, funder_id bigint"
+        ),
+        funders=spark.createDataFrame(
+            [], "grid_id string, name string, federal boolean, ror_id string, "
+                "openalex_id string, id bigint"
+        ),
+        dims={},
+    )
+
+    # ---- run 1: full harvest --------------------------------------
+    ctx1 = dict(
+        base_ctx,
+        pubs=pubs,
+        # full harvest: M5 resets the edge table, then link_authors
+        # repopulates it from the harvest-discovered associations —
+        # the reference's clear-then-relink lifecycle
+        author_edges=edges,
+        incoming_edges=edges,
+        harvests=spark.createDataFrame(
+            [(1, ts(1), ts(2), True)],
+            "id bigint, created_at timestamp, finished_at timestamp, is_full boolean",
+        ),
+        is_full=True,
+        landing_dirs={"openalex": str(oa1)},
+    )
+    ctx1 = build_harvest_dag().run(ctx1)
+    store.write(ctx1["pubs"], "pubs")
+    store.write(ctx1["author_edges"], "edges")
+    r1 = {r["id"]: r for r in store.read(spark, "pubs").collect()}
+
+    # full-run distillation: every surviving pub is stamped
+    assert set(r1) == {1, 3}  # survivor choice: 3 over 2
+    assert all(r1[i]["distilled_at"] is not None for i in r1)
+    assert json.loads(r1[1]["openalex_json"])["title"] == "Run1 OA"
+
+    # ---- run 2: incremental, mutated landings ---------------------
+    oa2 = tmp_path / "oa_run2"
+    oa2.mkdir()
+    (oa2 / "batch.jsonl").write_text(
+        "\n".join(
+            [
+                # mutated payload for the EXISTING doi → touch + re-distill
+                json.dumps({"doi": "https://doi.org/10.1/A", "title": "Run2 OA",
+                            "type": "article", "id": "https://openalex.org/W88"}),
+                # brand-new doi with no author edge → orphan, removed
+                json.dumps({"doi": "https://doi.org/10.9/ORPHAN",
+                            "title": "Nobody's", "type": "article",
+                            "id": "https://openalex.org/W99"}),
+            ]
+        )
+    )
+    ctx2 = dict(
+        base_ctx,
+        pubs=store.read(spark, "pubs"),
+        author_edges=store.read(spark, "edges"),
+        harvests=spark.createDataFrame(
+            [(1, ts(1), ts(2), True), (2, ts(3), ts(4), False)],
+            "id bigint, created_at timestamp, finished_at timestamp, is_full boolean",
+        ),
+        is_full=False,
+        landing_dirs={"openalex": str(oa2)},
+    )
+    ctx2 = build_harvest_dag().run(ctx2)
+    store.write(ctx2["pubs"], "pubs")
+    r2 = {r["id"]: r for r in store.read(spark, "pubs").collect()}
+
+    # orphan removed (J4), survivor persisted across runs
+    assert set(r2) == {1, 3}
+    assert r2[3]["openalex_json"] == r1[3]["openalex_json"]
+
+    # updated_at-driven re-distillation: ONLY the touched pub
+    assert json.loads(r2[1]["openalex_json"])["title"] == "Run2 OA"
+    assert r2[1]["updated_at"] > r1[1]["updated_at"]
+    assert r2[1]["distilled_at"] > r1[1]["distilled_at"]
+    # untouched pub: watermark skip — byte-identical stamps
+    assert r2[3]["distilled_at"] == r1[3]["distilled_at"]
+    assert r2[3]["updated_at"] == r1[3]["updated_at"]
+
+    # the watermark predicates themselves, over the run-2 state:
+    # needs_distillation is False for everything (all stamps current)
+    assert store.read(spark, "pubs").where(W.needs_distillation()).count() == 0
+    # fill-in scope at the incremental watermark = exactly the touched
+    # doi (updated since run 1, crossref payload still missing)
+    wm = F.lit(r1[1]["updated_at"])
+    scoped = store.read(spark, "pubs").where(
+        W.fill_in_predicate("crossref", wm)
+    )
+    assert [r["id"] for r in scoped.collect()] == [1]
+    # and a THIRD run with untouched landings re-distills nothing
+    ctx3 = dict(
+        base_ctx,
+        pubs=store.read(spark, "pubs"),
+        author_edges=store.read(spark, "edges"),
+        harvests=ctx2["harvests"],
+        is_full=False,
+        landing_dirs={},
+    )
+    ctx3 = build_harvest_dag().run(ctx3)
+    r3 = {r["id"]: r for r in ctx3["pubs"].collect()}
+    assert {i: r3[i]["distilled_at"] for i in r3} == {
+        i: r2[i]["distilled_at"] for i in r2
+    }

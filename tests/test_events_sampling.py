@@ -429,7 +429,7 @@ def test_ivf_index_quantized_recall_and_pruning(spark, sf_dir, tmp_path):
     path = str(tmp_path / "ivf_q")
     S.write_ivf_index(emb, path, "vec_id", "embedding", n_centroids=8, quantize=True)
 
-    lists = spark.read.parquet(f"{path}/lists")
+    lists = spark.read.parquet(S.index_data_dir(path, "lists"))
     assert dict(lists.dtypes)["qvec"] == "array<tinyint>"
     assert "vec" not in lists.columns  # floats are gone from storage
 
@@ -630,7 +630,7 @@ def test_ivf_pq_index_roundtrip_and_pruning(spark, sf_dir, tmp_path):
         emb, path, "vec_id", "embedding", n_centroids=8, pq_codebooks=books
     )
 
-    lists = spark.read.parquet(f"{path}/lists")
+    lists = spark.read.parquet(S.index_data_dir(path, "lists"))
     assert dict(lists.dtypes)["pq_codes"] == "array<tinyint>"
     assert "vec" not in lists.columns and "qvec" not in lists.columns
 
@@ -682,7 +682,7 @@ def test_lsh_index_quantized_bounded_and_pruned(spark, sf_dir, tmp_path):
     qs = emb.where(F.col("vec_id") < 20)
     path = str(tmp_path / "lsh_q")
     S.write_lsh_index(emb, path, "vec_id", "embedding", bits=8, quantize=True)
-    idx = spark.read.parquet(path)
+    idx = spark.read.parquet(S.index_data_dir(path, "buckets"))
     assert dict(idx.dtypes)["qvec"] == "array<tinyint>" and "vec" not in idx.columns
 
     got_df = S.lsh_topk_indexed(
@@ -715,9 +715,12 @@ def test_lsh_index_quantized_bounded_and_pruned(spark, sf_dir, tmp_path):
     assert all(abs(got[p] - want[p]) <= eps for p in inter)
 
     plan = got_df._jdf.queryExecution().executedPlan().toString()
+    # the index scan is the one carrying qvec (plan Location strings
+    # truncate at 100 chars, so matching the path is not reliable now
+    # that versions nest under {path}/v.../buckets)
     scan = next(
         l for l in plan.splitlines()
-        if "FileScan parquet" in l and "lsh_q" in l
+        if "FileScan parquet" in l and "qvec" in l
     )
     assert "bucket" in scan.split("PartitionFilters")[1].split("]")[0]
 
@@ -767,7 +770,7 @@ def test_append_ivf_index_equals_full_rebuild(spark, sf_dir, tmp_path):
     b = S.ivf_topk_indexed(spark, full, qs, "vec_id", "embedding", k=3, nprobe=2)
     assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
     # appended rows really landed in the partitioned layout
-    n = spark.read.parquet(f"{inc}/lists").count()
+    n = spark.read.parquet(S.index_data_dir(inc, "lists")).count()
     assert n == emb.count()
 
 
@@ -787,7 +790,7 @@ def test_append_ivf_index_matches_existing_format(spark, sf_dir, tmp_path):
     inc = str(tmp_path / "q_inc"); full = str(tmp_path / "q_full")
     S.write_ivf_index(first, inc, "vec_id", "embedding", centroids=cents, quantize=True)
     S.append_ivf_index(second, inc, "vec_id", "embedding")
-    lists = spark.read.parquet(f"{inc}/lists")
+    lists = spark.read.parquet(S.index_data_dir(inc, "lists"))
     assert dict(lists.dtypes)["qvec"] == "array<tinyint>" and "vec" not in lists.columns
     assert lists.count() == emb.count()
     S.write_ivf_index(emb, full, "vec_id", "embedding", centroids=cents, quantize=True)
@@ -800,7 +803,7 @@ def test_append_ivf_index_matches_existing_format(spark, sf_dir, tmp_path):
     pinc = str(tmp_path / "pq_inc"); pfull = str(tmp_path / "pq_full")
     S.write_ivf_index(first, pinc, "vec_id", "embedding", centroids=cents, pq_codebooks=books)
     S.append_ivf_index(second, pinc, "vec_id", "embedding")
-    plists = spark.read.parquet(f"{pinc}/lists")
+    plists = spark.read.parquet(S.index_data_dir(pinc, "lists"))
     assert dict(plists.dtypes)["pq_codes"] == "array<tinyint>"
     assert plists.count() == emb.count()
     S.write_ivf_index(emb, pfull, "vec_id", "embedding", centroids=cents, pq_codebooks=books)
@@ -1181,6 +1184,44 @@ def test_semantic_dedup_trains_quantizer_when_absent(spark, sf_dir):
     # vectors always share a cluster and have cosine 1)
     for i in range(15):
         assert i in kept and (i + 10_000) not in kept
+
+
+def test_semantic_dedup_default_k_scales_with_corpus(spark, sf_dir):
+    """Round-6 task #3: with no explicit k, the operator derives
+    k = max(8, n // target_cluster_size) from the corpus — the
+    linear-pair-work scale contract. Observable: the trained
+    quantizer's distinct centroid count is bounded by that k, exceeds
+    the old fixed 8 when the corpus demands it, and the parity
+    behavior (twins dropped, uniques kept) holds under the default."""
+    from rialto_airflow_spark.operators.dedup import semantic_dedup
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].limit(200)
+    dup = emb.where(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    corpus = emb.unionByName(dup)  # n = 210
+    out = semantic_dedup(
+        corpus,
+        "vec_id",
+        "embedding",
+        threshold=0.9999,
+        max_iters=1,
+        target_cluster_size=10,  # → k = max(8, 210 // 10) = 21
+    )
+    rows = out.collect()
+    assert len(rows) == 210
+    n_cent = len({r["centroid_id"] for r in rows})
+    # more clusters than the old fixed default, bounded by derived k
+    assert 8 < n_cent <= 21, n_cent
+    kept = {r["vec_id"] for r in rows if r["keep"]}
+    for i in range(10):
+        assert i in kept and (i + 10_000) not in kept
+    # tiny-corpus floor: k clamps to the row count, never crashes
+    tiny = emb.limit(3)
+    assert semantic_dedup(
+        tiny, "vec_id", "embedding", max_iters=1
+    ).count() == 3
 
 
 def _py_mmr(cands, k, lam):

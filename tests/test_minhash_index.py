@@ -271,24 +271,24 @@ def test_lsh_parameter_sweep_orders_configs(spark, sf_dir):
 
 
 def test_index_rebuild_is_atomic_pointer_swap(spark, sf_dir, tmp_path):
-    """A rebuild publishes a fresh version dir and swaps INDEX.json —
-    probes never see half-written rows or a meta/rows mismatch, and
-    the superseded version stays on disk until explicitly removed."""
+    """A rebuild publishes a fresh version dir and commits it to the
+    shared commit log — probes never see half-written rows or a
+    meta/rows mismatch, and the superseded version stays on disk
+    until explicitly removed."""
     import glob
-    import json
     import os
 
     history = _corpus(spark, sf_dir)
     path = str(tmp_path / "mh")
     D.write_minhash_index(history, path, num_perm=12, bands=4)
-    ptr1 = json.load(open(os.path.join(path, "INDEX.json")))["path"]
+    ptr1 = os.path.dirname(D.minhash_index_current(path)[0])
     probe = _near_batch(history, 7, 1_000_000)
     got1 = {tuple(r) for r in D.minhash_dups_against_index(probe, path).collect()}
     assert got1
 
     # rebuild with DIFFERENT parameters: pointer moves, old dir stays
     D.write_minhash_index(history, path, num_perm=24, bands=8)
-    ptr2 = json.load(open(os.path.join(path, "INDEX.json")))["path"]
+    ptr2 = os.path.dirname(D.minhash_index_current(path)[0])
     assert ptr2 != ptr1 and os.path.isdir(ptr1)
     assert len(glob.glob(os.path.join(path, "v*"))) == 2
     # probes now fingerprint under the NEW meta automatically
@@ -337,7 +337,7 @@ def test_minhash_index_vacuum_keeps_current(spark, sf_dir, tmp_path):
     assert len(removed) == 1
     left = glob.glob(os.path.join(path, "v*"))
     assert len(left) == 1
-    cur = json.load(open(os.path.join(path, "INDEX.json")))["path"]
+    cur = os.path.dirname(D.minhash_index_current(path)[0])
     assert os.path.abspath(left[0]) == os.path.abspath(cur)
     # index still probes after vacuum
     probe = _near_batch(history, 7, 1_000_000)
