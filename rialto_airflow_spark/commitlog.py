@@ -270,6 +270,29 @@ class CommitLog:
             "contended attempts"
         )
 
+    def prune(self, below_seq: int) -> list[int]:
+        """Delete log entries (parseable or torn) with seq strictly
+        below ``below_seq``; returns the removed seqs.
+
+        Why this exists: a streaming MERGE commits every micro-batch,
+        so an unbounded log turns :meth:`head` into an unbounded LIST
+        — the real cost ceiling on an object store, where listings
+        page at ~1000 keys. Pruning entries that no retained version
+        needs keeps resolution O(retained versions), the same way
+        Delta's checkpoints bound its log replay. The head is never
+        prunable: ``below_seq`` is clamped to the current head seq, so
+        an over-eager caller can empty the history but never the
+        pointer."""
+        head = self.head()
+        if head is not None:
+            below_seq = min(below_seq, head[0])
+        removed = []
+        for seq in self._entries():
+            if seq < below_seq:
+                self.backend.delete(self._entry_path(seq))
+                removed.append(seq)
+        return removed
+
 
 class VersionedStore:
     """Version directories + commit log + retention: the shared layer
@@ -454,4 +477,25 @@ class VersionedStore:
                     continue
             shutil.rmtree(p, ignore_errors=True)
             removed.append(p)
+
+        # Bound the LOG by the same retention: entries no retained
+        # version needs are dead metadata, and a streaming writer
+        # (one commit per micro-batch) otherwise grows the log — and
+        # head()'s LIST — without bound. Keep every entry from the
+        # first commit of the oldest RETAINED dir onward so retained
+        # versions keep their committed_at lineage; prune() clamps to
+        # the head, so the live pointer is never touched.
+        if removed:
+            retained = {
+                os.path.abspath(v["path"])
+                for v in self.versions()
+            }
+            first_seq = [
+                seq
+                for seq, payload in self.log.history()
+                if payload.get("path")
+                and os.path.abspath(payload["path"]) in retained
+            ]
+            if first_seq:
+                self.log.prune(min(first_seq))
         return removed

@@ -262,7 +262,29 @@ def build_publish_dag() -> Dag:
                 ctx["funder_edges"], ctx["funders"],
             )
 
-    @dag.task("generate_download_files", upstream=("publish_by_author",))
+    @dag.task("publish_to_store", upstream=("publish_by_author",))
+    def to_store(ctx):
+        """The reports-DB write: all four marts land as ONE
+        TableStore snapshot (publish/publication.py runs one
+        SERIALIZABLE TRUNCATE+insert PER mart — publication.py:91-95,
+        156-160, 221-225 — so a reader between two of them sees a
+        mixed catalog; publish_snapshot's catalog commit is the last
+        write, so readers get all-run-N-or-all-run-N-1 and a crash
+        mid-publish fails closed). Opt-in via ctx['reports_store']."""
+        if ctx["publish_ok"] and "reports_store" in ctx:
+            ctx["reports_snapshot"] = ctx["reports_store"].publish_snapshot(
+                {
+                    "publications": ctx["mart_publications"],
+                    "publications_by_school": ctx["mart_by_school"],
+                    "publications_by_department": ctx["mart_by_department"],
+                    "publications_by_author": ctx["mart_by_author"],
+                }
+            )
+
+    @dag.task(
+        "generate_download_files",
+        upstream=("publish_by_author", "publish_to_store"),
+    )
     def downloads(ctx):
         if ctx["publish_ok"] and "download_dir" in ctx:
             for key in (

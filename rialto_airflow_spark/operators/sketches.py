@@ -391,7 +391,21 @@ def _kmv_u(value_col) -> "F.Column":
     """Deterministic uniform in [0, 1): xxhash64 mapped from signed
     long to the unit interval. No RNG — the same value always lands
     at the same point, which is what makes sketches of overlapping
-    sets comparable."""
+    sets comparable.
+
+    Known precision fold: the 64-bit hash is divided into a double,
+    whose 53-bit mantissa collapses hashes that differ only in the
+    bottom ~11 bits onto the same unit-interval point. Distinct
+    values can therefore collide post-fold with probability ~2^-53
+    per pair, deduplicating inside the sketch and biasing estimates
+    FRACTIONALLY low — the effect scales with k (more retained
+    points, more collision chances) but stays orders of magnitude
+    inside the 1/sqrt(k-2) RSE envelope for any k a double-typed
+    sketch can hold; the error-bound tests pin 4*RSE with margin.
+    If exactness at extreme k ever matters, store the sorted signed
+    longs themselves (bottom-k under long ordering is the same
+    sketch, no fold) — the estimate arithmetic then divides at read
+    time."""
     c = F.col(value_col) if isinstance(value_col, str) else value_col
     return F.xxhash64(c).cast("double") / F.lit(float(2**64)) + F.lit(0.5)
 

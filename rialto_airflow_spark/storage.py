@@ -75,6 +75,89 @@ class TableStore:
             raise FileNotFoundError(f"table {name} has no committed version")
         return spark.read.parquet(path)
 
+    # -- cross-table snapshots --------------------------------------
+    def _snapshot_log(self):
+        from .commitlog import CommitLog, PosixBackend
+
+        return CommitLog(
+            os.path.join(self.root, "_snapshots"),
+            self.backend or PosixBackend(),
+        )
+
+    def publish_snapshot(
+        self,
+        dfs: dict[str, DataFrame],
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> int:
+        """Publish several tables as ONE consistent snapshot: each
+        table commits individually (normal :meth:`read` sees it as
+        soon as its own commit lands), then a single catalog entry in
+        ``{root}/_snapshots`` records the full name→version mapping.
+        :meth:`read_snapshot` readers therefore never observe table A
+        from run N next to table B from run N-1 — the cross-table
+        guarantee the reference's per-mart SERIALIZABLE
+        TRUNCATE+insert transactions do NOT give (each mart commits
+        in its own transaction — publish/publication.py:91-95,
+        156-160, 221-225 — so a reader between two of them sees a
+        mixed catalog; here the snapshot entry is the LAST write, so
+        a writer crash mid-publish leaves some tables individually
+        advanced but the snapshot pointing at the previous complete
+        set — fail closed).
+
+        Returns the snapshot seq. Retention contract: table-level
+        :meth:`vacuum` does not know about snapshots — keep table
+        retention ≥ snapshot lookback, and a read of a vacuumed
+        snapshot fails loudly (missing path), never serves a wrong
+        version."""
+        paths = {
+            name: self.write(
+                df, name, partition_by=(partition_by or {}).get(name)
+            )
+            for name, df in dfs.items()
+        }
+        return self._snapshot_log().commit({"tables": paths})
+
+    def snapshots(self) -> list[tuple[int, dict]]:
+        """All retained snapshot entries, oldest first:
+        ``(seq, {table_name: version_path})``."""
+        return [
+            (seq, payload["tables"])
+            for seq, payload in self._snapshot_log().history()
+        ]
+
+    def read_snapshot(
+        self, spark: SparkSession, name: str, seq: int | None = None
+    ) -> DataFrame:
+        """Read ``name`` as of snapshot ``seq`` (default: the newest
+        snapshot) — consistent with every other table read at the
+        same seq."""
+        log = self._snapshot_log()
+        if seq is None:
+            head = log.head()
+            if head is None:
+                raise FileNotFoundError(f"{self.root} has no snapshots")
+            seq, payload = head
+        else:
+            found = [p for s, p in log.history() if s == seq]
+            if not found:
+                raise FileNotFoundError(
+                    f"{self.root} has no snapshot seq {seq}"
+                )
+            payload = found[0]
+        tables = payload["tables"]
+        if name not in tables:
+            raise FileNotFoundError(
+                f"snapshot {seq} does not include table {name!r} "
+                f"(has: {sorted(tables)})"
+            )
+        p = tables[name]
+        if not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"snapshot {seq}'s version of {name!r} was vacuumed "
+                f"({p}); raise table retention above snapshot lookback"
+            )
+        return spark.read.parquet(p)
+
     def versions(self, name: str) -> list[dict]:
         """All retained versions, commit order (first-commit seq from
         the log — authoritative even when two writes share a
@@ -99,6 +182,42 @@ class TableStore:
                 f"(vacuumed, or never committed); see versions({name!r})"
             )
         return spark.read.parquet(p)
+
+    def changes(
+        self,
+        spark: SparkSession,
+        name: str,
+        key: str,
+        from_version: str,
+        to_version: str | None = None,
+        compare_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Change data feed between two retained versions: every row
+        classified ``insert`` / ``delete`` / ``update`` (with the
+        changed column names), unchanged rows dropped — the Delta
+        CDF / Postgres logical-decoding analog, derived ON READ from
+        the two snapshots the commit log already retains rather than
+        from change files written at commit time. That trade is
+        deliberate for this engine's write profile: versions are
+        whole-table republishes (TRUNCATE-analog marts, MERGE
+        outputs), so the diff is one full-outer join on the key
+        (``operators.merge.snapshot_diff`` — broadcast when either
+        side is small, no per-write bookkeeping, and any two retained
+        versions can be compared after the fact, not just adjacent
+        ones). ``to_version`` defaults to the CURRENT version.
+
+        Feeds incremental consumers of published tables (the
+        what-changed-since-my-last-read question) and run audits
+        (what did THIS pipeline run touch) — retention is the
+        lookback window, the :meth:`vacuum` contract."""
+        from rialto_airflow_spark.operators.merge import snapshot_diff
+
+        old = self.read_version(spark, name, from_version)
+        if to_version is not None:
+            new = self.read_version(spark, name, to_version)
+        else:
+            new = self.read(spark, name)
+        return snapshot_diff(old, new, key, compare_cols=compare_cols)
 
     def restore(self, name: str, version: str) -> str:
         """Roll back to a retained version — the bad-publish undo.

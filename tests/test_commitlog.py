@@ -181,6 +181,66 @@ def test_vacuum_age_reclaims_old_orphans(tmp_path):
     assert os.path.isdir(v1)  # current survives even keep=0
 
 
+def test_concurrent_unconditional_commits_all_land(tmp_path):
+    """N writers committing unconditionally race the put-if-absent:
+    every writer lands (losers re-read and re-sequence), seqs are the
+    contiguous 1..N, and no commit is ever overwritten."""
+    import threading
+
+    log = CommitLog(str(tmp_path / "_commits"))
+    results, errors = [], []
+
+    def worker(i):
+        try:
+            results.append((i, log.commit({"path": f"/w{i}"})))
+        except Exception as e:  # noqa: BLE001 — surfaced via assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert sorted(s for _i, s in results) == list(range(1, 9))
+    # every payload is retrievable at the seq its writer was told
+    by_seq = dict(log.history())
+    for i, s in results:
+        assert by_seq[s]["path"] == f"/w{i}"
+
+
+def test_vacuum_prunes_log_entries_below_retained(tmp_path):
+    """Retention bounds the LOG too: entries below the oldest
+    retained version's first commit are dead metadata (their data
+    dirs are gone), and a streaming writer — one commit per
+    micro-batch — would otherwise grow head()'s LIST without bound.
+    Retained versions keep their committed_at lineage; the head is
+    never prunable."""
+    store = VersionedStore(str(tmp_path / "s"))
+    vs = [_write_version(store, t) for t in "abcd"]
+    store.commit(vs[0])  # seq 1
+    store.commit(vs[1])  # seq 2
+    # a writer crashed mid-publish at seq 3; later commits sequenced past
+    with open(os.path.join(store.log.dir, f"{3:020d}.json"), "wb") as f:
+        f.write(b"garbage")
+    store.commit(vs[2])  # seq 4
+    store.commit(vs[3])  # seq 5
+    ts_keep = {v: store._version_committed_at(v) for v in vs[2:]}
+
+    removed = store.vacuum(keep=2)
+    assert set(removed) == set(vs[:2])
+    # log now starts at the oldest RETAINED version's first commit —
+    # the pruned range includes the torn seq-3 name
+    assert [s for s, _p in store.log.history()] == [4, 5]
+    assert store.current_path() == vs[3]
+    assert not os.path.exists(os.path.join(store.log.dir, f"{3:020d}.json"))
+    # lineage of retained versions is intact
+    assert {v: store._version_committed_at(v) for v in vs[2:]} == ts_keep
+    # keep=1 collapses to just the head entry — never past it
+    store.vacuum(keep=1)
+    assert [s for s, _p in store.log.history()] == [5]
+
+
 # --------------------------------------------- object-store seam (e2e)
 
 

@@ -90,13 +90,35 @@ def test_dag_end_to_end(spark, tmp_path):
     assert (fr["grid_id"], fr["federal"]) == ("grid.1", True)
 
     # publish DAG over the harvested state
+    from rialto_airflow_spark.storage import TableStore
+
     ctx["download_dir"] = str(tmp_path / "dl")
+    ctx["reports_store"] = TableStore(str(tmp_path / "reports"))
     pub_dag = build_publish_dag()
     ctx = pub_dag.run(ctx)
     assert ctx["publish_ok"]
     assert ctx["mart_publications"].count() >= 1
     m = {r["doi"]: r for r in ctx["mart_publications"].collect()}
     assert m["10.1/a"]["federally_funded"] is True
+
+    # reports-DB write: all four marts in ONE snapshot, readable back
+    seq = ctx["reports_snapshot"]
+    store = ctx["reports_store"]
+    assert {n for _s, t in store.snapshots() for n in t} == {
+        "publications",
+        "publications_by_school",
+        "publications_by_department",
+        "publications_by_author",
+    }
+    snap_pubs = {
+        r["doi"]: r
+        for r in store.read_snapshot(spark, "publications", seq=seq).collect()
+    }
+    assert snap_pubs["10.1/a"]["federally_funded"] is True
+    assert (
+        store.read_snapshot(spark, "publications_by_author", seq=seq).count()
+        >= 1
+    )
 
     # zip packaging (K3): data CSV + its data dictionary, like the
     # reference's per-table download zips (publish/publication.py:444-451)

@@ -238,6 +238,98 @@ def test_time_travel_and_restore(spark, tmp_path):
         store.read_version(spark, "tbl", vs[0]["version"])
 
 
+def test_changes_between_versions(spark, tmp_path):
+    """changes() derives a CDC feed from two retained versions: one
+    full-outer join classifying insert/update/delete with changed
+    column names, unchanged rows dropped; to_version defaults to the
+    current version, and any two retained versions compare — not just
+    adjacent ones."""
+    store = TableStore(str(tmp_path / "t"))
+    store.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "id long, v string, n long",
+        ),
+        "tbl",
+    )
+    store.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 20), (4, "d", 40)],
+            "id long, v string, n long",
+        ),
+        "tbl",
+    )
+    v0 = store.versions("tbl")[0]["version"]
+
+    got = {
+        r["id"]: (r["op"], list(r["changed_cols"]))
+        for r in store.changes(spark, "tbl", "id", v0).collect()
+    }
+    assert got == {
+        2: ("update", ["v"]),
+        3: ("delete", []),
+        4: ("insert", []),
+    }  # row 1 unchanged → absent
+
+    # explicit to_version, and self-diff is empty
+    assert store.changes(spark, "tbl", "id", v0, to_version=v0).count() == 0
+
+    # third version: non-adjacent diff spans both edits
+    store.write(
+        spark.createDataFrame([(4, "d", 41)], "id long, v string, n long"),
+        "tbl",
+    )
+    got2 = {
+        r["id"]: r["op"]
+        for r in store.changes(spark, "tbl", "id", v0).collect()
+    }
+    assert got2 == {1: "delete", 2: "delete", 3: "delete", 4: "insert"}
+
+
+def test_publish_snapshot_cross_table_consistency(spark, tmp_path):
+    """publish_snapshot makes N tables readable as ONE consistent
+    set: snapshot readers never mix runs, a crash before the snapshot
+    entry leaves the previous complete set serving, and vacuumed
+    snapshot members fail loudly."""
+    store = TableStore(str(tmp_path / "t"))
+    s1 = store.publish_snapshot(
+        {
+            "pubs": spark.createDataFrame([(1, "run1")], "id long, v string"),
+            "authors": spark.createDataFrame([(10, "run1")], "id long, v string"),
+        }
+    )
+    s2 = store.publish_snapshot(
+        {
+            "pubs": spark.createDataFrame([(2, "run2")], "id long, v string"),
+            "authors": spark.createDataFrame([(20, "run2")], "id long, v string"),
+        }
+    )
+    assert [s for s, _t in store.snapshots()] == [s1, s2]
+
+    # newest snapshot == current per-table reads
+    assert store.read_snapshot(spark, "pubs").first()["v"] == "run2"
+    # historical snapshot: BOTH tables from run 1, not a mix
+    assert store.read_snapshot(spark, "pubs", seq=s1).first()["v"] == "run1"
+    assert store.read_snapshot(spark, "authors", seq=s1).first()["v"] == "run1"
+
+    # crash-sim: a table advances individually, no snapshot entry —
+    # snapshot readers keep the previous complete set
+    store.write(spark.createDataFrame([(3, "run3")], "id long, v string"), "pubs")
+    assert store.read(spark, "pubs").first()["v"] == "run3"
+    assert store.read_snapshot(spark, "pubs").first()["v"] == "run2"
+
+    # unknown seq / table fail loudly
+    with pytest.raises(FileNotFoundError):
+        store.read_snapshot(spark, "pubs", seq=99)
+    with pytest.raises(FileNotFoundError):
+        store.read_snapshot(spark, "nope", seq=s1)
+
+    # vacuum below snapshot retention: loud failure, not a wrong read
+    store.vacuum("pubs", keep=1)
+    with pytest.raises(FileNotFoundError):
+        store.read_snapshot(spark, "pubs", seq=s1)
+
+
 def test_zorder_key_temporal_types_and_string_order(spark):
     """Round-6 review fixes: date/timestamp_ntz columns must not
     crash (they don't cast to double directly), and STRING columns
