@@ -176,6 +176,27 @@ class MemoryBackend(CommitBackend):
 
 _SEQ_WIDTH = 20
 
+_DEFAULT_BACKEND: CommitBackend | None = None
+
+
+def set_default_backend(backend: CommitBackend | None) -> None:
+    """Install the process-wide commit backend for every store whose
+    caller didn't pass one explicitly — TableStore tables, the MinHash
+    index, the LSH/IVF ANN indexes. This is the one-line cloud switch:
+    a deployment constructs its conditional-PUT S3/GCS backend once at
+    startup and every versioned store in the engine publishes through
+    it; ``None`` restores the POSIX default. Resolution is late (at
+    each store handle's construction), so the order of imports doesn't
+    matter."""
+    global _DEFAULT_BACKEND
+    _DEFAULT_BACKEND = backend
+
+
+def default_backend() -> CommitBackend:
+    """The backend used when none is passed: the installed process
+    default, else :class:`PosixBackend`."""
+    return _DEFAULT_BACKEND or PosixBackend()
+
 
 class CommitLog:
     """Ordered commit log in ``dirpath``: zero-padded ``{seq}.json``
@@ -183,7 +204,7 @@ class CommitLog:
 
     def __init__(self, dirpath: str, backend: CommitBackend | None = None):
         self.dir = dirpath
-        self.backend = backend or PosixBackend()
+        self.backend = backend or default_backend()
 
     def _entry_path(self, seq: int) -> str:
         return os.path.join(self.dir, f"{seq:0{_SEQ_WIDTH}d}.json")
@@ -326,7 +347,7 @@ class VersionedStore:
         legacy_pointer: str | None = None,
     ):
         self.root = root
-        self.backend = backend or PosixBackend()
+        self.backend = backend or default_backend()
         self.version_prefix = version_prefix
         self.legacy_pointer = legacy_pointer
         self.log = CommitLog(os.path.join(root, self.LOG_DIR), self.backend)

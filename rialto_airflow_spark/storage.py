@@ -77,11 +77,11 @@ class TableStore:
 
     # -- cross-table snapshots --------------------------------------
     def _snapshot_log(self):
-        from .commitlog import CommitLog, PosixBackend
+        from .commitlog import CommitLog
 
         return CommitLog(
             os.path.join(self.root, "_snapshots"),
-            self.backend or PosixBackend(),
+            self.backend,
         )
 
     def publish_snapshot(

@@ -497,6 +497,7 @@ def stream_upsert(
     key: str,
     checkpoint: str,
     update_cols: list[str] | None = None,
+    retention: int | None = None,
 ) -> None:
     """Streaming MERGE sink via ``foreachBatch``: every micro-batch
     upserts into a versioned :class:`~rialto_airflow_spark.storage.
@@ -516,11 +517,23 @@ def stream_upsert(
     without native upsert. The per-batch write is a full-outer join on
     the key — broadcast when the batch is small (the common case for
     a trickle stream), one shuffle otherwise.
+
+    ``retention`` (opt-in) bounds what an indefinitely-running stream
+    accretes: every micro-batch lands one table version AND one commit
+    log entry, so a 10-second-trigger stream writes ~8.6k of each per
+    day; with ``retention=N`` the sink vacuums down to the newest N
+    versions after each merge (the shared ``TableStore.vacuum``
+    contract, which also prunes the now-dead log entries — keeping
+    head() resolution O(N) instead of O(batches)). Pick N ≥ the
+    longest concurrent reader's lifetime in batches; ``None`` keeps
+    every version for time travel, the pre-round-8 behavior.
     """
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
         _merge_batch(store, table, key, batch, update_cols=update_cols)
+        if retention:
+            store.vacuum(table, keep=retention)
 
     q = (
         events.writeStream.foreachBatch(_apply)

@@ -292,3 +292,128 @@ def test_legacy_pointer_layout_still_resolves(spark, tmp_path):
     assert store.read(spark, "tbl").count() == 2
     # legacy data dir still listed for time travel
     assert any(v["path"] == str(legacy_dir) for v in store.versions("tbl"))
+
+
+# ------------------------------------------------- default backend
+
+
+def test_default_backend_routes_index_stores(spark, sf_dir, tmp_path):
+    """set_default_backend is the one-line cloud switch: with a
+    rename-free MemoryBackend installed process-wide, the MinHash
+    index — whose write/probe paths never take a backend parameter —
+    publishes its commits through it end-to-end: no INDEX.json, no
+    _commits files on disk, and probes resolve through the in-memory
+    log."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from rialto_airflow_spark.commitlog import (
+        MemoryBackend,
+        set_default_backend,
+    )
+    from rialto_airflow_spark.operators import dedup as D
+    from rialto_airflow_spark.session import load_tables
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    path = str(tmp_path / "mh")
+    backend = MemoryBackend()
+    set_default_backend(backend)
+    try:
+        D.write_minhash_index(docs, path, num_perm=12, bands=4)
+        # commits live in the backend, not on disk
+        assert any("_commits" in k for k in backend.objects)
+        assert not os.path.exists(os.path.join(path, "INDEX.json"))
+        assert not glob.glob(os.path.join(path, "_commits", "*.json"))
+        # resolution + probe work through the in-memory log
+        rows_dir, _meta = D.minhash_index_current(path)
+        assert os.path.isdir(rows_dir)  # parquet data IS on disk
+        probe = docs.limit(5).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        assert D.minhash_dups_against_index(probe, path).count() >= 5
+    finally:
+        set_default_backend(None)
+    # with the default restored, a fresh store no longer sees the
+    # in-memory commits — the index is invisible on the POSIX side
+    assert D.minhash_index_current(path) is None
+
+
+# ------------------------------------------------- model-based (hypothesis)
+
+
+def test_commit_log_random_op_sequences_hold_invariants():
+    """Model-based check over random op interleavings: after any mix
+    of commits, torn writes, CAS attempts, and prunes, (1) head() is
+    the newest real commit, (2) history() is exactly the surviving
+    real commits in order, (3) stale CAS always conflicts, (4) prune
+    never removes the head."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ops_strategy = st.lists(
+        st.sampled_from(["commit", "torn", "cas_ok", "cas_stale", "prune"]),
+        max_size=25,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(ops=ops_strategy)
+    def run(ops):
+        backend = MemoryBackend()
+        log = CommitLog("/log", backend)
+        model: list[tuple[int, int]] = []  # (seq, tag) of real commits
+        garbage_above = False  # torn names above the head block CAS
+        tag = 0
+        for op in ops:
+            if op == "commit":
+                tag += 1
+                seq = log.commit({"tag": tag})
+                model.append((seq, tag))
+                garbage_above = False  # commit sequenced past garbage
+            elif op == "torn":
+                seqs = log._entries()
+                nxt = (seqs[-1] if seqs else 0) + 1
+                backend.put_if_absent(
+                    log._entry_path(nxt), b"\xff not json"
+                )
+                garbage_above = True
+            elif op == "cas_ok":
+                expected = model[-1][0] if model else None
+                if garbage_above or (model and expected != max(
+                    s for s, _t in model
+                )):
+                    continue
+                tag += 1
+                try:
+                    seq = log.commit({"tag": tag}, expected=expected)
+                    model.append((seq, tag))
+                except CommitConflict:
+                    # only legal when torn names sit above the head
+                    assert garbage_above
+                    tag -= 1
+            elif op == "cas_stale":
+                with pytest.raises(CommitConflict):
+                    log.commit(
+                        {"tag": -1},
+                        expected=(model[-1][0] + 7) if model else 7,
+                    )
+            elif op == "prune":
+                cut = model[-1][0] if model else 10**6
+                log.prune(cut)
+                model = [m for m in model if m[0] >= cut]
+
+            head = log.head()
+            if model:
+                assert head is not None
+                assert (head[0], head[1]["tag"]) == model[-1]
+            else:
+                assert head is None
+            assert [
+                (s, p["tag"]) for s, p in log.history()
+            ] == model
+
+    run()

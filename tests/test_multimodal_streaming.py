@@ -510,6 +510,39 @@ def test_stream_upsert_merges_batches_idempotently(spark, tmp_path):
     } == got2
 
 
+def test_stream_upsert_retention_bounds_versions_and_log(spark, tmp_path):
+    """retention=N vacuums after every merge: an indefinitely-running
+    stream keeps at most N table versions and an O(N) commit log
+    (10-second triggers = ~8.6k versions + log entries per day
+    unbounded), while the merged STATE stays exactly right — vacuum
+    only reclaims superseded snapshots."""
+    import datetime
+
+    from rialto_airflow_spark.storage import TableStore
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    store = TableStore(str(tmp_path / "store"))
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, SE.EVENTS_DDL)
+
+    for i in range(4):  # four micro-batches, one file each
+        mk([(i, t0 + datetime.timedelta(minutes=i), 10, "view", float(i), "{}")]
+           ).coalesce(1).write.parquet(in_dir, mode="append")
+        SE.stream_upsert(
+            SE.read_event_stream(spark, in_dir),
+            store, "ev", "event_id", ckpt, retention=2,
+        )
+
+    # all four merges applied — state is complete
+    assert store.read(spark, "ev").count() == 4
+    # but only the newest 2 versions (and their log entries) retained
+    assert len(store.versions("ev")) == 2
+    assert len(store._store("ev").log.history()) <= 2
+
+
 def test_stream_interval_join_matches_batch(spark, sf_dir):
     """Stream-stream interval join: drained inner matches equal the
     batch join of the two event slices under the identical interval
