@@ -109,11 +109,20 @@ def main() -> None:
         if name in errors:
             continue
         fn = REGISTRY[name].fn
+        # same self_check suppression as the main loop: the comparison
+        # must isolate the SINK cost, so both numbers need the same
+        # (verification-free) plan or the delta stops meaning
+        # "driver-serialization cost"
+        kwargs = (
+            {"self_check": False}
+            if "self_check" in inspect.signature(fn).parameters
+            else {}
+        )
         try:
             cmp_entry = {}
             for sink_name, sink in (("collect", collect_sink), ("checksum", checksum_sink)):
                 t0 = time.perf_counter()
-                sink(fn(spark, sf_dir))
+                sink(fn(spark, sf_dir, **kwargs))
                 cmp_entry[sink_name] = round(time.perf_counter() - t0, 3)
             sink_compare[name] = cmp_entry
         except Exception:  # noqa: BLE001 — comparison is best-effort

@@ -149,13 +149,20 @@ class MemoryBackend(CommitBackend):
     only commits route through the backend)."""
 
     def __init__(self):
+        import threading
+
         self.objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
-        if path in self.objects:
-            return False
-        self.objects[path] = data
-        return True
+        # under the lock: a bare check-then-set would let two threads
+        # both "win" and one payload silently overwrite the other —
+        # the exact one-winner contract this class exists to model
+        with self._lock:
+            if path in self.objects:
+                return False
+            self.objects[path] = data
+            return True
 
     def read(self, path: str) -> bytes | None:
         return self.objects.get(path)
@@ -255,36 +262,83 @@ class CommitLog:
                 out.append((seq, p))
         return out
 
+    def _floor(self) -> int:
+        """Highest prune floor: every seq name strictly below it was
+        deleted by a prune at some point and may be re-claimable —
+        the one hole in "a winner at a name proves freshness". 0 when
+        never pruned."""
+        best = 0
+        for name in self.backend.list_dir(self.dir):
+            if name.startswith("floor."):
+                stem = name[len("floor."):]
+                if stem.isdigit():
+                    best = max(best, int(stem))
+        return best
+
     def commit(self, payload: dict, expected=ANY, max_attempts: int = 50) -> int:
         """Append ``payload`` as the next commit; returns its seq.
 
         ``expected=ANY`` → unconditional: losing the put race re-reads
         the head and retries above it. ``expected=None`` → the log
-        must be empty (first-commit-wins init). ``expected=<seq>`` →
-        CAS: the head must still be ``<seq>`` at the winning put, else
-        :class:`CommitConflict`. The CAS is enforced BY the
-        put-if-absent itself — the commit claims seq ``expected+1``
-        and a winner at that name proves no other commit sequenced in
-        between — so there is no check-then-act window."""
+        must hold no commits (first-commit-wins init). ``expected=
+        <seq>`` → CAS: the head must still be ``<seq>`` at the
+        winning put, else :class:`CommitConflict`. The CAS is
+        enforced BY the put-if-absent itself — the commit claims the
+        next free name above ``expected`` and a winner there proves
+        no other COMMIT sequenced in between (torn garbage names are
+        skipped over, then a post-win re-list confirms the gap is
+        still commit-free — a real commit found there deletes our
+        entry and conflicts, fail closed).
+
+        Pruned-name ABA guard (both paths): :meth:`prune` frees seq
+        names, so a writer whose listing predates a prune could win a
+        put at a name BELOW the current head and believe it published
+        (the classic ABA). Every win therefore re-checks the prune
+        floor; a win below it deletes itself and retries/conflicts —
+        the same reason Delta writers resolve ``_last_checkpoint``
+        before claiming a version number."""
         data = json.dumps(dict(payload, committed_at=time.time())).encode()
         if expected is not ANY:
-            head_seq = expected if expected is not None else 0
             cur = self._entries()
-            if (cur and cur[-1] != head_seq) or (not cur and head_seq != 0):
+            head = self.head()
+            head_seq = head[0] if head else 0
+            expected_seq = expected if expected is not None else 0
+            if head_seq != expected_seq:
                 raise CommitConflict(
                     f"commit log {self.dir}: expected head "
-                    f"{expected}, found {cur[-1] if cur else None}"
+                    f"{expected}, found {head_seq or None}"
                 )
-            if self.backend.put_if_absent(self._entry_path(head_seq + 1), data):
-                return head_seq + 1
-            raise CommitConflict(
-                f"commit log {self.dir}: lost the race for seq "
-                f"{head_seq + 1} (expected head {expected})"
-            )
+            nxt = max(cur[-1] if cur else 0, self._floor()) + 1
+            if not self.backend.put_if_absent(self._entry_path(nxt), data):
+                raise CommitConflict(
+                    f"commit log {self.dir}: lost the race for seq "
+                    f"{nxt} (expected head {expected})"
+                )
+            # post-win audits, both fail closed by deleting our entry:
+            # (a) our name was below a prune floor (ABA), (b) a REAL
+            # commit appeared in (expected, nxt) — possible only when
+            # garbage made us skip names and a racer claimed one first
+            gap_commits = [
+                s
+                for s in self._entries()
+                if expected_seq < s < nxt and self._load(s) is not None
+            ]
+            if nxt < self._floor() or gap_commits:
+                self.backend.delete(self._entry_path(nxt))
+                raise CommitConflict(
+                    f"commit log {self.dir}: seq {nxt} invalidated "
+                    f"post-win (floor={self._floor()}, gap commits "
+                    f"{gap_commits}); expected head {expected}"
+                )
+            return nxt
         for _ in range(max_attempts):
             seqs = self._entries()
-            nxt = (seqs[-1] if seqs else 0) + 1
+            nxt = max(seqs[-1] if seqs else 0, self._floor()) + 1
             if self.backend.put_if_absent(self._entry_path(nxt), data):
+                if nxt < self._floor():
+                    # ABA: prune freed this name while we raced
+                    self.backend.delete(self._entry_path(nxt))
+                    continue
                 return nxt
         raise CommitConflict(
             f"commit log {self.dir}: gave up after {max_attempts} "
@@ -303,7 +357,14 @@ class CommitLog:
         Delta's checkpoints bound its log replay. The head is never
         prunable: ``below_seq`` is clamped to the current head seq, so
         an over-eager caller can empty the history but never the
-        pointer."""
+        pointer.
+
+        Each prune publishes a ``floor.{seq}`` marker recording that
+        names below ``seq`` were freed; :meth:`commit` re-checks it
+        after every put win so a delayed writer can never land a
+        "successful" commit at a recycled name below the head (the
+        ABA the marker exists to close). Markers are tiny, immutable,
+        monotone; older ones are deleted with the entries."""
         head = self.head()
         if head is not None:
             below_seq = min(below_seq, head[0])
@@ -312,6 +373,16 @@ class CommitLog:
             if seq < below_seq:
                 self.backend.delete(self._entry_path(seq))
                 removed.append(seq)
+        if removed:
+            self.backend.put_if_absent(
+                os.path.join(self.dir, f"floor.{below_seq:0{_SEQ_WIDTH}d}"),
+                b"{}",
+            )
+            for name in self.backend.list_dir(self.dir):
+                if name.startswith("floor."):
+                    stem = name[len("floor."):]
+                    if stem.isdigit() and int(stem) < below_seq:
+                        self.backend.delete(os.path.join(self.dir, name))
         return removed
 
 
@@ -469,13 +540,26 @@ class VersionedStore:
         return int(stem) / 1000.0 if stem.isdigit() else None
 
     def vacuum(
-        self, keep: int = 2, older_than_s: float | None = None
+        self,
+        keep: int = 2,
+        older_than_s: float | None = None,
+        orphan_grace_s: float = 3600.0,
     ) -> list[str]:
         """Reclaim version dirs: all but the newest ``keep`` (0 =
         count-unbounded), and — when ``older_than_s`` is given — only
-        those whose commit is at least that old (never-committed
-        orphans age by their embedded write timestamp). The CURRENT
-        version is never reclaimed, whatever the thresholds.
+        those whose commit is at least that old. The CURRENT version
+        is never reclaimed, whatever the thresholds.
+
+        Never-committed ORPHAN dirs get separate, stricter handling:
+        an orphan is indistinguishable from a CONCURRENT WRITER'S
+        IN-FLIGHT version (data landed, commit seconds away), so
+        orphans are only reclaimed once older than ``orphan_grace_s``
+        (by embedded write timestamp; default 1 h — far beyond any
+        write-then-commit window) or ``older_than_s`` if that is
+        stricter. Without the grace, a retention vacuum racing a slow
+        writer would delete the dir it is about to commit, leaving
+        the table's head pointing at vanished data. ``0`` disables
+        the grace (tests, known-single-writer cleanup).
 
         Retention IS the snapshot-consistency contract: a reader that
         resolved a version keeps reading it consistently until vacuum;
@@ -483,19 +567,44 @@ class VersionedStore:
         reference keeps 30 days of snapshots — README.md:31)."""
         import shutil
 
+        # ONE history pass feeds ordering, age lookup, and the prune
+        # cutoff (on an object store every history() re-read is a
+        # LIST+GETs — the per-candidate re-scan this replaces was
+        # O(versions x entries) backend reads)
+        first_commit: dict[str, tuple[int, float | None]] = {}
+        for seq, payload in self.log.history():
+            p = payload.get("path")
+            if p and p not in first_commit:
+                first_commit[p] = (seq, payload.get("committed_at"))
+
+        def committed_at(path: str) -> float | None:
+            hit = first_commit.get(path)
+            if hit is not None and hit[1] is not None:
+                return float(hit[1])
+            name = os.path.basename(path)
+            if self.version_prefix and name.startswith(self.version_prefix):
+                name = name[len(self.version_prefix):]
+            stem = name.split("-", 1)[0]
+            return int(stem) / 1000.0 if stem.isdigit() else None
+
         vs = self.versions()
         current = self.current_path()
-        cutoff = time.time() - older_than_s if older_than_s is not None else None
+        now = time.time()
+        cutoff = now - older_than_s if older_than_s is not None else None
+        orphan_cutoff = now - max(orphan_grace_s, older_than_s or 0.0)
         removed = []
         candidates = vs[:-keep] if keep else vs
         for v in candidates:
             p = v["path"]
             if current and os.path.abspath(p) == os.path.abspath(current):
                 continue
-            if cutoff is not None:
-                ts = self._version_committed_at(p)
-                if ts is not None and ts > cutoff:
+            ts = committed_at(p)
+            if not v["committed"]:
+                # possible in-flight writer: age out, never race
+                if orphan_grace_s and (ts is None or ts > orphan_cutoff):
                     continue
+            if cutoff is not None and ts is not None and ts > cutoff:
+                continue
             shutil.rmtree(p, ignore_errors=True)
             removed.append(p)
 
@@ -507,16 +616,13 @@ class VersionedStore:
         # versions keep their committed_at lineage; prune() clamps to
         # the head, so the live pointer is never touched.
         if removed:
-            retained = {
-                os.path.abspath(v["path"])
-                for v in self.versions()
-            }
-            first_seq = [
+            removed_set = {os.path.abspath(p) for p in removed}
+            kept_seqs = [
                 seq
-                for seq, payload in self.log.history()
-                if payload.get("path")
-                and os.path.abspath(payload["path"]) in retained
+                for p, (seq, _ts) in first_commit.items()
+                if os.path.abspath(p) not in removed_set
+                and os.path.isdir(p)
             ]
-            if first_seq:
-                self.log.prune(min(first_seq))
+            if kept_seqs:
+                self.log.prune(min(kept_seqs))
         return removed

@@ -190,10 +190,30 @@ def build_harvest_dag() -> Dag:
             todo,
             apc_dim=dims.get("apc"),
             issn_source_dim=dims.get("issn_source"),
-        )
-        done = H.author_flags(done, ctx["author_edges"], ctx["authors"])
-        done = done.withColumn("distilled_at", F.current_timestamp())
-        ctx["pubs"] = keep.unionByName(done.select(*keep.columns))
+        ).withColumn("distilled_at", F.current_timestamp())
+        merged = keep.unionByName(done.select(*keep.columns))
+        # D18 flags recompute over the WHOLE table every run, NOT just
+        # the re-distilled slice: an edge insert (link_authors), a
+        # full-harvest M5 clear-then-relink, or an author's role/
+        # council change touches NO pub payload — updated_at stays
+        # put, the pub lands in `keep`, and distill-time-only flags
+        # would serve stale marts forever. The reference HAS this
+        # staleness (flags derive inside per-row distillation,
+        # distill.py:72-86, and its upsert deliberately skips
+        # updated_at on no-op changes); we diverge on purpose — the
+        # flags are one edge-table aggregation + broadcast-sized
+        # join-back, far cheaper than letting marts go wrong.
+        flag_cols = ["academic_council_authored", "faculty_authored"]
+        out = H.author_flags(
+            merged.drop(*flag_cols), ctx["author_edges"], ctx["authors"]
+        ).select(*merged.columns)
+        # cut the lineage once: the where/where-not split embeds the
+        # full harvest+dedupe chain in BOTH union branches, and every
+        # downstream consumer (orphan removal, funder linking, four
+        # marts, snapshot publish) would otherwise recompute it twice
+        # per action; a cluster run materializes through the table
+        # store at the same point
+        ctx["pubs"] = out.localCheckpoint()
 
     @dag.task("link_funders", upstream=("dedupe",))
     def link(ctx):

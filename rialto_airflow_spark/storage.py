@@ -286,14 +286,24 @@ class TableStore:
         return self.write(df, name, partition_by=partition_by)
 
     def vacuum(
-        self, name: str, keep: int = 2, older_than_s: float | None = None
+        self,
+        name: str,
+        keep: int = 2,
+        older_than_s: float | None = None,
+        orphan_grace_s: float = 3600.0,
     ) -> list[str]:
         """Drop all but the newest ``keep`` versions, optionally only
         those committed at least ``older_than_s`` seconds ago — the
         snapshot-lifetime guard: pick it ≥ the longest-running reader
         (the reference retains 30 days of snapshots — README.md:31).
-        Never drops the current version."""
-        return self._store(name).vacuum(keep=keep, older_than_s=older_than_s)
+        Never drops the current version, and never a NEVER-COMMITTED
+        dir younger than ``orphan_grace_s`` (it may be a concurrent
+        writer's in-flight version — ``VersionedStore.vacuum``)."""
+        return self._store(name).vacuum(
+            keep=keep,
+            older_than_s=older_than_s,
+            orphan_grace_s=orphan_grace_s,
+        )
 
 
 def write_bucketed(

@@ -105,7 +105,11 @@ def _write_version(store: VersionedStore, tag: str) -> str:
 def test_crash_between_data_write_and_commit_fails_closed(tmp_path):
     """Fault injection #1: data lands, writer dies before commit.
     Readers keep resolving the OLD version; the orphan is visible in
-    versions() as committed=False and vacuum reclaims it."""
+    versions() as committed=False. A DEFAULT vacuum spares it — a
+    fresh uncommitted dir is indistinguishable from a concurrent
+    writer's in-flight version, so reclaiming it would race the
+    commit it is seconds away from — and grace=0 (known single
+    writer) reclaims it."""
     store = VersionedStore(str(tmp_path / "s"))
     v1 = _write_version(store, "v1")
     store.commit(v1)
@@ -114,7 +118,9 @@ def test_crash_between_data_write_and_commit_fails_closed(tmp_path):
     assert store.current_path() == v1
     vs = store.versions()
     assert {v["path"]: v["committed"] for v in vs} == {v1: True, orphan: False}
-    removed = store.vacuum(keep=1)
+    # default grace: the seconds-old dir might be an in-flight writer
+    assert store.vacuum(keep=1) == [] and os.path.isdir(orphan)
+    removed = store.vacuum(keep=1, orphan_grace_s=0)
     assert removed == [orphan] and os.path.isdir(v1)
 
 
@@ -179,6 +185,89 @@ def test_vacuum_age_reclaims_old_orphans(tmp_path):
     os.makedirs(old)
     assert store.vacuum(keep=0, older_than_s=3600) == [old]
     assert os.path.isdir(v1)  # current survives even keep=0
+
+
+def test_cas_commit_sequences_past_torn_garbage(tmp_path):
+    """A torn object above the head must not wedge the CAS path
+    forever: commit(expected=head) skips over garbage names (claiming
+    the next FREE name, with a post-win audit that the skipped gap
+    holds no real commit) instead of demanding exactly head+1 — the
+    recovery the CommitConflict docstring promises ('re-resolve and
+    redo') would otherwise livelock, since re-resolving yields the
+    same blocked head every time."""
+    d = tmp_path / "_commits"
+    log = CommitLog(str(d))
+    s1 = log.commit({"path": "/a"})
+    (d / f"{2:020d}.json").write_bytes(b"\xff torn")
+    # CAS against the real head succeeds above the garbage
+    s2 = log.commit({"path": "/b"}, expected=s1)
+    assert s2 == 3
+    assert log.head()[1]["path"] == "/b"
+    # stale CAS still conflicts
+    with pytest.raises(CommitConflict):
+        log.commit({"path": "/c"}, expected=s1)
+
+
+def test_delayed_writer_cannot_land_below_head_after_prune(tmp_path):
+    """The pruned-name ABA: a writer whose listing predates a prune
+    computes a seq that the prune later freed; its put_if_absent
+    would WIN there (name free again) while real commits sit above —
+    a silent lost publish. The floor marker makes commit() detect
+    the stale win, delete it, and re-sequence above the head."""
+    log = CommitLog(str(tmp_path / "_commits"))
+    for i in range(5):
+        log.commit({"tag": i})  # seqs 1..5
+    log.prune(5)  # frees 1..4, publishes floor.5
+
+    # delayed writer: listed entries AND floor before the prune, so
+    # both first reads are stale ([1] and no floor); its put at seq 2
+    # WINS because prune freed the name. The post-win floor re-read
+    # is fresh — that is the guard under test.
+    stale_entries = [[1]]
+    stale_floors = [0]
+    real_entries, real_floor = log._entries, log._floor
+    log._entries = lambda: (
+        stale_entries.pop(0) if stale_entries else real_entries()
+    )
+    log._floor = lambda: (
+        stale_floors.pop(0) if stale_floors else real_floor()
+    )
+    seq = log.commit({"tag": "delayed"})
+    log._entries, log._floor = real_entries, real_floor
+
+    # the stale win at 2 was rolled back; the commit landed above 5
+    assert seq == 6
+    assert log.head() == (6, log.head()[1])
+    assert log.head()[1]["tag"] == "delayed"
+    assert not os.path.exists(log._entry_path(2))
+
+
+def test_memory_backend_put_is_atomic_under_threads(tmp_path):
+    """MemoryBackend ships as the executable spec of the backend
+    contract — 'concurrent puts of the same name have exactly one
+    winner' must hold under threads, not just sequentially."""
+    import threading
+
+    b = MemoryBackend()
+    wins = []
+    barrier = threading.Barrier(8)
+
+    def worker(i):
+        barrier.wait()
+        for k in range(50):
+            if b.put_if_absent(f"/x/{k}", f"w{i}".encode()):
+                wins.append((k, i))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # exactly one winner per name, and the stored bytes are the
+    # winner's (never overwritten by a losing racer)
+    assert sorted(k for k, _i in wins) == list(range(50))
+    for k, i in wins:
+        assert b.objects[f"/x/{k}"] == f"w{i}".encode()
 
 
 def test_concurrent_unconditional_commits_all_land(tmp_path):

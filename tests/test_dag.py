@@ -222,6 +222,90 @@ def test_llm_curation_dag_end_to_end(spark, sf_dir, tmp_path):
     )
 
 
+def test_flags_refresh_when_only_edges_change(spark, tmp_path):
+    """D18 flags must track the EDGE/AUTHOR state, not the payload
+    watermark: a new pub↔faculty-author link discovered during an
+    incremental harvest touches no pub payload, so updated_at stays
+    put and the pub skips re-distillation — yet the flags must flip.
+    (The reference serves stale flags here — distill-time-only
+    derivation, distill.py:72-86 — a documented deliberate
+    divergence.)"""
+    from rialto_airflow_spark.storage import TableStore
+
+    store = TableStore(str(tmp_path / "tables"))
+    pubs = spark.createDataFrame(
+        [mkpub(1, doi="10.1/a", updated=2, sulpub_harvested=ts(1))],
+        PUB_SCHEMA,
+    )
+    authors = spark.createDataFrame(
+        [
+            (10, "ada", None, "0-1", "Ada", "L", True, True, "faculty",
+             ["Eng"], ["CS"], "Eng", "CS", None, ts(1), ts(1)),
+            (11, "bob", None, "0-2", "Bob", "M", True, False, "staff",
+             ["Eng"], ["CS"], "Eng", "CS", None, ts(1), ts(1)),
+        ],
+        "id bigint, sunet string, cap_profile_id string, orcid string, "
+        "first_name string, last_name string, status boolean, "
+        "academic_council boolean, role string, schools array<string>, "
+        "departments array<string>, primary_school string, primary_dept string, "
+        "primary_division string, created_at timestamp, updated_at timestamp",
+    )
+    base = dict(
+        spark=spark,
+        authors=authors,
+        funder_edges=spark.createDataFrame(
+            [], "publication_id bigint, funder_id bigint"
+        ),
+        funders=spark.createDataFrame(
+            [], "grid_id string, name string, federal boolean, ror_id string, "
+                "openalex_id string, id bigint"
+        ),
+        dims={},
+        landing_dirs={},
+        harvests=spark.createDataFrame(
+            [(1, ts(1), ts(2), True)],
+            "id bigint, created_at timestamp, finished_at timestamp, is_full boolean",
+        ),
+        is_full=False,
+    )
+
+    # run 1: only a staff author linked (the pub must have SOME edge
+    # or orphan removal drops it) → both flags False, pub distilled
+    staff_edge = spark.createDataFrame(
+        [(1, 11)], "publication_id bigint, author_id bigint"
+    )
+    ctx1 = dict(base, pubs=pubs, author_edges=staff_edge)
+    ctx1 = build_harvest_dag().run(ctx1)
+    store.write(ctx1["pubs"], "pubs")
+    r1 = store.read(spark, "pubs").collect()[0]
+    assert (r1["faculty_authored"], r1["academic_council_authored"]) == (
+        False,
+        False,
+    )
+    assert r1["distilled_at"] is not None
+
+    # run 2: the ONLY change is a new faculty edge (payload untouched
+    # — updated_at stays, the pub skips re-distillation)
+    faculty_edge = spark.createDataFrame(
+        [(1, 10)], "publication_id bigint, author_id bigint"
+    )
+    ctx2 = dict(
+        base,
+        pubs=store.read(spark, "pubs"),
+        author_edges=staff_edge,
+        incoming_edges=faculty_edge,
+    )
+    ctx2 = build_harvest_dag().run(ctx2)
+    r2 = ctx2["pubs"].collect()[0]
+    assert (r2["faculty_authored"], r2["academic_council_authored"]) == (
+        True,
+        True,
+    )
+    # and the watermark really did skip re-distillation
+    assert r2["distilled_at"] == r1["distilled_at"]
+    assert r2["updated_at"] == r1["updated_at"]
+
+
 def test_two_harvest_incremental_twin(spark, tmp_path):
     """Full harvest then INCREMENTAL harvest over mutated landing
     fixtures — the reference's conditional-distillation lifecycle
