@@ -165,20 +165,25 @@ class MemoryBackend(CommitBackend):
             return True
 
     def read(self, path: str) -> bytes | None:
-        return self.objects.get(path)
+        with self._lock:
+            return self.objects.get(path)
 
     def list_dir(self, dirpath: str) -> list[str]:
         prefix = dirpath.rstrip("/") + "/"
-        return sorted(
-            {
-                p[len(prefix):].split("/", 1)[0]
-                for p in self.objects
-                if p.startswith(prefix)
-            }
-        )
+        # under the lock: iterating the dict while a concurrent put
+        # inserts raises "dictionary changed size during iteration"
+        with self._lock:
+            return sorted(
+                {
+                    p[len(prefix):].split("/", 1)[0]
+                    for p in self.objects
+                    if p.startswith(prefix)
+                }
+            )
 
     def delete(self, path: str) -> None:
-        self.objects.pop(path, None)
+        with self._lock:
+            self.objects.pop(path, None)
 
 
 _SEQ_WIDTH = 20
@@ -216,13 +221,27 @@ class CommitLog:
     def _entry_path(self, seq: int) -> str:
         return os.path.join(self.dir, f"{seq:0{_SEQ_WIDTH}d}.json")
 
-    def _entries(self) -> list[int]:
-        out = []
+    def _scan(self) -> tuple[list[int], int]:
+        """ONE backend listing parsed into (sorted entry seqs, prune
+        floor). Entries and floor markers share the directory on
+        purpose: every sequencing/resolution decision costs a single
+        LIST — the operation this module's own docs call the
+        object-store cost ceiling."""
+        entries: list[int] = []
+        floor = 0
         for name in self.backend.list_dir(self.dir):
-            stem = name[:-5] if name.endswith(".json") else None
-            if stem and stem.isdigit():
-                out.append(int(stem))
-        return sorted(out)
+            if name.endswith(".json"):
+                stem = name[:-5]
+                if stem.isdigit():
+                    entries.append(int(stem))
+            elif name.startswith("floor."):
+                stem = name[len("floor."):]
+                if stem.isdigit():
+                    floor = max(floor, int(stem))
+        return sorted(entries), floor
+
+    def _entries(self) -> list[int]:
+        return self._scan()[0]
 
     def _load(self, seq: int) -> dict | None:
         raw = self.backend.read(self._entry_path(seq))
@@ -262,19 +281,6 @@ class CommitLog:
                 out.append((seq, p))
         return out
 
-    def _floor(self) -> int:
-        """Highest prune floor: every seq name strictly below it was
-        deleted by a prune at some point and may be re-claimable —
-        the one hole in "a winner at a name proves freshness". 0 when
-        never pruned."""
-        best = 0
-        for name in self.backend.list_dir(self.dir):
-            if name.startswith("floor."):
-                stem = name[len("floor."):]
-                if stem.isdigit():
-                    best = max(best, int(stem))
-        return best
-
     def commit(self, payload: dict, expected=ANY, max_attempts: int = 50) -> int:
         """Append ``payload`` as the next commit; returns its seq.
 
@@ -294,56 +300,96 @@ class CommitLog:
         names, so a writer whose listing predates a prune could win a
         put at a name BELOW the current head and believe it published
         (the classic ABA). Every win therefore re-checks the prune
-        floor; a win below it deletes itself and retries/conflicts —
-        the same reason Delta writers resolve ``_last_checkpoint``
-        before claiming a version number."""
+        floor — the same reason Delta writers resolve
+        ``_last_checkpoint`` before claiming a version number — and a
+        win below it runs :meth:`_aba_recycled` to tell a recycled
+        name (publish never happened: retry/conflict) from an
+        own-commit-already-pruned observation (the commit was real
+        and has simply aged out: success)."""
         data = json.dumps(dict(payload, committed_at=time.time())).encode()
         if expected is not ANY:
-            cur = self._entries()
-            head = self.head()
-            head_seq = head[0] if head else 0
+            cur, floor = self._scan()
+            head_seq = 0
+            for sq in reversed(cur):
+                if self._load(sq) is not None:
+                    head_seq = sq
+                    break
             expected_seq = expected if expected is not None else 0
             if head_seq != expected_seq:
                 raise CommitConflict(
                     f"commit log {self.dir}: expected head "
                     f"{expected}, found {head_seq or None}"
                 )
-            nxt = max(cur[-1] if cur else 0, self._floor()) + 1
+            nxt = max(cur[-1] if cur else 0, floor) + 1
             if not self.backend.put_if_absent(self._entry_path(nxt), data):
                 raise CommitConflict(
                     f"commit log {self.dir}: lost the race for seq "
                     f"{nxt} (expected head {expected})"
                 )
-            # post-win audits, both fail closed by deleting our entry:
-            # (a) our name was below a prune floor (ABA), (b) a REAL
-            # commit appeared in (expected, nxt) — possible only when
-            # garbage made us skip names and a racer claimed one first
+            # ONE fresh scan feeds both post-win audits, fail closed:
+            # (a) a REAL commit appeared in (expected, nxt) — possible
+            # only when garbage made us skip names and a racer claimed
+            # one first; (b) pruned-name ABA, disambiguated below
+            cur2, floor2 = self._scan()
             gap_commits = [
-                s
-                for s in self._entries()
-                if expected_seq < s < nxt and self._load(s) is not None
+                sq
+                for sq in cur2
+                if expected_seq < sq < nxt and self._load(sq) is not None
             ]
-            if nxt < self._floor() or gap_commits:
+            if gap_commits:
                 self.backend.delete(self._entry_path(nxt))
                 raise CommitConflict(
                     f"commit log {self.dir}: seq {nxt} invalidated "
-                    f"post-win (floor={self._floor()}, gap commits "
-                    f"{gap_commits}); expected head {expected}"
+                    f"post-win (gap commits {gap_commits}); expected "
+                    f"head {expected}"
+                )
+            if nxt < floor2 and self._aba_recycled(nxt, data):
+                raise CommitConflict(
+                    f"commit log {self.dir}: seq {nxt} was a pruned "
+                    f"name reclaimed post-prune (floor {floor2}); "
+                    f"expected head {expected}"
                 )
             return nxt
         for _ in range(max_attempts):
-            seqs = self._entries()
-            nxt = max(seqs[-1] if seqs else 0, self._floor()) + 1
+            cur, floor = self._scan()
+            nxt = max(cur[-1] if cur else 0, floor) + 1
             if self.backend.put_if_absent(self._entry_path(nxt), data):
-                if nxt < self._floor():
-                    # ABA: prune freed this name while we raced
-                    self.backend.delete(self._entry_path(nxt))
-                    continue
+                floor2 = self._scan()[1]
+                if nxt < floor2 and self._aba_recycled(nxt, data):
+                    continue  # publish never happened; re-sequence
                 return nxt
         raise CommitConflict(
             f"commit log {self.dir}: gave up after {max_attempts} "
             "contended attempts"
         )
+
+    def _aba_recycled(self, seq: int, data: bytes) -> bool:
+        """Post-win disambiguation when the won seq sits below the
+        prune floor. Two histories produce that observation:
+
+        * ABA — a prune freed the name BEFORE our put; our bytes sit
+          there now, below the real head: the publish never took
+          effect. Detected by reading the name back: OUR bytes →
+          recycled name. Fail closed: delete the entry (True).
+        * already-pruned — our put won FIRST (the commit was briefly
+          the head), we stalled, later commits superseded it and a
+          prune deleted our entry while raising the floor. The name
+          now reads as missing (or someone else's recycled bytes):
+          the commit genuinely published and has simply aged into
+          pruned history — success, not a conflict (False). Treating
+          it as ABA would re-commit a superseded version as the new
+          head, resurrecting data vacuum may already have reclaimed.
+
+        Residual: a second prune racing between our (ABA) put and
+        this read makes a recycled name read as missing — two prunes
+        interleaving inside one stalled commit; the misread fails
+        toward reporting an old pruned commit as published, never
+        toward serving bad data (head is above the floor either
+        way)."""
+        if self.backend.read(self._entry_path(seq)) == data:
+            self.backend.delete(self._entry_path(seq))
+            return True
+        return False
 
     def prune(self, below_seq: int) -> list[int]:
         """Delete log entries (parseable or torn) with seq strictly
@@ -368,22 +414,28 @@ class CommitLog:
         head = self.head()
         if head is not None:
             below_seq = min(below_seq, head[0])
-        removed = []
-        for seq in self._entries():
-            if seq < below_seq:
-                self.backend.delete(self._entry_path(seq))
-                removed.append(seq)
-        if removed:
+        cur, floor = self._scan()
+        targets = [sq for sq in cur if sq < below_seq]
+        if not targets:
+            return []
+        # marker FIRST, deletes second: the ABA guard must already be
+        # visible when the first name frees up — marker-then-crash
+        # leaves entries intact under a conservative floor (harmless),
+        # delete-then-crash would leave freed names with no floor at
+        # all (the silent-lost-publish window the marker closes)
+        if below_seq > floor:
             self.backend.put_if_absent(
                 os.path.join(self.dir, f"floor.{below_seq:0{_SEQ_WIDTH}d}"),
                 b"{}",
             )
-            for name in self.backend.list_dir(self.dir):
-                if name.startswith("floor."):
-                    stem = name[len("floor."):]
-                    if stem.isdigit() and int(stem) < below_seq:
-                        self.backend.delete(os.path.join(self.dir, name))
-        return removed
+        for sq in targets:
+            self.backend.delete(self._entry_path(sq))
+        for name in self.backend.list_dir(self.dir):
+            if name.startswith("floor."):
+                stem = name[len("floor."):]
+                if stem.isdigit() and int(stem) < below_seq:
+                    self.backend.delete(os.path.join(self.dir, name))
+        return targets
 
 
 class VersionedStore:
@@ -525,19 +577,24 @@ class VersionedStore:
         self.commit(p, extra={"restored": True})
         return p
 
-    def _version_committed_at(self, path: str) -> float | None:
-        """When ``path`` FIRST went live, from the log; legacy dirs
-        fall back to the ms timestamp embedded in the dir name."""
-        for _seq, payload in self.log.history():
-            if payload.get("path") == path:
-                ts = payload.get("committed_at")
-                if ts is not None:
-                    return float(ts)
+    def _name_timestamp(self, path: str) -> float | None:
+        """Fallback age for a dir the log doesn't know: the ms
+        timestamp :meth:`new_version_path` embeds in the name."""
         name = os.path.basename(path)
         if self.version_prefix and name.startswith(self.version_prefix):
             name = name[len(self.version_prefix):]
         stem = name.split("-", 1)[0]
         return int(stem) / 1000.0 if stem.isdigit() else None
+
+    def _version_committed_at(self, path: str) -> float | None:
+        """When ``path`` FIRST went live, from the log; legacy dirs
+        fall back to the name-embedded timestamp."""
+        for _seq, payload in self.log.history():
+            if payload.get("path") == path:
+                ts = payload.get("committed_at")
+                if ts is not None:
+                    return float(ts)
+        return self._name_timestamp(path)
 
     def vacuum(
         self,
@@ -581,11 +638,7 @@ class VersionedStore:
             hit = first_commit.get(path)
             if hit is not None and hit[1] is not None:
                 return float(hit[1])
-            name = os.path.basename(path)
-            if self.version_prefix and name.startswith(self.version_prefix):
-                name = name[len(self.version_prefix):]
-            stem = name.split("-", 1)[0]
-            return int(stem) / 1000.0 if stem.isdigit() else None
+            return self._name_timestamp(path)
 
         vs = self.versions()
         current = self.current_path()

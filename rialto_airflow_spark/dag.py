@@ -211,9 +211,19 @@ def build_harvest_dag() -> Dag:
         # full harvest+dedupe chain in BOTH union branches, and every
         # downstream consumer (orphan removal, funder linking, four
         # marts, snapshot publish) would otherwise recompute it twice
-        # per action; a cluster run materializes through the table
-        # store at the same point
-        ctx["pubs"] = out.localCheckpoint()
+        # per action. localCheckpoint blocks are executor-LOCAL (not
+        # replicated), so it is safe only where executors can't be
+        # lost — local mode; a cluster run keeps the recoverable
+        # persisted lineage (and, like the two-run tests, typically
+        # materializes through the table store at the run boundary
+        # anyway)
+        sc = out.sparkSession.sparkContext
+        if sc.master.startswith("local"):
+            ctx["pubs"] = out.localCheckpoint()
+        else:
+            from pyspark import StorageLevel
+
+            ctx["pubs"] = out.persist(StorageLevel.MEMORY_AND_DISK)
 
     @dag.task("link_funders", upstream=("dedupe",))
     def link(ctx):

@@ -219,21 +219,17 @@ def test_delayed_writer_cannot_land_below_head_after_prune(tmp_path):
         log.commit({"tag": i})  # seqs 1..5
     log.prune(5)  # frees 1..4, publishes floor.5
 
-    # delayed writer: listed entries AND floor before the prune, so
-    # both first reads are stale ([1] and no floor); its put at seq 2
-    # WINS because prune freed the name. The post-win floor re-read
-    # is fresh — that is the guard under test.
-    stale_entries = [[1]]
-    stale_floors = [0]
-    real_entries, real_floor = log._entries, log._floor
-    log._entries = lambda: (
-        stale_entries.pop(0) if stale_entries else real_entries()
-    )
-    log._floor = lambda: (
-        stale_floors.pop(0) if stale_floors else real_floor()
+    # delayed writer: its one pre-put scan (entries AND floor) is
+    # stale — predates the prune — so its put at seq 2 WINS because
+    # prune freed the name. The post-win scan is fresh — that is the
+    # guard under test.
+    stale_scans = [([1], 0)]
+    real_scan = log._scan
+    log._scan = lambda: (
+        stale_scans.pop(0) if stale_scans else real_scan()
     )
     seq = log.commit({"tag": "delayed"})
-    log._entries, log._floor = real_entries, real_floor
+    log._scan = real_scan
 
     # the stale win at 2 was rolled back; the commit landed above 5
     assert seq == 6
@@ -455,35 +451,27 @@ def test_commit_log_random_op_sequences_hold_invariants():
         backend = MemoryBackend()
         log = CommitLog("/log", backend)
         model: list[tuple[int, int]] = []  # (seq, tag) of real commits
-        garbage_above = False  # torn names above the head block CAS
         tag = 0
         for op in ops:
             if op == "commit":
                 tag += 1
                 seq = log.commit({"tag": tag})
                 model.append((seq, tag))
-                garbage_above = False  # commit sequenced past garbage
             elif op == "torn":
                 seqs = log._entries()
                 nxt = (seqs[-1] if seqs else 0) + 1
                 backend.put_if_absent(
                     log._entry_path(nxt), b"\xff not json"
                 )
-                garbage_above = True
             elif op == "cas_ok":
+                # a CAS against the TRUE head must always succeed
+                # single-threaded — including past torn garbage names
+                # (the pre-hardening code wedged forever there) and
+                # after prunes (floor-aware sequencing)
                 expected = model[-1][0] if model else None
-                if garbage_above or (model and expected != max(
-                    s for s, _t in model
-                )):
-                    continue
                 tag += 1
-                try:
-                    seq = log.commit({"tag": tag}, expected=expected)
-                    model.append((seq, tag))
-                except CommitConflict:
-                    # only legal when torn names sit above the head
-                    assert garbage_above
-                    tag -= 1
+                seq = log.commit({"tag": tag}, expected=expected)
+                model.append((seq, tag))
             elif op == "cas_stale":
                 with pytest.raises(CommitConflict):
                     log.commit(
