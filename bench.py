@@ -129,7 +129,14 @@ def main() -> None:
             pass
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
-    out = {
+    # The driver's BENCH artifact keeps only a bounded TAIL of stdout,
+    # and round 8's single fat line (query_stats + sink_compare +
+    # embedded scaling) overflowed it — the committed artifact
+    # truncated mid-JSON (parsed: null). Split the output: the rich
+    # per-query stats go to BENCH_DETAIL.json (committed alongside the
+    # repo, self-contained across rounds), and stdout's LAST line is a
+    # compact headline that always fits the tail budget.
+    detail = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
@@ -140,15 +147,33 @@ def main() -> None:
         "runs": runs,
     }
     if errors:
-        out["errors"] = errors
+        detail["errors"] = errors
     # scaling curves are expensive (x10 data gen + runs), so they are
     # produced out-of-band by scripts/run_scaling.py; embed the recorded
-    # results if present (see SCALING.md for the narrative)
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    # results in the DETAIL file if present (SCALING.md has the story)
+    here = os.path.dirname(os.path.abspath(__file__))
+    scaling_path = os.path.join(here, "SCALING.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as fh:
-            out["scaling"] = json.load(fh)
-    print(json.dumps(out))
+            detail["scaling"] = json.load(fh)
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": runs,
+    }
+    if errors:
+        out["errors"] = {k: v[:80] for k, v in errors.items()}
+    line = json.dumps(out)
+    if len(line) > 1900:  # stay inside the driver's tail window
+        out.pop("queries", None)
+        out["detail"] = "BENCH_DETAIL.json"
+        line = json.dumps(out)
+    print(line)
     spark.stop()
 
 

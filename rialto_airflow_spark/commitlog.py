@@ -76,10 +76,27 @@ ANY = object()
 
 
 class CommitBackend:
-    """Minimal storage contract the commit log needs. Implementations
-    must make :meth:`put_if_absent` atomic: the name appears with its
+    """Storage contract the versioned stores need, in two planes.
+
+    METADATA plane (abstract — every backend must supply it):
+    :meth:`put_if_absent` must be atomic — the name appears with its
     FULL content or not at all, and concurrent puts of the same name
-    have exactly one winner."""
+    have exactly one winner. :meth:`read`/:meth:`list_dir`/
+    :meth:`delete` complete it.
+
+    DATA plane (:meth:`data_exists` / :meth:`list_data` /
+    :meth:`delete_data`): answers about the version DIRECTORIES —
+    which exist, what their names are, reclaim one. Version data is
+    still WRITTEN by Spark's own committers (that contract does not
+    change), but every listing/existence/delete DECISION the stores
+    make routes through these methods so they hold off-POSIX: on
+    S3/GCS they are LIST-with-delimiter, LIST-prefix-nonempty, and
+    batched DELETE — all plain object operations needing no
+    atomicity. The base-class defaults answer from the executing
+    filesystem, which is correct exactly when Spark's committer
+    writes there (local mode, HDFS-mounted, NFS); a cloud backend
+    overrides them with SDK calls against the same bucket its
+    conditional PUTs hit."""
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
         raise NotImplementedError
@@ -93,6 +110,38 @@ class CommitBackend:
 
     def delete(self, path: str) -> None:
         raise NotImplementedError
+
+    # --- data plane (version directories) --------------------------
+    def data_exists(self, path: str) -> bool:
+        """True iff a data version exists at ``path`` — a directory
+        on POSIX, a non-empty key prefix on an object store."""
+        return os.path.isdir(path)
+
+    def list_data(self, dirpath: str) -> list[str]:
+        """Child DIRECTORY names (candidate versions) under
+        ``dirpath``; [] if absent. Object stores: LIST with '/'
+        delimiter, common prefixes only."""
+        try:
+            names = os.listdir(dirpath)
+        except FileNotFoundError:
+            return []
+        return [
+            d for d in names if os.path.isdir(os.path.join(dirpath, d))
+        ]
+
+    def delete_data(self, path: str) -> None:
+        """Reclaim the version at ``path`` (recursive; missing is
+        fine). Object stores: paged LIST + batched DELETE."""
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+    def sweep_tmp(self, dirpath: str, older_than_s: float) -> list[str]:
+        """Remove stale private-temp residue this backend's own
+        :meth:`put_if_absent` may leave in ``dirpath`` after a crash.
+        Base: nothing to sweep — a single conditional PUT leaves no
+        residue (S3/GCS/memory)."""
+        return []
 
 
 class PosixBackend(CommitBackend):
@@ -139,14 +188,44 @@ class PosixBackend(CommitBackend):
         except FileNotFoundError:
             pass
 
+    def sweep_tmp(self, dirpath: str, older_than_s: float) -> list[str]:
+        """Unlink ``.put.*.tmp`` files older than ``older_than_s``.
+
+        :meth:`put_if_absent` unlinks its private temp in a
+        ``finally``, but ``finally`` does not run on SIGKILL/power
+        loss — so repeatedly-crashing writers would otherwise grow
+        the commit directory (and every LIST over it, the module's
+        own cost ceiling) without bound. ``_scan`` already ignores
+        the names, so this is hygiene, not correctness; the age gate
+        keeps the sweep from racing a LIVE writer between its write
+        and its link (a put completes in well under a second — an
+        hour-old tmp is a corpse)."""
+        removed = []
+        cutoff = time.time() - older_than_s
+        for name in self.list_dir(dirpath):
+            if name.startswith(".put.") and name.endswith(".tmp"):
+                p = os.path.join(dirpath, name)
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        os.unlink(p)
+                        removed.append(name)
+                except FileNotFoundError:
+                    pass  # concurrent sweeper or the writer's finally
+        return removed
+
 
 class MemoryBackend(CommitBackend):
     """In-memory reference backend: a dict and a put-if-absent. Ships
     as the executable spec of the object-store seam — it supports NO
     rename/replace at all, so any store that passes its tests against
     this backend provably never needed POSIX atomicity for its
-    METADATA path (parquet data still lands on the real filesystem;
-    only commits route through the backend)."""
+    METADATA path. The DATA plane keeps the base-class
+    executing-filesystem defaults: Spark's committer writes version
+    parquet to the local FS in these tests, so that is where
+    existence/listing questions are answered — the same split a
+    cloud deployment has (committer owns data writes, backend owns
+    the decisions), with the store itself making zero direct
+    os-level calls either way."""
 
     def __init__(self):
         import threading
@@ -265,7 +344,14 @@ class CommitLog:
         parseable entry is exactly "ignore the in-flight publishes
         that never completed", the Delta-style fail-closed rule.
         Resolution never moves FORWARD past a valid commit; a torn
-        entry can only ever delay visibility, not serve bad data."""
+        entry can only ever delay visibility, not serve bad data.
+
+        One documented exception to monotonicity: a CAS commit that
+        wins its put and is then invalidated by the post-win audit
+        self-deletes (see :meth:`_aba_recycled`'s docstring tail) —
+        a head() racing inside that window can observe the retracted
+        entry once. It is always a complete, well-formed version
+        payload; the next head() returns to the surviving lineage."""
         for seq in reversed(self._entries()):
             payload = self._load(seq)
             if payload is not None:
@@ -305,7 +391,23 @@ class CommitLog:
         win below it runs :meth:`_aba_recycled` to tell a recycled
         name (publish never happened: retry/conflict) from an
         own-commit-already-pruned observation (the commit was real
-        and has simply aged out: success)."""
+        and has simply aged out: success).
+
+        Known transient (documented, accepted): on the CAS path, a
+        win at ``nxt`` that the post-win audit then invalidates (a
+        REAL commit surfaced in the garbage gap) is retracted by
+        self-delete — but between the winning put and that delete, a
+        concurrent :meth:`head` can resolve the about-to-be-retracted
+        entry. Head is briefly non-monotonic: serve-then-retract, on
+        the one backend class that leaves torn-garbage tails AND only
+        when a racer really did commit into the gap. The retracted
+        payload is a fully-written, data-complete version — never
+        torn bytes — so a reader that caught it read a version that
+        lost a race, not corrupt data; the next resolution returns to
+        the surviving lineage. Closing it entirely needs a
+        read-modify-write primitive stronger than put-if-absent
+        (e.g. DynamoDB-style transactional metadata), which this
+        layer deliberately does not require."""
         data = json.dumps(dict(payload, committed_at=time.time())).encode()
         if expected is not ANY:
             cur, floor = self._scan()
@@ -410,7 +512,12 @@ class CommitLog:
         after every put win so a delayed writer can never land a
         "successful" commit at a recycled name below the head (the
         ABA the marker exists to close). Markers are tiny, immutable,
-        monotone; older ones are deleted with the entries."""
+        monotone; older ones are deleted with the entries.
+
+        Crashed-writer temp residue (PosixBackend's ``.put.*.tmp``)
+        is swept here too, age-gated — prune is the maintenance pass
+        that already owns the directory's growth."""
+        self.backend.sweep_tmp(self.dir, 3600.0)
         head = self.head()
         if head is not None:
             below_seq = min(below_seq, head[0])
@@ -514,19 +621,14 @@ class VersionedStore:
 
     # -- history / retention ---------------------------------------
     def _version_dirs(self) -> list[str]:
-        # version DATA always lives on the executing filesystem (Spark
-        # writes it); only COMMITS route through the backend — so this
-        # listing is os-level on purpose, even under MemoryBackend.
-        try:
-            names = os.listdir(self.root)
-        except FileNotFoundError:
-            return []
+        # version DATA is written by Spark's committer; the LISTING
+        # decision routes through the backend's data plane so it
+        # holds off-POSIX (S3: LIST with '/' delimiter)
         return sorted(
             d
-            for d in names
+            for d in self.backend.list_data(self.root)
             if not d.startswith(("_", "."))
             and d.startswith(self.version_prefix)
-            and os.path.isdir(os.path.join(self.root, d))
         )
 
     def versions(self) -> list[dict]:
@@ -569,7 +671,7 @@ class VersionedStore:
 
     def restore(self, version: str) -> str:
         p = os.path.join(self.root, version)
-        if not os.path.isdir(p):
+        if not self.backend.data_exists(p):
             raise FileNotFoundError(
                 f"{self.root} has no retained version {version!r} "
                 "(vacuumed, or never committed)"
@@ -601,6 +703,7 @@ class VersionedStore:
         keep: int = 2,
         older_than_s: float | None = None,
         orphan_grace_s: float = 3600.0,
+        pinned: set[str] | frozenset[str] = frozenset(),
     ) -> list[str]:
         """Reclaim version dirs: all but the newest ``keep`` (0 =
         count-unbounded), and — when ``older_than_s`` is given — only
@@ -621,9 +724,15 @@ class VersionedStore:
         Retention IS the snapshot-consistency contract: a reader that
         resolved a version keeps reading it consistently until vacuum;
         pick ``older_than_s`` ≥ the longest query/probe lifetime (the
-        reference keeps 30 days of snapshots — README.md:31)."""
-        import shutil
+        reference keeps 30 days of snapshots — README.md:31).
 
+        ``pinned``: version paths that must survive regardless of
+        count/age thresholds — the hook TableStore uses to pin every
+        version a RETAINED cross-table snapshot still references, so
+        an aggressive per-table vacuum can't tear a snapshot apart
+        (pinned paths don't count against ``keep`` either: pinning N
+        old snapshot versions doesn't silently protect N unpinned
+        ones)."""
         # ONE history pass feeds ordering, age lookup, and the prune
         # cutoff (on an object store every history() re-read is a
         # LIST+GETs — the per-candidate re-scan this replaces was
@@ -646,7 +755,11 @@ class VersionedStore:
         cutoff = now - older_than_s if older_than_s is not None else None
         orphan_cutoff = now - max(orphan_grace_s, older_than_s or 0.0)
         removed = []
-        candidates = vs[:-keep] if keep else vs
+        pinned_abs = {os.path.abspath(p) for p in pinned}
+        unpinned = [
+            v for v in vs if os.path.abspath(v["path"]) not in pinned_abs
+        ]
+        candidates = unpinned[:-keep] if keep else unpinned
         for v in candidates:
             p = v["path"]
             if current and os.path.abspath(p) == os.path.abspath(current):
@@ -658,7 +771,7 @@ class VersionedStore:
                     continue
             if cutoff is not None and ts is not None and ts > cutoff:
                 continue
-            shutil.rmtree(p, ignore_errors=True)
+            self.backend.delete_data(p)
             removed.append(p)
 
         # Bound the LOG by the same retention: entries no retained
@@ -674,7 +787,7 @@ class VersionedStore:
                 seq
                 for p, (seq, _ts) in first_commit.items()
                 if os.path.abspath(p) not in removed_set
-                and os.path.isdir(p)
+                and self.backend.data_exists(p)
             ]
             if kept_seqs:
                 self.log.prune(min(kept_seqs))

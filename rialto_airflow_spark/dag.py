@@ -180,12 +180,34 @@ def build_harvest_dag() -> Dag:
         ``needs_distillation()`` checks, expressed as one
         where/where-not split so the skip costs a filter, not a
         distill of the whole table."""
+        from pyspark.sql.types import StructType
+
         from rialto_airflow_spark.functions.distill import distill
+        from rialto_airflow_spark.schemas import DISTILL_OUTPUT_DDL
 
         dims = ctx.get("dims", {})
+        # Normalize BEFORE the split: a caller may hand us pubs built
+        # from the core schema (no abstract/citation_count/author
+        # lists/...).  The union below takes `keep`'s columns, so any
+        # distill output missing from the input would be silently
+        # dropped from the distilled slice too — marts then fail at
+        # select time.  Add the missing outputs as typed NULLs so
+        # keep/done schemas align and distilled values survive.
+        pubs = ctx["pubs"]
+        have = set(pubs.columns)
+        missing = [
+            f
+            for f in StructType.fromDDL(DISTILL_OUTPUT_DDL).fields
+            if f.name not in have
+        ]
+        if missing:
+            pubs = pubs.select(
+                "*",
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
+            )
         pred = W.needs_distillation()
-        todo = ctx["pubs"].where(pred)
-        keep = ctx["pubs"].where(~pred)
+        todo = pubs.where(pred)
+        keep = pubs.where(~pred)
         done = distill(
             todo,
             apc_dim=dims.get("apc"),

@@ -82,8 +82,17 @@ def release_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
         del pairs                            # now eviction may run
 
     Every public function returning through this wrapper carries a
-    "hold a local" note; registry queries are exempt because the
-    driver collects the returned plan itself before dropping it."""
+    "hold a local" note. Registry queries are NOT automatically
+    exempt: the driver holds the DERIVED result it was returned, not
+    the wrapped intermediate that owns the finalizer — a registry
+    function that builds a lazy plan on top of a wrapped result and
+    lets the local go out of scope evicts the cache before the
+    driver ever collects (round-8 ADVICE: q49). Either consume the
+    wrapped result eagerly inside the function (an action/checkpoint
+    while the local is alive — what connected_components does), or
+    chain the lifetime forward with :func:`hold_alive` so the
+    intermediate lives exactly as long as the plan the driver
+    holds."""
     import weakref
 
     def _evict(c: DataFrame) -> None:
@@ -94,4 +103,21 @@ def release_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
 
     for c in cached:
         weakref.finalize(result, _evict, c)
+    return result
+
+
+def hold_alive(result: DataFrame, *deps: DataFrame) -> DataFrame:
+    """Chain a :func:`release_on_gc` lifetime forward: keep ``deps``
+    referenced from ``result`` so their GC-time cache eviction cannot
+    fire before ``result`` itself is dropped.
+
+    Use when a function derives a LAZY plan from a wrapped
+    intermediate and returns only the derivation (the registry-query
+    shape): ``return hold_alive(pair_metrics(pred, truth), pred)``.
+    The driver then holds ``result`` → ``result`` holds ``pred`` →
+    the banded cache stays live until the driver drops the collected
+    plan, which is exactly when the finalizer should run. A plain
+    attribute is enough — finalizers key on reachability, and
+    DataFrame instances accept ad-hoc attributes."""
+    result._rialto_hold = deps
     return result

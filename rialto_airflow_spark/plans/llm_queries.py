@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rialto_airflow_spark.functions.perf import hold_alive
 from rialto_airflow_spark.operators import dedup as D
 from rialto_airflow_spark.operators import similarity as S
 from rialto_airflow_spark.operators import text as T
@@ -364,6 +365,36 @@ def _text_metrics_oracle() -> str:
              len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpe_tokens,
              {fp_expr} AS fp
       FROM documents
+    ),
+    raw_doi AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'https://doi.org/10.1234/' || doc_id
+               WHEN 1 THEN 'DOI: 10.5678/ ' || doc_id
+               WHEN 2 THEN 'arXiv:2202.0' || doc_id
+               WHEN 3 THEN '10.1562/"' || doc_id
+               ELSE 'no-doi-here-' || doc_id
+             END AS rdoi
+      FROM documents
+    ),
+    doi_c AS (
+      SELECT doc_id, rdoi,
+             regexp_extract(
+               regexp_replace(
+                 regexp_replace(lower(rdoi), '[ \\\\]', '', 'g'),
+                 '^arxiv:', '10.48550/arxiv.'),
+               '(10\\..+)', 1) AS extracted
+      FROM raw_doi
+    ),
+    dois AS (
+      SELECT doc_id,
+             CASE
+               WHEN rdoi IS NULL OR trim(rdoi) = '' THEN NULL
+               WHEN strpos(rdoi, '"') > 0 THEN NULL
+               WHEN extracted = '' THEN NULL
+               ELSE extracted
+             END AS doi
+      FROM doi_c
     )
     SELECT l.doc_id AS doc_id, l.lang_guess,
            f.n_tokens,
@@ -372,8 +403,10 @@ def _text_metrics_oracle() -> str:
            round(least(f.n_chars2 / 500.0, 1.0) * 0.4
                  + least(f.stop_r * 5.0, 1.0) * 0.4
                  + greatest(0.0, 1.0 - f.punct_r * 10.0) * 0.2, 4) AS quality,
-           f.n_bpe_tokens, f.fp
-    FROM lang l JOIN feat f ON l.doc_id = f.doc_id
+           f.n_bpe_tokens, f.fp, d.doi
+    FROM lang l
+    JOIN feat f ON l.doc_id = f.doc_id
+    JOIN dois d ON l.doc_id = d.doc_id
     """
 
 
@@ -387,10 +420,22 @@ def q26_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     every column family is row-wise over the same documents scan, so
     four registry slots were four redundant scans (the freed slots
     now gate profile/metric operators); each operator stays
-    individually hash-gated because the driver hashes ALL columns."""
+    individually hash-gated because the driver hashes ALL columns.
+    Round 9 folded the former q12_normalize_doi in the same way: N1
+    normalize_doi (utils.py:88-119) over synthesized DOI-ish strings
+    is row-wise over this exact scan — its slot freed for
+    q54_heavy_hitters."""
+    from rialto_airflow_spark.functions.normalize import normalize_doi
     from rialto_airflow_spark.functions.perf import ensure_parallelism
 
     docs = ensure_parallelism(load_tables(spark, sf_dir, "documents")["documents"])
+    raw_doi = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("https://doi.org/10.1234/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("DOI: 10.5678/ "), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("arXiv:2202.0"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit('10.1562/"'), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("no-doi-here-"), F.col("doc_id")))
+    )
     return docs.select(
         "doc_id",
         T.lang_id("text").alias("lang_guess"),
@@ -400,6 +445,7 @@ def q26_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(T.quality_score("text"), 4).alias("quality"),
         T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
         T.fingerprint("text", n=3, k=4).alias("fp"),
+        normalize_doi(raw_doi).alias("doi"),
     )
 
 
@@ -560,4 +606,9 @@ def q49_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3,
         threshold=0.5,
     ).select("id_a", "id_b")
-    return D.pair_metrics(pred, truth)
+    # pair_metrics is LAZY and pred is release_on_gc-wrapped: letting
+    # pred die at return would evict its banded cache before the
+    # driver collects the metrics row (silent full recompute —
+    # round-8 ADVICE #4). hold_alive chains pred's lifetime to the
+    # returned plan the driver actually holds.
+    return hold_alive(D.pair_metrics(pred, truth), pred)

@@ -196,6 +196,84 @@ def mart_publications_by_author(
     )
 
 
+def incremental_mart_publications_by_author(
+    old_pubs: DataFrame,
+    new_pubs: DataFrame,
+    old_mart: DataFrame,
+    author_edges: DataFrame,
+    authors: DataFrame,
+    funder_edges: DataFrame,
+    funders: DataFrame,
+    key: str = "id",
+) -> DataFrame:
+    """Incremental rebuild of ``publications_by_author`` from the
+    publication CHANGE FEED — the consumer side of
+    ``TableStore.changes()``: delete-then-insert only the mart rows
+    whose source pubs changed between two retained versions, instead
+    of recomputing the full pubs×edges×authors fan-out every run.
+
+    The reference republished every mart weekly in full
+    (dags/publish_to_reports.py:17-61 — each run TRUNCATEs and
+    re-streams all rows); at its row counts that is fine, at 100 TB
+    the full fan-out join is the single most expensive plan in the
+    publish DAG while a weekly delta touches a sliver of it. Shape:
+
+      1. ``snapshot_diff(old_pubs, new_pubs)`` — ONE thin key-join
+         of the two retained versions (insert/update/delete rows);
+      2. affected DOIs = old∪new dois of the changed pub ids —
+         O(changes), broadcastable;
+      3. the expensive author fan-out runs over ONLY the changed
+         pubs (O(changes) rows through the join);
+      4. ``old_mart`` anti-joins the affected-DOI set (null-safe:
+         null-DOI mart rows are removable too) and the fresh
+         fragment unions in.
+
+    Equality contract (pinned by test): the result row-set equals a
+    full ``mart_publications_by_author(new_pubs, ...)`` rebuild,
+    PROVIDED edges/authors/funder dims are the same ones a full
+    rebuild would use — dim-side changes are not in this feed;
+    callers that mutate edges/authors must fall back to a full
+    rebuild (the DAG's flags-refresh divergence note explains why
+    edge deltas are the cheaper-whole-table case anyway)."""
+    from rialto_airflow_spark.operators.merge import snapshot_diff
+
+    changed = (
+        snapshot_diff(old_pubs, new_pubs, key)
+        .select(key)
+        .distinct()
+    )
+    affected_dois = (
+        old_pubs.join(changed, key, "left_semi")
+        .select("doi")
+        .unionByName(new_pubs.join(changed, key, "left_semi").select("doi"))
+        .distinct()
+        .withColumnRenamed("doi", "__chg_doi")
+    )
+    # recompute from every pub SHARING an affected doi, not just the
+    # changed ids: the mart is keyed (doi, sunet), so an unchanged
+    # pub contributing rows under an affected doi must re-enter the
+    # fragment or its rows would vanish with the anti-join (null-safe
+    # doi match keeps the null-DOI group whole for the same reason)
+    fragment_pubs = new_pubs.join(
+        F.broadcast(affected_dois),
+        new_pubs["doi"].eqNullSafe(F.col("__chg_doi")),
+        "left_semi",
+    )
+    fragment = mart_publications_by_author(
+        fragment_pubs,
+        author_edges,
+        authors,
+        funder_edges,
+        funders,
+    )
+    kept = old_mart.join(
+        F.broadcast(affected_dois),
+        old_mart["doi"].eqNullSafe(F.col("__chg_doi")),
+        "left_anti",
+    )
+    return kept.unionByName(fragment)
+
+
 def format_for_download(df: DataFrame) -> DataFrame:
     """K3 — CSV download formatting (publish/publication.py:400-421):
     booleans rendered 'true'/'false', null → empty string."""

@@ -1430,3 +1430,90 @@ def q53_kmv_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 4 * rse
         ).alias("jaccard_ok"),
     )
+
+
+@register(
+    "q54_heavy_hitters",
+    oracle=r"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT word, count(*) AS freq
+    FROM w WHERE word <> ''
+    GROUP BY word
+    ORDER BY freq DESC, word ASC
+    LIMIT 20
+    """,
+)
+def q54_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters (operators.sketches.heavy_hitters)
+    hash-gated against an exact full groupBy: the operator's pass-2
+    EXACT recount of the candidate set is what makes a sketch
+    oracle-matchable — the oracle IS the full top-k the sketch path
+    must reproduce. Pass 1 is zero-shuffle mapInPandas MG summaries;
+    only ≤ partitions×counters candidate VALUES ever shuffle.
+    Candidate budget is raised to 16·k because the synthetic corpus's
+    word distribution is flat-ish — the MG retention guarantee only
+    covers items with count > n_tokens/counters, and the gate needs
+    rank-20 safely inside it (the knob a production caller tunes the
+    same way)."""
+    from rialto_airflow_spark.operators.sketches import heavy_hitters
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    words = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    return heavy_hitters(words, "word", k=20, candidates_per_partition=320)
+
+
+@register(
+    "q55_bm25_scores",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END)::BIGINT AS doc_len,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x = 'hash')) AS tf0,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x = 'join')) AS tf1,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x = 'missingterm')) AS tf2
+      FROM documents
+    ),
+    st AS (
+      SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl,
+             count(*) FILTER (tf0 > 0)::BIGINT AS df0,
+             count(*) FILTER (tf1 > 0)::BIGINT AS df1,
+             count(*) FILTER (tf2 > 0)::BIGINT AS df2
+      FROM base
+    )
+    SELECT b.doc_id, b.doc_len,
+           round(
+               ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                 * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * b.doc_len / avgdl)))
+             + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                 * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * b.doc_len / avgdl)))
+             + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                 * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * b.doc_len / avgdl))),
+           4) AS score
+    FROM base b CROSS JOIN st
+    """,
+)
+def q55_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 corpus scoring (operators.text.bm25_scores) hash-gated:
+    literal-term tf columns are map-side array algebra (no explode,
+    no posting lists), the df/N/avgdl stats reduce to ONE driver row,
+    and the score is a second map-only pass — two corpus scans, zero
+    joins, zero Python. The oracle replays the identical Robertson
+    idf (+1 floor) and k1/b saturation in DuckDB; both sides round to
+    4 places (avgdl is exact in both engines — an integer sum below
+    2^53 divided by an exact count)."""
+    from rialto_airflow_spark.operators import text as T
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return T.bm25_scores(docs, "doc_id", "text", "hash join missingterm")

@@ -13,7 +13,33 @@ from __future__ import annotations
 
 # --- core tables (SURVEY §1.2) --------------------------------------------
 
-PUBLICATION_DDL = """
+# Columns ADDED by functions.distill.distill() beyond what a caller
+# must supply (the reference writes them to the same pubs row at
+# distill time, harvest_incremental/distill.py:36-70).  Split out so
+# dag.distill_task can normalize a narrow input frame — the
+# where/where-not incremental split unions the untouched slice with
+# the distilled slice, and both branches must carry the SAME columns
+# for the distill-derived values to survive the union.
+DISTILL_OUTPUT_DDL = """
+    journal_issn STRING,
+    abstract STRING,
+    citation_count INT,
+    author_list_names ARRAY<STRING>,
+    author_list_orcids ARRAY<STRING>,
+    first_author_name STRING,
+    first_author_orcid STRING,
+    last_author_name STRING,
+    last_author_orcid STRING,
+    pages STRING,
+    issue STRING,
+    volume STRING
+"""
+
+# De-facto wide contract: what the marts read (plans/marts.py:157-195
+# selects abstract/citation_count/author lists/pages/issue/volume
+# straight off the pubs frame), i.e. the caller-supplied core PLUS
+# every distill output.
+PUBLICATION_DDL = f"""
     id BIGINT,
     doi STRING,
     title STRING,
@@ -23,6 +49,7 @@ PUBLICATION_DDL = """
     publisher STRING,
     journal_name STRING,
     types ARRAY<STRING>,
+    {DISTILL_OUTPUT_DDL.strip()},
     academic_council_authored BOOLEAN,
     faculty_authored BOOLEAN,
     dim_json STRING,

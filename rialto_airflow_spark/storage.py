@@ -26,7 +26,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .commitlog import CommitBackend, VersionedStore
+from .commitlog import CommitBackend, VersionedStore, default_backend
 
 
 class TableStore:
@@ -42,6 +42,13 @@ class TableStore:
         self.root = root
         self.backend = backend
         os.makedirs(root, exist_ok=True)
+
+    def _backend(self) -> CommitBackend:
+        """Resolved backend for metadata DECISIONS (existence checks
+        and the like) — the same late resolution the per-table
+        VersionedStores use, so ``set_default_backend`` covers the
+        snapshot/time-travel reads too."""
+        return self.backend or default_backend()
 
     def _store(self, name: str) -> VersionedStore:
         return VersionedStore(
@@ -151,7 +158,10 @@ class TableStore:
                 f"(has: {sorted(tables)})"
             )
         p = tables[name]
-        if not os.path.isdir(p):
+        # existence check through the backend's data plane (NOT
+        # os.path.isdir) so a vacuumed-version read fails loudly on
+        # object-store deployments too
+        if not self._backend().data_exists(p):
             raise FileNotFoundError(
                 f"snapshot {seq}'s version of {name!r} was vacuumed "
                 f"({p}); raise table retention above snapshot lookback"
@@ -176,7 +186,7 @@ class TableStore:
         got from Postgres snapshots. Vacuumed versions are gone;
         raise instead of silently reading the current one."""
         p = os.path.join(self.root, name, version)
-        if not os.path.isdir(p):
+        if not self._backend().data_exists(p):
             raise FileNotFoundError(
                 f"table {name} has no retained version {version!r} "
                 f"(vacuumed, or never committed); see versions({name!r})"
@@ -296,14 +306,38 @@ class TableStore:
         those committed at least ``older_than_s`` seconds ago — the
         snapshot-lifetime guard: pick it ≥ the longest-running reader
         (the reference retains 30 days of snapshots — README.md:31).
-        Never drops the current version, and never a NEVER-COMMITTED
-        dir younger than ``orphan_grace_s`` (it may be a concurrent
-        writer's in-flight version — ``VersionedStore.vacuum``)."""
+        Never drops the current version, never a NEVER-COMMITTED dir
+        younger than ``orphan_grace_s`` (it may be a concurrent
+        writer's in-flight version — ``VersionedStore.vacuum``), and
+        never a version a RETAINED cross-table snapshot still
+        references: snapshot consistency is a guarantee, not a
+        keep-your-thresholds-aligned convention. To reclaim
+        snapshot-pinned versions, prune the snapshot LOG first
+        (:meth:`prune_snapshots`) — then the next vacuum sees them
+        unpinned."""
         return self._store(name).vacuum(
             keep=keep,
             older_than_s=older_than_s,
             orphan_grace_s=orphan_grace_s,
+            pinned=self._snapshot_pinned(name),
         )
+
+    def _snapshot_pinned(self, name: str) -> set[str]:
+        """Version paths of ``name`` that retained snapshot entries
+        still reference — one snapshot-log listing, metadata only."""
+        return {
+            tables[name]
+            for _seq, tables in self.snapshots()
+            if name in tables
+        }
+
+    def prune_snapshots(self, below_seq: int) -> list[int]:
+        """Drop snapshot entries with seq < ``below_seq`` (the newest
+        entry survives regardless — ``CommitLog.prune`` clamps to the
+        head). This is the snapshot LOOKBACK control: versions only
+        those dropped snapshots referenced become unpinned, and the
+        next per-table :meth:`vacuum` reclaims them."""
+        return self._snapshot_log().prune(below_seq)
 
 
 def write_bucketed(

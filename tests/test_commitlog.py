@@ -358,6 +358,158 @@ def test_tablestore_runs_on_rename_free_backend(spark, tmp_path):
     assert store.read(spark, "tbl").count() == 3
 
 
+def test_maintenance_path_routes_through_backend(spark, tmp_path):
+    """The round-8 seam covered COMMITS; this pins the MAINTENANCE
+    half: version listing, existence checks (time travel + snapshot
+    reads + restore), and vacuum's deletes all route through the
+    backend's data plane — zero os-level fallbacks in the store code.
+    A spy backend counts every data-plane decision; behaviorally the
+    store must list/read/vacuum correctly AND every one of those
+    decisions must have passed through the spy."""
+    from collections import Counter
+
+    from rialto_airflow_spark.storage import TableStore
+
+    calls = Counter()
+
+    class SpyBackend(MemoryBackend):
+        def data_exists(self, path):
+            calls["exists"] += 1
+            return super().data_exists(path)
+
+        def list_data(self, dirpath):
+            calls["list"] += 1
+            return super().list_data(dirpath)
+
+        def delete_data(self, path):
+            calls["delete"] += 1
+            return super().delete_data(path)
+
+    backend = SpyBackend()
+    store = TableStore(str(tmp_path / "t"), backend=backend)
+
+    # three versions of one table + a two-table snapshot
+    store.write(spark.range(3).withColumn("v", F.lit("a")), "tbl")
+    store.write(spark.range(5).withColumn("v", F.lit("b")), "tbl")
+    seq = store.publish_snapshot(
+        {
+            "tbl": spark.range(7).withColumn("v", F.lit("c")),
+            "other": spark.range(2),
+        }
+    )
+
+    # versions(): the listing decision
+    calls.clear()
+    vs = store.versions("tbl")
+    assert len(vs) == 3 and vs[-1]["current"]
+    assert calls["list"] >= 1
+
+    # time travel + snapshot read: the existence decisions
+    calls.clear()
+    assert store.read_version(spark, "tbl", vs[0]["version"]).count() == 3
+    assert store.read_snapshot(spark, "tbl", seq=seq).count() == 7
+    assert store.read_snapshot(spark, "other", seq=seq).count() == 2
+    assert calls["exists"] >= 3
+
+    # vacuum: the delete decision (and it really reclaims). The
+    # snapshot pins the 7-row version; keep=1 retains the newest
+    # UNPINNED version too, so exactly the oldest goes.
+    calls.clear()
+    removed = store.vacuum("tbl", keep=1, orphan_grace_s=0)
+    assert removed == [vs[0]["path"]]
+    assert calls["delete"] == 1
+    assert not any(os.path.isdir(p) for p in removed)
+
+    # a vacuumed-version read now fails loudly THROUGH the backend
+    calls.clear()
+    with pytest.raises(FileNotFoundError):
+        store.read_version(spark, "tbl", vs[0]["version"])
+    assert calls["exists"] >= 1
+    # restore of a vacuumed version: same loud failure, same plane
+    with pytest.raises(FileNotFoundError):
+        store.restore("tbl", vs[0]["version"])
+    # the current version still reads
+    assert store.read(spark, "tbl").count() == 7
+
+
+def test_crash_mid_prune_delete_loop_fails_safe(tmp_path):
+    """Fault injection for the advisory-floor residual: a pruner that
+    dies PARTWAY through its delete loop — floor marker already
+    published, only some entries below it deleted — must leave the
+    log resolvable (head untouched), writable (new commits sequence
+    above the floor), and re-prunable (a later prune finishes the
+    job). The marker-then-delete ordering makes the crash window
+    conservative: freed names are already fenced, surviving
+    sub-floor entries are just garbage-to-be."""
+
+    class DyingBackend(PosixBackend):
+        def __init__(self):
+            self.deletes_left: int | None = None
+
+        def delete(self, path):
+            if self.deletes_left is not None:
+                if self.deletes_left == 0:
+                    raise RuntimeError("simulated crash mid-prune")
+                self.deletes_left -= 1
+            super().delete(path)
+
+    b = DyingBackend()
+    log = CommitLog(str(tmp_path / "_c"), backend=b)
+    for i in range(6):
+        log.commit({"path": f"/v{i}"})  # seqs 1..6
+    log.prune(3)  # completes: frees 1,2 under floor.3
+
+    # second pruner: deletes seq 3, then dies before 4 and 5
+    b.deletes_left = 1
+    with pytest.raises(RuntimeError):
+        log.prune(6)
+    b.deletes_left = None
+
+    # head never moved; history tolerates the half-pruned gap
+    assert log.head()[0] == 6
+    assert [s for s, _p in log.history()] == [4, 5, 6]
+    # new commits sequence above the (already-published) floor.6
+    assert log.commit({"path": "/v7"}) == 7
+    # a delayed writer whose stale listing predates BOTH prunes puts
+    # at seq 3 — the name the crashed prune DID free — and wins; the
+    # floor.6 fence (published before any delete) rolls the win back
+    # and the commit re-sequences above the head
+    stale_scans = [([2], 0)]
+    real_scan = log._scan
+    log._scan = lambda: stale_scans.pop(0) if stale_scans else real_scan()
+    assert log.commit({"path": "/v8"}) == 8
+    log._scan = real_scan
+    assert not os.path.exists(log._entry_path(3))
+
+    # re-running the prune finishes the crashed pruner's job
+    log.prune(8)
+    assert [s for s, _p in log.history()] == [8]
+    assert log.head()[1]["path"] == "/v8"
+
+
+def test_prune_sweeps_crashed_writer_tmp_files(tmp_path):
+    """PosixBackend.put_if_absent unlinks its private temp in a
+    finally — which never runs on SIGKILL. Crashed writers therefore
+    leave .put.*.tmp residue that _scan ignores (correctness holds)
+    but directory listings pay for forever. prune() sweeps residue
+    older than an hour; fresh temps (a LIVE writer between write and
+    link) are left alone."""
+    log = CommitLog(str(tmp_path / "_c"))
+    log.commit({"path": "/a"})
+    log.commit({"path": "/b"})
+    stale = os.path.join(log.dir, ".put.deadbeef.tmp")
+    fresh = os.path.join(log.dir, ".put.cafebabe.tmp")
+    for p in (stale, fresh):
+        with open(p, "wb") as f:
+            f.write(b"{}")
+    os.utime(stale, (0, 0))  # ancient
+    log.prune(2)
+    names = os.listdir(log.dir)
+    assert ".put.deadbeef.tmp" not in names  # corpse swept
+    assert ".put.cafebabe.tmp" in names  # live writer untouched
+    assert log.head()[0] == 2
+
+
 def test_legacy_pointer_layout_still_resolves(spark, tmp_path):
     """Pre-commit-log tables (a {name}.version.json pointer) keep
     reading; the first WRITE through the new layer upgrades them to

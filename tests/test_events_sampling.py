@@ -1463,6 +1463,35 @@ def test_release_on_gc_unpersists_cached_prefix(spark):
     assert not cached.storageLevel.useMemory  # evicted after GC
 
 
+def test_hold_alive_chains_cache_lifetime_to_derived_plan(spark):
+    """The q49 shape (round-8 ADVICE #4): a registry function derives
+    a LAZY plan from a release_on_gc-wrapped intermediate and returns
+    only the derivation. Without hold_alive the intermediate dies at
+    function return and its cache evicts BEFORE the driver collects;
+    with it, eviction waits for the derived plan itself to drop."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from rialto_airflow_spark.functions.perf import hold_alive, release_on_gc
+
+    def registry_query():
+        cached = spark.range(100).withColumn("v", F.col("id") * 2).persist()
+        wrapped = release_on_gc(cached.where(F.col("v") % 4 == 0), cached)
+        # lazy derivation, wrapped local about to go out of scope
+        return hold_alive(wrapped.groupBy().count(), wrapped), cached
+
+    result, cached = registry_query()
+    gc.collect()
+    # the wrapped local died at return — but the cache must survive
+    # because result holds it
+    assert cached.storageLevel.useMemory
+    assert result.collect()[0][0] == 50
+    del result
+    gc.collect()
+    assert not cached.storageLevel.useMemory  # evicted with the plan
+
+
 def test_mmr_rerank_negative_cosine_rewards_diversity(spark):
     """Regression (round-6): the diversity penalty must use the TRUE
     max similarity to the selected set — negative for anti-correlated

@@ -386,3 +386,52 @@ def test_append_detects_concurrent_rebuild_pointer_swap(
         for r in D.minhash_dups_against_index(batch, path).collect()
     }
     assert got == _cross_pairs_full(history, batch)
+
+
+def test_append_rebuild_race_recovery_loses_no_signatures(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The RECOVERY the append/rebuild race error prescribes, driven
+    end-to-end: an appender loses to a concurrent rebuild (its batch
+    stranded in the superseded version, RuntimeError raised), catches
+    the error, and RE-RUNS the append against the new current
+    version. Afterwards NO signatures are lost — a probe of the
+    appended batch finds every cross pair a full recompute over
+    (history ∪ batch) would, i.e. the batch genuinely lives in the
+    live version, not the stranded one."""
+    import pytest
+
+    history = _corpus(spark, sf_dir).where(F.col("doc_id") < 80)
+    path = str(tmp_path / "mh")
+    D.write_minhash_index(history, path)
+    stale = D.minhash_index_current(path)
+    D.write_minhash_index(history, path)  # concurrent rebuild → v2
+
+    calls = {"n": 0}
+    real = D.minhash_index_current
+
+    def first_call_stale(p):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real(p)
+
+    monkeypatch.setattr(D, "minhash_index_current", first_call_stale)
+    batch = _near_batch(history, 7, 2_000_000)
+    with pytest.raises(RuntimeError, match="re-run the append"):
+        D.append_minhash_index(batch, path)
+
+    # the documented recovery: re-run against the (now-current) v2
+    D.append_minhash_index(batch, path)
+
+    # no signature loss: a FRESH batch probing the index collides
+    # with both history docs and the re-appended batch docs, exactly
+    # as a full recompute over the union would
+    probe = _near_batch(history, 7, 3_000_000)
+    indexed = history.unionByName(batch)
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in D.minhash_dups_against_index(probe, path).collect()
+    }
+    assert got == _cross_pairs_full(indexed, probe)
+    # and the probe really found batch members, not just history
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert any(old in batch_ids for _new, old in got)

@@ -324,10 +324,25 @@ def test_publish_snapshot_cross_table_consistency(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         store.read_snapshot(spark, "nope", seq=s1)
 
-    # vacuum below snapshot retention: loud failure, not a wrong read
-    store.vacuum("pubs", keep=1)
+    # snapshot-aware vacuum: an AGGRESSIVE per-table vacuum cannot
+    # tear a retained snapshot apart — versions s1/s2 reference are
+    # pinned, both historical reads stay consistent (pre-round-9 this
+    # tore: retention and lookback were coordinated only by the
+    # "keep retention ≥ lookback" convention)
+    removed = store.vacuum("pubs", keep=1, orphan_grace_s=0)
+    assert removed == []
+    assert store.read_snapshot(spark, "pubs", seq=s1).first()["v"] == "run1"
+    assert store.read_snapshot(spark, "pubs", seq=s2).first()["v"] == "run2"
+
+    # the lookback control: pruning the snapshot LOG unpins — the
+    # next vacuum reclaims s1's version and its read fails loudly
+    assert store.prune_snapshots(s2) == [s1]
+    removed = store.vacuum("pubs", keep=1, orphan_grace_s=0)
+    assert len(removed) == 1
     with pytest.raises(FileNotFoundError):
         store.read_snapshot(spark, "pubs", seq=s1)
+    # the retained snapshot still reads after the reclaim
+    assert store.read_snapshot(spark, "pubs", seq=s2).first()["v"] == "run2"
 
 
 def test_zorder_key_temporal_types_and_string_order(spark):
