@@ -205,12 +205,22 @@ def incremental_mart_publications_by_author(
     funder_edges: DataFrame,
     funders: DataFrame,
     key: str = "id",
+    compare_cols: list[str] | None = None,
 ) -> DataFrame:
     """Incremental rebuild of ``publications_by_author`` from the
     publication CHANGE FEED — the consumer side of
     ``TableStore.changes()``: delete-then-insert only the mart rows
     whose source pubs changed between two retained versions, instead
     of recomputing the full pubs×edges×authors fan-out every run.
+
+    ``compare_cols`` narrows the diff's change test: the default
+    (every shared column) is always correct, but in this engine a pub
+    cannot change without its ``updated_at`` moving (M2's upsert
+    stamps it; the watermark predicates depend on exactly that), so
+    ``compare_cols=["updated_at"]`` turns the version diff into a
+    THIN (key, stamp) join instead of a wide all-column comparison —
+    the difference between shuffling two full table versions and
+    shuffling two id/timestamp projections at 100 TB.
 
     The reference republished every mart weekly in full
     (dags/publish_to_reports.py:17-61 — each run TRUNCATEs and
@@ -238,7 +248,7 @@ def incremental_mart_publications_by_author(
     from rialto_airflow_spark.operators.merge import snapshot_diff
 
     changed = (
-        snapshot_diff(old_pubs, new_pubs, key)
+        snapshot_diff(old_pubs, new_pubs, key, compare_cols=compare_cols)
         .select(key)
         .distinct()
     )

@@ -395,6 +395,13 @@ def test_incremental_mart_from_change_feed(spark, tmp_path):
         )
 
     assert rowset(inc) == rowset(full)
+    # the thin-diff production shape (updated_at moves on every M2
+    # touch) finds the same change set as the wide all-column compare
+    inc_thin = incremental_mart_publications_by_author(
+        old_pubs, new_pubs, mart1, edges, authors, funder_edges, funders,
+        compare_cols=["updated_at"],
+    )
+    assert rowset(inc_thin) == rowset(full)
     # spot-check semantics: updated title flowed, deleted doi gone,
     # inserted doi present, untouched row byte-identical from mart1
     by_key = {(r["doi"], r["sunet"]): r for r in inc.collect()}
