@@ -265,6 +265,113 @@ class MemoryBackend(CommitBackend):
             self.objects.pop(path, None)
 
 
+class HadoopFsBackend(CommitBackend):
+    """Backend over Spark's own Hadoop ``FileSystem`` layer (py4j to
+    the already-running JVM — no new dependency): the deployment
+    shape for a CLUSTER, where commit objects and version data live
+    on the same ``hdfs://`` / ``s3a://`` / ``gs://`` URI space
+    Spark's committers write to. Every plane routes through ONE
+    abstraction:
+
+      * put_if_absent — ``FileSystem.create(path, overwrite=false)``:
+        atomic one-winner on HDFS (namenode arbitration) and on S3A
+        with conditional create (Hadoop 3.4.1+, HADOOP-19256 —
+        ``fs.s3a.create.conditional.enabled``); the second creator
+        gets FileAlreadyExistsException. NOT atomic on the
+        raw/checksummed LOCAL FileSystem (check-then-create) — local
+        deployments should keep :class:`PosixBackend`; this class is
+        for URIs a cluster shares.
+      * full-content visibility — create-then-write means a reader
+        CAN open an in-flight entry and see partial bytes on HDFS.
+        That maps exactly onto the log's torn-entry tolerance:
+        unparseable ⇒ never-committed, resolution skips down to the
+        last parseable entry, and the entry becomes visible when the
+        writer's close() lands. A half-written commit behaves like a
+        crashed writer for a few milliseconds — delayed visibility,
+        never bad data (head() docstring).
+      * data plane — listStatus / getFileStatus / delete(recursive),
+        the same calls Spark's own committers make.
+
+    Constructed from a live SparkSession so it inherits the session's
+    Hadoop configuration (credentials, endpoints, committers)."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self._jvm = sc._jvm
+        self._conf = sc._jsc.hadoopConfiguration()
+
+    def _jpath(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, p):
+        return p.getFileSystem(self._conf)
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        fs.mkdirs(p.getParent())
+        try:
+            out = fs.create(p, False)
+        except Exception:
+            # create-no-overwrite lost: FileAlreadyExistsException
+            # (exact class varies by FS) — loser iff the name exists
+            if fs.exists(p):
+                return False
+            raise
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        return True
+
+    def read(self, path: str) -> bytes | None:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            # commons-io ships on Spark's classpath; commit entries
+            # are tiny (one JSON object), so a full read is right
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
+    def list_dir(self, dirpath: str) -> list[str]:
+        p = self._jpath(dirpath)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return []
+        return [s.getPath().getName() for s in fs.listStatus(p)]
+
+    def delete(self, path: str) -> None:
+        p = self._jpath(path)
+        self._fs(p).delete(p, False)
+
+    # --- data plane -------------------------------------------------
+    def data_exists(self, path: str) -> bool:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        return fs.exists(p) and fs.getFileStatus(p).isDirectory()
+
+    def list_data(self, dirpath: str) -> list[str]:
+        p = self._jpath(dirpath)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return []
+        return [
+            s.getPath().getName()
+            for s in fs.listStatus(p)
+            if s.isDirectory()
+        ]
+
+    def delete_data(self, path: str) -> None:
+        p = self._jpath(path)
+        self._fs(p).delete(p, True)
+
+
 _SEQ_WIDTH = 20
 
 _DEFAULT_BACKEND: CommitBackend | None = None

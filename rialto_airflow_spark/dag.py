@@ -308,11 +308,38 @@ def build_publish_dag() -> Dag:
 
     @dag.task("publish_by_author", upstream=("publish_by_department",))
     def author(ctx):
+        """Full fan-out rebuild by default — the reference's weekly
+        shape (publish/publication.py:249-338). Opt-in incremental:
+        ctx['incremental'] = {'prev_pubs': <the pubs version the
+        retained mart was built from>, 'prev_mart_by_author': <that
+        mart>} switches to the change-feed consumer
+        (marts.incremental_mart_publications_by_author) — delete+
+        insert only rows whose source pubs changed, equality with the
+        full rebuild pinned by test. The caller typically reads both
+        frames from its stores' retained versions (TableStore time
+        travel / read_snapshot); 'compare_cols' in the same dict
+        narrows the version diff (["updated_at"] is the production
+        shape — M2 stamps it on every touch)."""
         if ctx["publish_ok"]:
-            ctx["mart_by_author"] = M.mart_publications_by_author(
-                ctx["pubs"], ctx["author_edges"], ctx["authors"],
-                ctx["funder_edges"], ctx["funders"],
-            )
+            inc = ctx.get("incremental") or {}
+            if "prev_pubs" in inc and "prev_mart_by_author" in inc:
+                ctx["mart_by_author"] = (
+                    M.incremental_mart_publications_by_author(
+                        inc["prev_pubs"],
+                        ctx["pubs"],
+                        inc["prev_mart_by_author"],
+                        ctx["author_edges"],
+                        ctx["authors"],
+                        ctx["funder_edges"],
+                        ctx["funders"],
+                        compare_cols=inc.get("compare_cols"),
+                    )
+                )
+            else:
+                ctx["mart_by_author"] = M.mart_publications_by_author(
+                    ctx["pubs"], ctx["author_edges"], ctx["authors"],
+                    ctx["funder_edges"], ctx["funders"],
+                )
 
     @dag.task("publish_to_store", upstream=("publish_by_author",))
     def to_store(ctx):

@@ -531,6 +531,53 @@ def test_legacy_pointer_layout_still_resolves(spark, tmp_path):
     assert any(v["path"] == str(legacy_dir) for v in store.versions("tbl"))
 
 
+def test_hadoop_fs_backend_end_to_end(spark, tmp_path):
+    """HadoopFsBackend — the CLUSTER deployment shape — drives the
+    full protocol through Spark's own Hadoop FileSystem layer on
+    local file:// URIs: put-if-absent one-winner, commit/head, torn
+    tolerance, prune, and a TableStore e2e whose data-plane decisions
+    (listing, existence, vacuum deletes) all go through the same FS
+    abstraction. (Atomicity of create-no-overwrite on the LOCAL FS is
+    weaker than HDFS/S3A-conditional — documented in the class; what
+    this test pins is protocol correctness through the JVM seam.)"""
+    from rialto_airflow_spark.commitlog import HadoopFsBackend
+    from rialto_airflow_spark.storage import TableStore
+
+    b = HadoopFsBackend(spark)
+
+    # primitive: one winner, loser sees False, content never replaced
+    p = str(tmp_path / "c" / "x.json")
+    assert b.put_if_absent(p, b"first")
+    assert not b.put_if_absent(p, b"second")
+    assert b.read(p) == b"first"
+    assert b.read(str(tmp_path / "c" / "missing.json")) is None
+    assert b.list_dir(str(tmp_path / "c")) == ["x.json"]
+
+    # commit log over the JVM seam, torn garbage tolerated
+    log = CommitLog(str(tmp_path / "_commits"), backend=b)
+    s1 = log.commit({"path": "/a"})
+    (tmp_path / "_commits" / f"{2:020d}.json").write_bytes(b"\xff torn")
+    s2 = log.commit({"path": "/b"}, expected=s1)
+    assert s2 == 3 and log.head()[1]["path"] == "/b"
+    log.prune(3)
+    assert [s for s, _p in log.history()] == [3]
+
+    # TableStore: commits AND maintenance decisions through Hadoop FS
+    store = TableStore(str(tmp_path / "t"), backend=b)
+    store.write(spark.range(3).withColumn("v", F.lit("a")), "tbl")
+    store.write(spark.range(5).withColumn("v", F.lit("b")), "tbl")
+    assert store.read(spark, "tbl").count() == 5
+    vs = store.versions("tbl")
+    assert [v["current"] for v in vs] == [False, True]
+    assert store.read_version(spark, "tbl", vs[0]["version"]).count() == 3
+    removed = store.vacuum("tbl", keep=1, orphan_grace_s=0)
+    assert removed == [vs[0]["path"]]
+    assert not os.path.isdir(vs[0]["path"])  # delete really recursed
+    with pytest.raises(FileNotFoundError):
+        store.read_version(spark, "tbl", vs[0]["version"])
+    assert store.read(spark, "tbl").count() == 5
+
+
 # ------------------------------------------------- default backend
 
 

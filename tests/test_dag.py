@@ -410,6 +410,29 @@ def test_incremental_mart_from_change_feed(spark, tmp_path):
     assert ("10.1/d", "ada") in by_key
     assert by_key[("10.1/b", "ada")]["title"] == "B v1"
 
+    # and the publish DAG's opt-in incremental path produces the
+    # same mart the full-rebuild path would
+    ctx = {
+        "spark": spark,
+        "pubs": new_pubs,
+        "authors": authors,
+        "author_edges": edges,
+        "funder_edges": funder_edges,
+        "funders": funders,
+        "harvests": spark.createDataFrame(
+            [(1, ts(1), ts(2), False)],
+            "id bigint, created_at timestamp, finished_at timestamp, is_full boolean",
+        ),
+        "incremental": {
+            "prev_pubs": old_pubs,
+            "prev_mart_by_author": mart1,
+            "compare_cols": ["updated_at"],
+        },
+    }
+    ctx = build_publish_dag().run(ctx)
+    assert ctx["publish_ok"]
+    assert rowset(ctx["mart_by_author"]) == rowset(full)
+
 
 def test_distill_widens_narrow_input_schema(spark):
     """A pubs frame built from the CORE schema (no distill-derived

@@ -294,3 +294,36 @@ def test_q50_single_fingerprint_pass(spark, sf_dir):
     (the exact shape the rewrite fixed) drops the count below 3."""
     plan = _plan(spark, sf_dir, "q50_winnow_fingerprint")
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_q54_heavy_hitters_shuffles_candidates_not_corpus(spark, sf_dir):
+    """The MG pass must run as mapInPandas over the word projection
+    with NO exchange upstream (the whole point: pass 1 is
+    zero-shuffle); only the small candidate set and the final
+    recount aggregate may shuffle, and the top-k must execute as
+    TakeOrderedAndProject, never a global Sort."""
+    plan = _plan(spark, sf_dir, "q54_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+    # pass 1 is scan-direct: reading DOWN from the MapInPandas MG
+    # stage to its FileScan there is no Exchange — the per-partition
+    # summaries see raw scan partitions, zero shuffle
+    mg_idx = plan.index("MapInPandas")
+    scan_after_mg = plan.index("FileScan parquet", mg_idx)
+    assert "Exchange" not in plan[mg_idx:scan_after_mg]
+    # candidate broadcast into the semi join — the corpus never
+    # shuffles on word
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q55_bm25_is_two_scans_no_joins(spark, sf_dir):
+    """bm25_scores promises: literal-term tf columns map-side, stats
+    reduced to one driver row, scoring a second map-only pass — so
+    the final plan has NO join and NO shuffle at all (the stats agg
+    ran eagerly at plan-build time), and the scan prunes to the two
+    referenced columns."""
+    plan = _plan(spark, sf_dir, "q55_bm25_scores")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "doc_id" in scan and "text" in scan and "lang" not in scan
