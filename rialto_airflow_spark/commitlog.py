@@ -136,6 +136,22 @@ class CommitBackend:
 
         shutil.rmtree(path, ignore_errors=True)
 
+    def data_size(self, path: str) -> int:
+        """Total data bytes under ``path`` (compaction sizing) —
+        metadata only: a recursive listing, never a data read. Object
+        stores: sum of object sizes from a paged LIST; Hadoop:
+        ``getContentSummary``. Hidden files (``_*``/``.*``) are
+        excluded to match what a parquet reader pays for."""
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        return total
+
     def sweep_tmp(self, dirpath: str, older_than_s: float) -> list[str]:
         """Remove stale private-temp residue this backend's own
         :meth:`put_if_absent` may leave in ``dirpath`` after a crash.
@@ -371,8 +387,31 @@ class HadoopFsBackend(CommitBackend):
         p = self._jpath(path)
         self._fs(p).delete(p, True)
 
+    def data_size(self, path: str) -> int:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return 0
+        # getContentSummary is one namenode/LIST round trip; includes
+        # hidden _SUCCESS-style markers, whose bytes are negligible
+        # against parquet data for sizing purposes
+        return int(fs.getContentSummary(p).getLength())
+
 
 _SEQ_WIDTH = 20
+
+
+def _canon(p: str) -> str:
+    """Canonical form for path EQUALITY comparisons (current-version
+    checks, pinned sets, removed sets): POSIX paths absolutize so
+    relative and absolute spellings of the same dir compare equal;
+    URI paths (``hdfs://``, ``s3a://``, ``file://`` — anything with a
+    scheme) pass through untouched, since ``os.path.abspath`` would
+    mangle them into ``/cwd/s3a:/...``. Stores only ever compare
+    paths they themselves constructed from one root, so pass-through
+    equality is exact for URIs."""
+    return p if "://" in p else os.path.abspath(p)
+
 
 _DEFAULT_BACKEND: CommitBackend | None = None
 
@@ -758,12 +797,12 @@ class VersionedStore:
                     "path": p,
                     "current": bool(
                         current
-                        and os.path.abspath(p) == os.path.abspath(current)
+                        and _canon(p) == _canon(current)
                     ),
                     "committed": p in first_seq
                     or bool(
                         current
-                        and os.path.abspath(p) == os.path.abspath(current)
+                        and _canon(p) == _canon(current)
                     ),
                 }
             )
@@ -862,14 +901,14 @@ class VersionedStore:
         cutoff = now - older_than_s if older_than_s is not None else None
         orphan_cutoff = now - max(orphan_grace_s, older_than_s or 0.0)
         removed = []
-        pinned_abs = {os.path.abspath(p) for p in pinned}
+        pinned_abs = {_canon(p) for p in pinned}
         unpinned = [
-            v for v in vs if os.path.abspath(v["path"]) not in pinned_abs
+            v for v in vs if _canon(v["path"]) not in pinned_abs
         ]
         candidates = unpinned[:-keep] if keep else unpinned
         for v in candidates:
             p = v["path"]
-            if current and os.path.abspath(p) == os.path.abspath(current):
+            if current and _canon(p) == _canon(current):
                 continue
             ts = committed_at(p)
             if not v["committed"]:
@@ -889,11 +928,11 @@ class VersionedStore:
         # versions keep their committed_at lineage; prune() clamps to
         # the head, so the live pointer is never touched.
         if removed:
-            removed_set = {os.path.abspath(p) for p in removed}
+            removed_set = {_canon(p) for p in removed}
             kept_seqs = [
                 seq
                 for p, (seq, _ts) in first_commit.items()
-                if os.path.abspath(p) not in removed_set
+                if _canon(p) not in removed_set
                 and self.backend.data_exists(p)
             ]
             if kept_seqs:

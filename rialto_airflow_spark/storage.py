@@ -41,7 +41,13 @@ class TableStore:
     def __init__(self, root: str, backend: CommitBackend | None = None):
         self.root = root
         self.backend = backend
-        os.makedirs(root, exist_ok=True)
+        # URI roots (hdfs://, s3a://, file://) are created lazily by
+        # the backend's own puts/writes; os.makedirs would make a
+        # literal "s3a:" directory. Scheme-less roots keep the eager
+        # create so a first read against an empty store fails with
+        # the store's own error, not ENOENT.
+        if "://" not in root:
+            os.makedirs(root, exist_ok=True)
 
     def _backend(self) -> CommitBackend:
         """Resolved backend for metadata DECISIONS (existence checks
@@ -272,25 +278,21 @@ class TableStore:
         src = self.current_version(name)
         if src is None:
             raise FileNotFoundError(f"table {name} has no committed version")
+        backend = self._backend()
         if partition_by is None:
+            # infer the col=value directory chain through the
+            # backend's data plane (URI-safe — same LIST the version
+            # listing uses)
             partition_by = []
             level = src
             while True:
-                subs = [
-                    d
-                    for d in os.listdir(level)
-                    if os.path.isdir(os.path.join(level, d)) and "=" in d
-                ]
+                subs = [d for d in backend.list_data(level) if "=" in d]
                 if not subs:
                     break
                 partition_by.append(subs[0].split("=", 1)[0])
                 level = os.path.join(level, subs[0])
             partition_by = partition_by or None
-        total = 0
-        for root, _dirs, files in os.walk(src):
-            for f in files:
-                if not f.startswith(("_", ".")):
-                    total += os.path.getsize(os.path.join(root, f))
+        total = backend.data_size(src)
         n_files = max(1, -(-total // (target_mb * 1024 * 1024)))
         df = spark.read.parquet(src).coalesce(n_files)
         return self.write(df, name, partition_by=partition_by)
