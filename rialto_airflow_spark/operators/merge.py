@@ -229,3 +229,63 @@ def snapshot_diff(
         )
         .where(F.col("op").isNotNull())
     )
+
+
+def incremental_group_agg(
+    old_tbl: DataFrame,
+    new_tbl: DataFrame,
+    old_mart: DataFrame,
+    key: str,
+    group_col: str,
+    agg_exprs: Sequence[Column],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Incrementally maintain ``groupBy(group_col).agg(*agg_exprs)``
+    over a versioned table: recompute ONLY the groups whose membership
+    changed between two snapshots, keep every other mart row as-is.
+    The aggregate-mart analog of
+    ``plans.marts.incremental_mart_publications_by_author`` — together
+    they cover the two downstream shapes a change feed serves (joins
+    re-fanned per key, aggregates re-folded per group).
+
+    Shape: one :func:`snapshot_diff` on the key (thin when
+    ``compare_cols`` narrows it — e.g. an updated_at stamp), the
+    affected-group set is O(changes) and broadcasts, the re-aggregation
+    scans only rows of affected groups (semi-join before the groupBy,
+    so partial aggregation happens over the pruned slice), and the
+    untouched mart rows pass through an anti-join untouched. At
+    streaming cadence (one micro-batch of changes against a huge
+    table) this replaces a full-table groupBy per batch with
+    result-set-sized work.
+
+    Correct for any DISTRIBUTIVE/ALGEBRAIC aggregate expressed in
+    ``agg_exprs`` because affected groups are recomputed from the NEW
+    table from scratch (not patched) — holistic aggregates (median,
+    exact distinct) are fine too, at the cost of rescanning just the
+    affected groups' rows. Group membership via null-safe equality, so
+    a NULL group is one group, matching groupBy semantics."""
+    changed = snapshot_diff(
+        old_tbl, new_tbl, key, compare_cols=compare_cols
+    ).select(key).distinct()
+    affected = (
+        old_tbl.join(changed, key, "left_semi")
+        .select(group_col)
+        .unionByName(new_tbl.join(changed, key, "left_semi").select(group_col))
+        .distinct()
+        .withColumnRenamed(group_col, "__chg_grp")
+    )
+    fragment = (
+        new_tbl.join(
+            F.broadcast(affected),
+            new_tbl[group_col].eqNullSafe(F.col("__chg_grp")),
+            "left_semi",
+        )
+        .groupBy(group_col)
+        .agg(*agg_exprs)
+    )
+    kept = old_mart.join(
+        F.broadcast(affected),
+        old_mart[group_col].eqNullSafe(F.col("__chg_grp")),
+        "left_anti",
+    )
+    return kept.unionByName(fragment)

@@ -498,6 +498,7 @@ def stream_upsert(
     checkpoint: str,
     update_cols: list[str] | None = None,
     retention: int | None = None,
+    mart: dict | None = None,
 ) -> None:
     """Streaming MERGE sink via ``foreachBatch``: every micro-batch
     upserts into a versioned :class:`~rialto_airflow_spark.storage.
@@ -527,13 +528,55 @@ def stream_upsert(
     head() resolution O(N) instead of O(batches)). Pick N ≥ the
     longest concurrent reader's lifetime in batches; ``None`` keeps
     every version for time travel, the pre-round-8 behavior.
+
+    ``mart`` (opt-in) maintains a downstream GROUP AGGREGATE table
+    incrementally per micro-batch — streaming materialized-view
+    maintenance over the version history the store already keeps:
+    ``{"table": name, "group_col": col, "agg_exprs": [Column, ...],
+    "compare_cols": [...]?}``. After each merge, only groups touched
+    by the batch are re-folded (``operators.merge.
+    incremental_group_agg`` between the pre-merge and post-merge
+    versions); the first batch computes the mart in full. A
+    full-table groupBy per 10-second trigger is exactly the cost
+    curve that kills streaming aggregation at 100 TB — this path's
+    per-batch work is O(batch) + O(affected groups' rows). Mart
+    maintenance runs BEFORE the retention vacuum so the pre-merge
+    version it diffs against is still retained regardless of N.
     """
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
+        spark = batch.sparkSession
+        prev_path = store.current_version(table) if mart else None
         _merge_batch(store, table, key, batch, update_cols=update_cols)
+        if mart:
+            from rialto_airflow_spark.operators.merge import (
+                incremental_group_agg,
+            )
+
+            new_tbl = store.read(spark, table)
+            gcol, exprs = mart["group_col"], mart["agg_exprs"]
+            try:
+                old_mart = store.read(spark, mart["table"])
+            except FileNotFoundError:
+                old_mart = None
+            if prev_path is None or old_mart is None:
+                refreshed = new_tbl.groupBy(gcol).agg(*exprs)
+            else:
+                refreshed = incremental_group_agg(
+                    spark.read.parquet(prev_path),
+                    new_tbl,
+                    old_mart,
+                    key,
+                    gcol,
+                    exprs,
+                    compare_cols=mart.get("compare_cols"),
+                )
+            store.write(refreshed, mart["table"])
         if retention:
             store.vacuum(table, keep=retention)
+            if mart:
+                store.vacuum(mart["table"], keep=retention)
 
     q = (
         events.writeStream.foreachBatch(_apply)

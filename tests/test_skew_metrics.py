@@ -220,3 +220,65 @@ def test_salted_join_salt_is_content_derived_and_replayable(spark, sf_dir):
         ).select("c_custkey", "n_name").collect()
     )
     assert a == b
+
+
+def test_incremental_group_agg_equals_full_recompute(spark):
+    """Incremental aggregate-mart maintenance (round 9): recompute
+    ONLY groups whose membership changed — covering update-in-place,
+    key migration BETWEEN groups (both sides must refresh), insert
+    into a new group, whole-group deletion, and the NULL group —
+    and the result must equal the full groupBy over the new table."""
+    from pyspark.sql import functions as F
+
+    from rialto_airflow_spark.operators.merge import incremental_group_agg
+
+    schema = "k bigint, grp string, v double, updated_at timestamp"
+    TS1, TS2 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+
+    def mk(rows, ts=TS1):
+        import datetime
+
+        t = datetime.datetime.fromisoformat(ts)
+        return spark.createDataFrame([(*r, t) for r in rows], schema)
+
+    old = mk(
+        [
+            (1, "a", 1.0), (2, "a", 2.0),      # group a
+            (3, "b", 3.0),                      # group b (will empty)
+            (4, "c", 4.0),                      # group c (untouched)
+            (5, None, 5.0),                     # NULL group
+        ]
+    )
+    # new: k1 value updated; k3 deleted (group b empties); k2 migrates
+    # a→d; k6 inserted into NULL group; k4/(group c) untouched
+    new = mk([(4, "c", 4.0)]).unionByName(
+        mk([(1, "a", 10.0), (2, "d", 2.0), (6, None, 6.0), (5, None, 5.0)], TS2)
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 2).alias("total"),
+    ]
+    old_mart = old.groupBy("grp").agg(*aggs)
+    full = new.groupBy("grp").agg(*aggs)
+    inc = incremental_group_agg(old, new, old_mart, "k", "grp", aggs)
+
+    def rows(df):
+        return sorted(
+            ((r["grp"] or "", r["grp"] is None, r["n"], r["total"])
+             for r in df.collect())
+        )
+
+    assert rows(inc) == rows(full)
+    got = {
+        (None if r[1] else r[0]): (r[2], r[3]) for r in rows(inc)
+    }
+    assert got == {"a": (1, 10.0), "c": (1, 4.0), "d": (1, 2.0), None: (2, 11.0)}
+    assert "b" not in got  # emptied group really disappeared
+
+    # the thin-compare production shape finds the same result: k5's
+    # row is byte-identical (stamp untouched) so only real changes
+    # drive the refresh
+    inc_thin = incremental_group_agg(
+        old, new, old_mart, "k", "grp", aggs, compare_cols=["updated_at"]
+    )
+    assert rows(inc_thin) == rows(full)
