@@ -883,6 +883,92 @@ def append_minhash_index(
             "in a superseded version and will NOT be probed — re-run the "
             "append against the current version"
         )
+    # Record the append in the commit log (same version path, marked
+    # appended). Appends mutate the live rows dir WITHOUT a commit of
+    # their own, so without this entry a concurrent COMPACTION could
+    # list the rows dir before these files land, rewrite without
+    # them, and commit — silently dropping the batch (the appender's
+    # own post-check above passes because the pointer hasn't moved
+    # yet). With it, compact_minhash_index's CAS against the
+    # pre-read head conflicts and re-reads. Ordering matters: the
+    # entry lands only AFTER the files are fully written, so any
+    # compactor sequenced after it sees them.
+    import os as _os
+
+    _minhash_store(path).commit(
+        _os.path.dirname(rows_dir), extra={"appended": True}
+    )
+
+
+def compact_minhash_index(
+    spark,
+    path: str,
+    _after_read=None,
+) -> str:
+    """Compact the persisted MinHash index: rewrite the CURRENT
+    version's signature rows — ``distinct()``, so duplicate rows from
+    re-applied appends collapse — into a fresh version with the same
+    meta, and publish via CAS. The maintenance job the append path's
+    docstring promises: every ``append_minhash_index`` lands another
+    small file set inside the live pbucket dirs, and a daily-ingest
+    index degrades into a file-listing storm without periodic rewrite
+    (the ``TableStore.compact`` story, specialized to the index's
+    partitioned layout).
+
+    Concurrency contract (the inverse of the append/rebuild race):
+    appends mutate the live rows dir and then COMMIT a marker entry
+    (files first, entry second). The compactor snapshots the head seq
+    BEFORE listing rows and commits with ``expected=`` that seq — an
+    append sequenced in between conflicts the CAS and the compactor
+    re-reads (now seeing the appended files, which were durable
+    before the marker existed). In the other order, the compactor's
+    commit lands first, the appender's own post-check sees the moved
+    pointer and raises its documented re-run error. Either
+    interleaving keeps every signature. Probes are never disrupted:
+    they keep reading the version they resolved until vacuum.
+
+    ``_after_read`` is a test-only fault-injection hook invoked
+    between the head-seq snapshot and the commit. Returns the new
+    version's base dir."""
+    import os
+
+    from ..commitlog import CommitConflict
+
+    store = _minhash_store(path)
+    while True:
+        head_seq = store.current_seq()
+        cur = minhash_index_current(path)
+        if cur is None or head_seq is None:
+            raise FileNotFoundError(
+                f"no committed minhash index at {path} (legacy layouts: "
+                "rebuild with write_minhash_index first)"
+            )
+        rows_dir, meta_dir = cur
+        num_perm, bands, shingle_n, buckets = _minhash_index_meta(
+            spark, meta_dir
+        )
+        base = store.new_version_path()
+        spark.read.parquet(meta_dir).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, "meta"))
+        rows = spark.read.parquet(rows_dir).distinct()
+        salt = F.pmod(F.xxhash64(F.col("index_id")), F.lit(_MINHASH_WRITE_SALT))
+        (
+            rows.repartition(F.col("pbucket"), salt)
+            .write.partitionBy("pbucket")
+            .mode("overwrite")
+            .parquet(os.path.join(base, "rows"))
+        )
+        if _after_read is not None:
+            _after_read()
+        try:
+            store.commit(base, extra={"compacted": True}, expected=head_seq)
+            return base
+        except CommitConflict:
+            # an append (or rebuild) sequenced past our snapshot —
+            # our rewrite may be missing its rows; discard and redo
+            # against the new head. The orphaned dir is vacuumable.
+            continue
 
 
 def minhash_dups_against_index(

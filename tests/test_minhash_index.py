@@ -435,3 +435,104 @@ def test_append_rebuild_race_recovery_loses_no_signatures(
     # and the probe really found batch members, not just history
     batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
     assert any(old in batch_ids for _new, old in got)
+
+
+def test_compact_collapses_duplicate_appends(spark, sf_dir, tmp_path):
+    """Re-applied appends leave duplicate signature rows (harmless
+    for probe correctness, costly in files + join width). Compaction
+    rewrites the current version distinct(), preserving the pbucket
+    layout and probe results exactly."""
+    history = _corpus(spark, sf_dir).where(F.col("doc_id") < 80)
+    path = str(tmp_path / "mh")
+    D.write_minhash_index(history, path)
+    batch = _near_batch(history, 7, 1_000_000)
+    D.append_minhash_index(batch, path)
+    D.append_minhash_index(batch, path)  # redelivery → duplicate rows
+
+    rows_dir, _ = D.minhash_index_current(path)
+    before = spark.read.parquet(rows_dir)
+    n_before, n_distinct = before.count(), before.distinct().count()
+    assert n_before > n_distinct  # duplicates really exist
+
+    probe = _near_batch(history, 7, 3_000_000)
+    want = {
+        (r["new_id"], r["index_id"])
+        for r in D.minhash_dups_against_index(probe, path).collect()
+    }
+
+    new_base = D.compact_minhash_index(spark, path)
+    rows_dir2, _ = D.minhash_index_current(path)
+    assert rows_dir2.startswith(new_base)
+    after = spark.read.parquet(rows_dir2)
+    assert after.count() == n_distinct
+    # layout preserved: pbucket partition dirs still present
+    import os
+
+    assert any(
+        d.startswith("pbucket=") for d in os.listdir(rows_dir2)
+    )
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in D.minhash_dups_against_index(probe, path).collect()
+    }
+    assert got == want
+
+
+def test_append_commits_marker_so_compaction_can_detect_it(
+    spark, sf_dir, tmp_path
+):
+    """Appends mutate the live rows dir without moving the pointer, so
+    they must leave a log entry (files first, marker second) for the
+    compactor's CAS to order against — a commit with a stale expected
+    head must conflict after an append."""
+    import pytest
+
+    from rialto_airflow_spark.commitlog import CommitConflict
+
+    history = _corpus(spark, sf_dir).where(F.col("doc_id") < 80)
+    path = str(tmp_path / "mh")
+    D.write_minhash_index(history, path)
+    store = D._minhash_store(path)
+    seq0 = store.current_seq()
+    base0 = store.current_path()
+
+    D.append_minhash_index(_near_batch(history, 7, 1_000_000), path)
+    # same version path, new marker entry
+    assert store.current_path() == base0
+    assert store.current_seq() > seq0
+    assert store.current()["appended"] is True
+    with pytest.raises(CommitConflict):
+        store.commit("/stale-compaction-output", expected=seq0)
+
+
+def test_compact_retries_past_concurrent_append_keeping_signatures(
+    spark, sf_dir, tmp_path
+):
+    """The full race, driven through the fault-injection hook: an
+    append lands BETWEEN the compactor's read and its commit. The
+    CAS conflicts, compaction re-reads and republishes — and the
+    appended batch's signatures survive into the compacted index (a
+    probe finds them)."""
+    history = _corpus(spark, sf_dir).where(F.col("doc_id") < 80)
+    path = str(tmp_path / "mh")
+    D.write_minhash_index(history, path)
+    batch = _near_batch(history, 7, 2_000_000)
+
+    fired = {"n": 0}
+
+    def inject_append():
+        if fired["n"] == 0:
+            fired["n"] += 1
+            D.append_minhash_index(batch, path)
+
+    D.compact_minhash_index(spark, path, _after_read=inject_append)
+    assert fired["n"] == 1  # the race really ran (and only once)
+    assert D._minhash_store(path).current()["compacted"] is True
+
+    probe = _near_batch(history, 7, 3_000_000)
+    indexed = history.unionByName(batch)
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in D.minhash_dups_against_index(probe, path).collect()
+    }
+    assert got == _cross_pairs_full(indexed, probe)
