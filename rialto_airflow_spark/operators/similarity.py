@@ -474,6 +474,17 @@ def lsh_topk_indexed(
             & (F.col("query_id") != F.col("neighbor_id")),
         )
         .select("query_id", "neighbor_id", sim.alias("score"))
+        # duplicate index rows (re-applied appends, pre-compaction)
+        # must not burn k slots: collapse the pair before ranking —
+        # duplicates carry identical stored values so max(score) is
+        # exact (round-9 fix; the old claim that ranking dedups was
+        # wrong: row_number gives duplicates consecutive ranks).
+        # groupBy, not dropDuplicates: Spark 4.1's optimizer
+        # miscompiles dropDuplicates-under-rank-window inside
+        # exceptAll (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) and the agg
+        # gets map-side partial combining anyway
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("score").alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -732,11 +743,19 @@ def ivf_topk_indexed(
         dot(F.col("__qv"), F.col("vec")) / (F.col("__qn") * F.col("vec_norm")),
         6,
     )
-    scored = q.join(
-        idx,
-        (q["centroid_id"] == idx["centroid_id"])
-        & (F.col("query_id") != F.col("neighbor_id")),
-    ).select("query_id", "neighbor_id", sim.alias("score"))
+    scored = (
+        q.join(
+            idx,
+            (q["centroid_id"] == idx["centroid_id"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", sim.alias("score"))
+        # collapse duplicate index rows before ranking (see
+        # lsh_topk_indexed — appended-twice entries otherwise occupy
+        # consecutive ranks and push real neighbors out of top-k)
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("score").alias("score"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
@@ -778,7 +797,9 @@ def append_ivf_index(
     superseded, vacuumable version — that raises ``RuntimeError``
     instead of losing the batch silently; re-run the append against
     the new current version (duplicate appends are
-    correctness-harmless: probe top-k dedups on neighbor_id rank)."""
+    correctness-harmless: probes dedup (query, neighbor) pairs before
+    ranking — and :func:`compact_ivf_index` removes the redundant
+    rows themselves)."""
     import math
 
     import numpy as np
@@ -838,6 +859,94 @@ def append_ivf_index(
             "appended batch landed in a superseded version and will NOT "
             "be probed — re-run the append against the current version"
         )
+    # Files-first marker commit (the append_minhash_index protocol):
+    # appends mutate the live lists dir without moving the pointer,
+    # so compact_ivf_index's CAS needs a log entry to order against —
+    # otherwise a compactor that listed the lists before this batch
+    # landed could rewrite without it and commit, silently dropping
+    # the vectors. Informational payload fields carry over so
+    # ``current()`` stays descriptive.
+    import os
+
+    cur = store.current() or {}
+    store.commit(
+        os.path.dirname(lists_dir),
+        extra=dict(
+            {
+                k: cur[k]
+                for k in ("kind", "n_centroids", "format")
+                if k in cur
+            },
+            appended=True,
+        ),
+    )
+
+
+def compact_ivf_index(spark, path: str, _after_read=None) -> str:
+    """Compact a persisted IVF index: rewrite the current version's
+    inverted lists ``distinct()`` — collapsing the duplicate entries
+    re-applied appends leave — into a fresh version (centroids and
+    PQ codebooks copied verbatim; appended vectors keep their
+    original-quantizer assignment, so compaction never re-trains),
+    published via CAS against the head observed BEFORE the list read.
+    Same concurrency contract as
+    ``operators.dedup.compact_minhash_index``: appends marker-commit
+    files-first, so an append sequenced inside the compaction window
+    conflicts the CAS and the compactor re-reads; a compaction that
+    commits first trips the appender's pointer-moved re-run error.
+    This is the maintenance pass a daily-append index needs — every
+    append lands another small file set per centroid dir, and probe
+    latency decays into file listing without periodic rewrite.
+
+    ``_after_read`` is a test-only fault-injection hook. Returns the
+    new version's base dir."""
+    import os
+
+    from ..commitlog import CommitConflict
+
+    store = _index_store(path)
+    while True:
+        seq0 = store.current_seq()
+        base_old = store.current_path()
+        if seq0 is None or base_old is None:
+            raise FileNotFoundError(
+                f"no committed index at {path} (legacy layouts: rebuild "
+                "with write_ivf_index first)"
+            )
+        payload = store.current() or {}
+        base = store.new_version_path()
+        for aux in ("centroids", "pq_codebooks"):
+            src = os.path.join(base_old, aux)
+            if store.backend.data_exists(src):
+                spark.read.parquet(src).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(base, aux))
+        lists = spark.read.parquet(os.path.join(base_old, "lists")).distinct()
+        salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(_WRITE_SALT))
+        (
+            lists.repartition(F.col("centroid_id"), salt)
+            .write.partitionBy("centroid_id")
+            .mode("overwrite")
+            .parquet(os.path.join(base, "lists"))
+        )
+        if _after_read is not None:
+            _after_read()
+        try:
+            store.commit(
+                base,
+                extra=dict(
+                    {
+                        k: payload[k]
+                        for k in ("kind", "n_centroids", "format")
+                        if k in payload
+                    },
+                    compacted=True,
+                ),
+                expected=seq0,
+            )
+            return base
+        except CommitConflict:
+            continue  # an append/rebuild sequenced past us; redo
 
 
 def ivf_pq_topk_indexed(
@@ -1220,8 +1329,15 @@ def pq_topk(
                 }
             )
 
-    scored = corpus_codes.select("pq_id", "pq_codes").mapInPandas(
-        batches, "query_id long, neighbor_id long, score double"
+    scored = (
+        corpus_codes.select("pq_id", "pq_codes")
+        .mapInPandas(
+            batches, "query_id long, neighbor_id long, score double"
+        )
+        # collapse duplicate index rows before ranking (see
+        # lsh_topk_indexed) — ADC scores of duplicates are identical
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("score").alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

@@ -812,6 +812,69 @@ def test_append_ivf_index_matches_existing_format(spark, sf_dir, tmp_path):
     assert c.exceptAll(d).unionAll(d.exceptAll(c)).count() == 0
 
 
+def test_compact_ivf_index_dedupes_and_survives_append_race(
+    spark, sf_dir, tmp_path
+):
+    """IVF compaction (round 9, the compact_minhash_index story on
+    the ANN side): duplicate appended vectors collapse, probes are
+    unchanged, centroids/format carry over — and an append injected
+    between the compactor's list read and its commit conflicts the
+    CAS, forcing a re-read that keeps the appended vectors."""
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    qs = emb.where(F.col("vec_id") < 10)
+
+    p = str(tmp_path / "ivf")
+    S.write_ivf_index(first, p, "vec_id", "embedding", n_centroids=8)
+    S.append_ivf_index(second, p, "vec_id", "embedding")
+    S.append_ivf_index(second, p, "vec_id", "embedding")  # redelivery
+    lists = spark.read.parquet(S.index_data_dir(p, "lists"))
+    assert lists.count() > emb.count()  # duplicates really exist
+
+    want = S.ivf_topk_indexed(
+        spark, p, qs, "vec_id", "embedding", k=3, nprobe=2
+    ).collect()
+    # probe-side dedup (round-9 fix): duplicate index rows must not
+    # occupy multiple rank slots — every (query, neighbor) appears
+    # once even while the lists still hold duplicates
+    seen = {}
+    for r in want:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key not in seen, f"duplicate neighbor in top-k: {key}"
+        seen[key] = r["rank"]
+    S.compact_ivf_index(spark, p)
+    store = S._index_store(p)
+    assert store.current()["compacted"] is True
+    assert store.current()["n_centroids"] == 8  # payload carried
+    lists2 = spark.read.parquet(S.index_data_dir(p, "lists"))
+    assert lists2.count() == emb.count()
+    got = S.ivf_topk_indexed(
+        spark, p, qs, "vec_id", "embedding", k=3, nprobe=2
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # the race: an append lands inside the compaction window
+    extra = emb.where(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 700_000).alias("vec_id"), "embedding"
+    )
+    fired = {"n": 0}
+
+    def inject():
+        if fired["n"] == 0:
+            fired["n"] += 1
+            S.append_ivf_index(extra, p, "vec_id", "embedding")
+
+    S.compact_ivf_index(spark, p, _after_read=inject)
+    assert fired["n"] == 1
+    lists3 = spark.read.parquet(S.index_data_dir(p, "lists"))
+    assert lists3.count() == emb.count() + 4  # nothing lost
+    ids = {r["neighbor_id"] for r in lists3.select("neighbor_id").collect()}
+    assert {700_000, 700_001, 700_002, 700_003} <= ids
+
+
 def test_range_join_fixture_boundaries(spark):
     """Containment is inclusive on both ends; intervals spanning
     multiple buckets still match exactly once; zero-length intervals
