@@ -1144,7 +1144,10 @@ def lsh_parameter_sweep(
 
 
 def minhash_index_vacuum(
-    path: str, keep: int = 1, older_than_s: float | None = None
+    path: str,
+    keep: int = 1,
+    older_than_s: float | None = None,
+    orphan_grace_s: float = 3600.0,
 ) -> list[str]:
     """Drop all but the newest ``keep`` index versions, never the
     current one — the reclamation step after rebuilds
@@ -1153,5 +1156,8 @@ def minhash_index_vacuum(
     additionally spares versions committed more recently than that —
     set it ≥ the longest probe lifetime so vacuum can run on a timer
     without racing in-flight probes (the shared
-    ``commitlog.VersionedStore.vacuum`` contract)."""
-    return _minhash_store(path).vacuum(keep=keep, older_than_s=older_than_s)
+    ``commitlog.VersionedStore.vacuum`` contract; ``orphan_grace_s=0``
+    is the known-single-writer shortcut)."""
+    return _minhash_store(path).vacuum(
+        keep=keep, older_than_s=older_than_s, orphan_grace_s=orphan_grace_s
+    )

@@ -839,6 +839,7 @@ def stream_minhash_dedup(
     num_perm: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
+    compact_every: int | None = None,
 ) -> None:
     """Streaming near-duplicate dedup against a growing corpus
     history — the continuous-ingest form of the batch
@@ -870,14 +871,27 @@ def stream_minhash_dedup(
     persisted parameters (not these arguments) — in-batch and
     cross-batch collisions must use one threshold, or a replayed doc
     could match under one banding what it missed under the other and
-    the replay-convergence claim would break."""
+    the replay-convergence claim would break.
+
+    ``compact_every`` (opt-in) bounds what an indefinitely-running
+    ingest accretes on the INDEX side — the stream_upsert retention
+    story applied here: every append lands small files in the bucket
+    dirs AND one marker entry in the index's commit log (the
+    compaction-ordering fence), so every N batches the sink runs
+    ``compact_minhash_index`` (duplicate signature rows from replays
+    collapse, files coalesce) and ``minhash_index_vacuum(keep=1)``
+    (superseded version dirs reclaimed, the log pruned below the
+    compacted commit — head() resolution stays O(appends since last
+    compaction), not O(lifetime batches))."""
     from rialto_airflow_spark.operators.dedup import (
         _minhash_index_meta,
         append_minhash_index,
         cluster_survivors,
+        compact_minhash_index,
         connected_components,
         minhash_dups_against_index,
         minhash_index_current,
+        minhash_index_vacuum,
         minhash_near_dups,
         write_minhash_index,
     )
@@ -927,6 +941,12 @@ def stream_minhash_dedup(
                 )
         finally:
             survivors.unpersist()
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_minhash_index(spark, index_path)
+            # keep=1 + no orphan grace: this sink is the index's
+            # single writer, so a superseded version can't be a
+            # concurrent appender's in-flight dir
+            minhash_index_vacuum(index_path, keep=1, orphan_grace_s=0)
 
     q = (
         docs.writeStream.foreachBatch(_apply)

@@ -182,6 +182,67 @@ def test_stream_minhash_dedup_accepts_once_and_replays_converge(
     assert got3 == got2
 
 
+def test_stream_minhash_dedup_compaction_bounds_index_growth(
+    spark, sf_dir, tmp_path
+):
+    """compact_every bounds what an indefinite ingest accretes: with
+    per-batch compaction + vacuum, the index holds ONE version and an
+    O(1) commit log after every batch — while cross-batch dedup
+    semantics stay exactly the same (history collisions still drop,
+    new docs still land, probes still work over the compacted
+    index)."""
+    from rialto_airflow_spark.storage import TableStore
+    from rialto_airflow_spark.streaming import events as SE
+
+    docs = _corpus(spark, sf_dir).where(F.col("doc_id") < 60)
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    index = str(tmp_path / "mh")
+    store = TableStore(str(tmp_path / "store"))
+
+    docs.coalesce(1).write.parquet(in_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+        )
+        SE.stream_minhash_dedup(
+            stream, index, store, "docs_clean", ckpt, compact_every=1
+        )
+
+    run()
+    n1 = store.read(spark, "docs_clean").count()
+    assert n1 > 0
+
+    # batch 2: history near-dups + genuinely new docs
+    b2 = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat("text", F.lit(" zz pad")).alias("text"),
+    ).unionByName(
+        _corpus(spark, sf_dir)
+        .where((F.col("doc_id") >= 60) & (F.col("doc_id") < 70))
+        .select((F.col("doc_id") + 3000).alias("doc_id"), "text")
+    )
+    b2.coalesce(1).write.parquet(in_dir, mode="append")
+    run()
+    got = {r["doc_id"] for r in store.read(spark, "docs_clean").collect()}
+    assert not any(2000 <= d < 3000 for d in got)  # history dups dropped
+    assert {3060 + i for i in range(10)} <= got  # new docs accepted
+
+    # growth is BOUNDED: one retained version, O(1) log after the
+    # compact+vacuum — not one version/marker per lifetime batch
+    vstore = D._minhash_store(index)
+    assert len(vstore.versions()) == 1
+    assert len(vstore.log.history()) == 1
+    assert vstore.current()["compacted"] is True
+    # and the compacted index still answers probes correctly
+    probe = docs.where(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 9000).alias("doc_id"),
+        F.concat("text", F.lit(" zz pad")).alias("text"),
+    )
+    assert D.minhash_dups_against_index(probe, index).count() >= 1
+
+
 def test_pair_metrics_oracle_and_edge_cases(spark, sf_dir):
     """pair_metrics vs a DuckDB replay (canonicalized unordered
     pairs, semi-join hit count), and the empty-side conventions. The
