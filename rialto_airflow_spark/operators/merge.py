@@ -3,9 +3,20 @@
 The reference upserts row-at-a-time through Postgres
 (`INSERT … ON CONFLICT (doi) DO UPDATE`, e.g.
 rialto_airflow/harvest_incremental/openalex.py:86-114). Here the same
-semantics are one set-based plan: a full-outer join on the natural key
-with column-wise precedence, which Spark executes as a single shuffle
-(or broadcast when the batch is small — the common incremental case).
+semantics are one set-based plan with two physical shapes:
+
+* ``broadcast_batch=True`` (small batch against a big table — the
+  common incremental/streaming case): Catalyst CANNOT broadcast-hash a
+  FULL OUTER equi-join (the hint is silently dropped and the whole
+  table shuffles+sorts per merge), so the merge is decomposed into
+  broadcast-able pieces — ``existing ⟕ broadcast(batch)`` produces
+  updates + untouched rows with ZERO shuffle of the table, and inserts
+  are derived batch-side (a broadcast semi-join of the table's key
+  column against the batch bounds matched keys at O(batch), then a
+  broadcast anti-join of the batch against those). Two table scans
+  (one column-pruned to the key), no table shuffle, no sort.
+* ``broadcast_batch=False`` (batch comparable to the table): one
+  full-outer sort-merge join — the right plan when both sides are big.
 
 Key semantics preserved from the reference:
   * null-key batch rows ALWAYS insert (Postgres unique indexes ignore
@@ -42,6 +53,11 @@ def merge_on_key(
         ``batch`` are carried for inserts and null for old rows.
     updated_at_col: if set, matched-and-updated rows and inserts get
         ``now`` in this column; untouched rows keep their value.
+    broadcast_batch: pick the broadcast decomposition (small batch —
+        see module docstring) instead of the full-outer sort-merge
+        join. Correctness is identical; only the physical plan differs.
+        The broadcast plan assumes ``existing`` is key-unique (the M2
+        contract), which bounds the matched-key set at O(batch keys).
     """
     e_cols = existing.columns
     b_cols = batch.columns
@@ -53,62 +69,88 @@ def merge_on_key(
     batch_keyed = batch.where(F.col(key).isNotNull())
     batch_nullkey = batch.where(F.col(key).isNull())
 
-    # presence markers, NOT key-null checks: an existing row with a
-    # null key must never be classified as a batch insert (its key
-    # simply cannot match anything)
-    e = existing.withColumn("__e_present", F.lit(True)).alias("e")
-    b = (
-        (F.broadcast(batch_keyed) if broadcast_batch else batch_keyed)
-        .withColumn("__b_present", F.lit(True))
-        .alias("b")
-    )
-    joined = e.join(b, F.col(f"e.{key}") == F.col(f"b.{key}"), "full_outer")
+    all_cols = [c for c in dict.fromkeys([*e_cols, *b_cols]) if c != key]
 
-    matched = F.col("e.__e_present").isNotNull() & F.col("b.__b_present").isNotNull()
-    inserted = F.col("e.__e_present").isNull()
-
-    out_cols: list[Column] = [
-        F.coalesce(F.col(f"e.{key}"), F.col(f"b.{key}")).alias(key)
-    ]
-    all_cols = [
-        c for c in dict.fromkeys([*e_cols, *b_cols]) if c != "__e_present"
-    ]
-    for c in all_cols:
-        if c == key:
-            continue
-        if updated_at_col and c == updated_at_col:
-            continue
-        in_e, in_b = c in e_cols, c in b_cols
-        if in_e and in_b and c in update_cols:
-            expr = (
-                F.when(matched | inserted, F.col(f"b.{c}"))
-                .otherwise(F.col(f"e.{c}"))
+    def _out_exprs(key_expr: Column, matched: Column, inserted: Column) -> list[Column]:
+        out: list[Column] = [key_expr.alias(key)]
+        for c in all_cols:
+            if updated_at_col and c == updated_at_col:
+                continue
+            in_e, in_b = c in e_cols, c in b_cols
+            if in_e and in_b and c in update_cols:
+                expr = (
+                    F.when(matched | inserted, F.col(f"b.{c}"))
+                    .otherwise(F.col(f"e.{c}"))
+                )
+            elif in_e and in_b:
+                expr = F.when(inserted, F.col(f"b.{c}")).otherwise(F.col(f"e.{c}"))
+            elif in_e:
+                expr = F.col(f"e.{c}")
+            else:
+                expr = F.when(matched | inserted, F.col(f"b.{c}"))
+            out.append(expr.alias(c))
+        if updated_at_col:
+            out.append(
+                F.when(matched | inserted, now)
+                .otherwise(F.col(f"e.{updated_at_col}"))
+                .alias(updated_at_col)
             )
-        elif in_e and in_b:
-            expr = F.when(inserted, F.col(f"b.{c}")).otherwise(F.col(f"e.{c}"))
-        elif in_e:
-            expr = F.col(f"e.{c}")
-        else:
-            expr = F.when(matched | inserted, F.col(f"b.{c}"))
-        out_cols.append(expr.alias(c))
+        return out
 
-    if updated_at_col:
-        out_cols.append(
-            F.when(matched | inserted, now)
-            .otherwise(F.col(f"e.{updated_at_col}"))
-            .alias(updated_at_col)
+    def _shape_inserts(
+        df: DataFrame, template: DataFrame, stamp: bool = True
+    ) -> DataFrame:
+        """Align an insert-only batch slice to the merged schema:
+        updated_at stamped ``now``, existing-only columns null."""
+        if updated_at_col and (stamp or updated_at_col not in df.columns):
+            df = df.withColumn(updated_at_col, now)
+        for c in template.columns:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(template.schema[c].dataType))
+        return df.select(*template.columns)
+
+    if broadcast_batch:
+        # Decomposed broadcast plan — see module docstring. A full
+        # outer join can never broadcast (Catalyst drops the hint), so:
+        # (1) updates + untouched: existing LEFT OUTER broadcast(batch)
+        #     — BroadcastHashJoin, zero shuffle/sort of the table;
+        e = existing.alias("e")
+        b = F.broadcast(
+            batch_keyed.withColumn("__b_present", F.lit(True))
+        ).alias("b")
+        joined = e.join(b, F.col(f"e.{key}") == F.col(f"b.{key}"), "left_outer")
+        matched = F.col("b.__b_present").isNotNull()
+        merged = joined.select(*_out_exprs(F.col(f"e.{key}"), matched, F.lit(False)))
+        # (2) inserts: batch keys absent from the table. The matched
+        #     key set is derived by a broadcast SEMI join against the
+        #     table's key column (column-pruned scan, no shuffle) and
+        #     is O(batch) when existing is key-unique, so it
+        #     broadcasts into the anti-join — the table never moves.
+        matched_keys = existing.select(key).join(
+            F.broadcast(batch_keyed.select(key)), key, "left_semi"
+        )
+        inserts = batch_keyed.join(F.broadcast(matched_keys), key, "left_anti")
+        merged = merged.unionByName(_shape_inserts(inserts, merged))
+    else:
+        # presence markers, NOT key-null checks: an existing row with a
+        # null key must never be classified as a batch insert (its key
+        # simply cannot match anything)
+        e = existing.withColumn("__e_present", F.lit(True)).alias("e")
+        b = batch_keyed.withColumn("__b_present", F.lit(True)).alias("b")
+        joined = e.join(b, F.col(f"e.{key}") == F.col(f"b.{key}"), "full_outer")
+        matched = (
+            F.col("e.__e_present").isNotNull() & F.col("b.__b_present").isNotNull()
+        )
+        inserted = F.col("e.__e_present").isNull()
+        merged = joined.select(
+            *_out_exprs(
+                F.coalesce(F.col(f"e.{key}"), F.col(f"b.{key}")), matched, inserted
+            )
         )
 
-    merged = joined.select(*out_cols)
-
-    if updated_at_col and updated_at_col not in batch_nullkey.columns:
-        batch_nullkey = batch_nullkey.withColumn(updated_at_col, now)
-    missing = [c for c in merged.columns if c not in batch_nullkey.columns]
-    for c in missing:
-        batch_nullkey = batch_nullkey.withColumn(
-            c, F.lit(None).cast(merged.schema[c].dataType)
-        )
-    return merged.unionByName(batch_nullkey.select(*merged.columns))
+    # null-key rows keep a batch-supplied updated_at (legacy shape);
+    # keyed inserts above are stamped ``now`` like the matched path
+    return merged.unionByName(_shape_inserts(batch_nullkey, merged, stamp=False))
 
 
 def merge_status_counts(

@@ -515,9 +515,13 @@ def stream_upsert(
 
     This is the canonical streaming-CDC-into-lakehouse shape: Spark
     docs recommend exactly this foreachBatch+MERGE pattern for sinks
-    without native upsert. The per-batch write is a full-outer join on
-    the key — broadcast when the batch is small (the common case for
-    a trickle stream), one shuffle otherwise.
+    without native upsert. The per-batch merge plan uses
+    ``merge_on_key(broadcast_batch=True)`` — the round-10 broadcast
+    decomposition (a full-outer join can never broadcast, Catalyst
+    drops the hint), so the table side is scanned but NEVER shuffled
+    or sorted per trigger; plan-pinned in
+    ``tests/test_plan_shapes.py::
+    test_merge_broadcast_batch_never_shuffles_the_table``.
 
     ``retention`` (opt-in) bounds what an indefinitely-running stream
     accretes: every micro-batch lands one table version AND one commit

@@ -50,6 +50,12 @@ def test_merge_key_algebra(spark, existing, batch):
 
     out = merge_on_key(e_df, b_df, "k").collect()
 
+    # the broadcast decomposition (round 10) is a pure physical-plan
+    # change — identical output multiset for ANY key layout, including
+    # null/duplicate existing keys and null batch keys
+    out_bc = merge_on_key(e_df, b_df, "k", broadcast_batch=True).collect()
+    assert sorted(map(tuple, out), key=repr) == sorted(map(tuple, out_bc), key=repr)
+
     e_keys = [k for k, _ in existing if k is not None]
     b_keyed = {k: v for k, v in b_rows if k is not None}
     b_nulls = sum(1 for k, _ in b_rows if k is None)
