@@ -315,6 +315,7 @@ class HadoopFsBackend(CommitBackend):
         sc = spark.sparkContext
         self._jvm = sc._jvm
         self._conf = sc._jsc.hadoopConfiguration()
+        self._warned_local = False
 
     def _jpath(self, p: str):
         return self._jvm.org.apache.hadoop.fs.Path(p)
@@ -325,6 +326,25 @@ class HadoopFsBackend(CommitBackend):
     def put_if_absent(self, path: str, data: bytes) -> bool:
         p = self._jpath(path)
         fs = self._fs(p)
+        # Misconfiguration guard (round-9 ADVICE): on the local/
+        # checksummed FileSystem create-no-overwrite is check-then-
+        # create, so one-winner semantics — the property every store
+        # certifies against PosixBackend/MemoryBackend — silently
+        # degrade. A cluster pointing this backend at file:// is a
+        # deployment mistake; say so loudly once instead of losing a
+        # commit race quietly (use PosixBackend for local paths).
+        if not self._warned_local and fs.getScheme() == "file":
+            import warnings
+
+            warnings.warn(
+                "HadoopFsBackend over the local FileSystem: "
+                "create-no-overwrite is NOT atomic on file:// — "
+                "concurrent writers can both win a commit seq. Use "
+                "PosixBackend (O_CREAT|O_EXCL) for local paths.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            self._warned_local = True
         fs.mkdirs(p.getParent())
         try:
             out = fs.create(p, False)
@@ -345,13 +365,27 @@ class HadoopFsBackend(CommitBackend):
         fs = self._fs(p)
         if not fs.exists(p):
             return None
-        stream = fs.open(p)
+        # exists/open TOCTOU (round-9 ADVICE): a concurrent prune can
+        # delete the entry between the two calls; PosixBackend returns
+        # None in that race, and head()/history() resolution RELIES on
+        # missing-entry tolerance — so map FileNotFound to None here
+        # too instead of leaking a py4j error to readers.
+        try:
+            stream = fs.open(p)
+        except Exception as ex:
+            if "FileNotFoundException" in str(ex):
+                return None
+            raise
         try:
             # commons-io ships on Spark's classpath; commit entries
             # are tiny (one JSON object), so a full read is right
             return bytes(
                 self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
             )
+        except Exception as ex:
+            if "FileNotFoundException" in str(ex):
+                return None
+            raise
         finally:
             stream.close()
 

@@ -874,30 +874,48 @@ def append_minhash_index(
         .mode("append")
         .parquet(rows_dir)
     )
-    after = minhash_index_current(path)
-    if after is None or after[0] != rows_dir:
-        raise RuntimeError(
-            f"append_minhash_index({path}): index pointer moved during "
-            f"append (was {rows_dir!r}, now "
-            f"{after[0] if after else None!r}); the appended batch landed "
-            "in a superseded version and will NOT be probed — re-run the "
-            "append against the current version"
-        )
     # Record the append in the commit log (same version path, marked
     # appended). Appends mutate the live rows dir WITHOUT a commit of
     # their own, so without this entry a concurrent COMPACTION could
     # list the rows dir before these files land, rewrite without
     # them, and commit — silently dropping the batch (the appender's
-    # own post-check above passes because the pointer hasn't moved
-    # yet). With it, compact_minhash_index's CAS against the
-    # pre-read head conflicts and re-reads. Ordering matters: the
-    # entry lands only AFTER the files are fully written, so any
-    # compactor sequenced after it sees them.
+    # own post-check passes because the pointer hasn't moved yet).
+    # With it, compact_minhash_index's CAS against the pre-read head
+    # conflicts and re-reads. Ordering matters twice: the entry lands
+    # only AFTER the files are fully written (so any compactor
+    # sequenced after it sees them), and it is itself CAS'd against
+    # the head seq observed at the pointer post-check — an
+    # unconditional marker could land AFTER a rebuild/compaction
+    # committed in the post-check→marker window and silently re-point
+    # the head at the superseded version (round-9 "What's wrong" #2).
+    # On conflict the pointer is re-read: still ours (a sibling
+    # append's marker won the seq) → retry; moved (rebuild or
+    # compaction) → the documented re-run error.
     import os as _os
 
-    _minhash_store(path).commit(
-        _os.path.dirname(rows_dir), extra={"appended": True}
-    )
+    from ..commitlog import CommitConflict
+
+    store = _minhash_store(path)
+    while True:
+        head_seq = store.current_seq()
+        after = minhash_index_current(path)
+        if after is None or after[0] != rows_dir:
+            raise RuntimeError(
+                f"append_minhash_index({path}): index pointer moved during "
+                f"append (was {rows_dir!r}, now "
+                f"{after[0] if after else None!r}); the appended batch landed "
+                "in a superseded version and will NOT be probed — re-run the "
+                "append against the current version"
+            )
+        try:
+            store.commit(
+                _os.path.dirname(rows_dir),
+                extra={"appended": True},
+                expected=head_seq,
+            )
+            return
+        except CommitConflict:
+            continue
 
 
 def compact_minhash_index(

@@ -864,22 +864,38 @@ def append_ivf_index(
     # so compact_ivf_index's CAS needs a log entry to order against —
     # otherwise a compactor that listed the lists before this batch
     # landed could rewrite without it and commit, silently dropping
-    # the vectors. Informational payload fields carry over so
-    # ``current()`` stays descriptive.
+    # the vectors. The marker itself is CAS'd against seq0 (the seq
+    # the post-check above just verified is still the head): an
+    # unconditional marker landing AFTER a rebuild/compaction commit
+    # in the post-check→marker window would silently re-point the
+    # head at the superseded version (round-9 "What's wrong" #2).
+    # Informational payload fields carry over so ``current()`` stays
+    # descriptive.
     import os
 
+    from ..commitlog import CommitConflict
+
     cur = store.current() or {}
-    store.commit(
-        os.path.dirname(lists_dir),
-        extra=dict(
-            {
-                k: cur[k]
-                for k in ("kind", "n_centroids", "format")
-                if k in cur
-            },
-            appended=True,
-        ),
-    )
+    try:
+        store.commit(
+            os.path.dirname(lists_dir),
+            extra=dict(
+                {
+                    k: cur[k]
+                    for k in ("kind", "n_centroids", "format")
+                    if k in cur
+                },
+                appended=True,
+            ),
+            expected=seq0,
+        )
+    except CommitConflict:
+        raise RuntimeError(
+            f"append_ivf_index({path}): index version moved during the "
+            f"append (commit {seq0} → {store.current_seq()}); the "
+            "appended batch landed in a superseded version and will NOT "
+            "be probed — re-run the append against the current version"
+        ) from None
 
 
 def compact_ivf_index(spark, path: str, _after_read=None) -> str:

@@ -791,3 +791,50 @@ def test_commit_log_random_op_sequences_hold_invariants():
             ] == model
 
     run()
+
+
+def test_hadoop_fs_read_tolerates_delete_race(spark, tmp_path):
+    """exists/open TOCTOU (round-9 ADVICE): a concurrent prune
+    deleting an entry between fs.exists and fs.open must read as
+    None — the missing-entry tolerance head()/history() rely on —
+    not leak a py4j FileNotFoundException to the reader."""
+    from rialto_airflow_spark.commitlog import HadoopFsBackend
+
+    b = HadoopFsBackend(spark)
+    p = str(tmp_path / "race" / "e.json")
+    assert b.put_if_absent(p, b"payload")
+
+    class OpenRaces:
+        """exists says yes, then the file vanishes before open."""
+
+        def __init__(self, fs):
+            self._fs = fs
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+        def open(self, jp):
+            self._fs.delete(jp, False)  # the concurrent prune
+            return self._fs.open(jp)    # raises FileNotFoundException
+
+    real = b._fs
+    b._fs = lambda jp: OpenRaces(real(jp))
+    assert b.read(p) is None
+
+
+def test_hadoop_fs_warns_on_local_scheme(spark, tmp_path):
+    """Deploying HadoopFsBackend over file:// silently weakens
+    put_if_absent's one-winner guarantee (check-then-create on the
+    local FS) — a misconfigured cluster must hear about it loudly,
+    once (round-9 ADVICE)."""
+    import warnings
+
+    from rialto_airflow_spark.commitlog import HadoopFsBackend
+
+    b = HadoopFsBackend(spark)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert b.put_if_absent(str(tmp_path / "w" / "a.json"), b"x")
+        assert b.put_if_absent(str(tmp_path / "w" / "b.json"), b"y")
+    hits = [x for x in w if "NOT atomic on file://" in str(x.message)]
+    assert len(hits) == 1  # warned, and only once per backend

@@ -1864,3 +1864,59 @@ def test_weighted_sample_u_zero_row_still_drawable(spark, monkeypatch):
         ).collect()
     }
     assert 7 in got2, got2
+
+
+def test_ivf_append_marker_cas_never_reverts_a_concurrent_rebuild(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """IVF twin of the MinHash marker-CAS test (round-9 "What's
+    wrong" #2): a rebuild committing between append_ivf_index's seq
+    post-check and its marker commit must conflict the marker's CAS
+    and surface the documented re-run error — never silently
+    re-point the head at the superseded pre-rebuild version."""
+    import pytest
+
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_race")
+    S.write_ivf_index(first, path, "vec_id", "embedding", n_centroids=4)
+
+    real_store_fn = S._index_store
+    fired = {"n": 0}
+
+    class RebuildBetweenCheckAndMarker:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def commit(self, *a, **kw):
+            extra = kw.get("extra") or {}
+            if extra.get("appended") and fired["n"] == 0:
+                fired["n"] += 1
+                S.write_ivf_index(
+                    first, path, "vec_id", "embedding", n_centroids=4
+                )
+            return self._inner.commit(*a, **kw)
+
+    monkeypatch.setattr(
+        S, "_index_store",
+        lambda p: RebuildBetweenCheckAndMarker(real_store_fn(p)),
+    )
+    with pytest.raises(RuntimeError, match="re-run the append"):
+        S.append_ivf_index(second, path, "vec_id", "embedding")
+    assert fired["n"] == 1
+
+    # head stayed on the rebuild's version — no appended marker on it
+    monkeypatch.setattr(S, "_index_store", real_store_fn)
+    assert "appended" not in (S._index_store(path).current() or {})
+
+    # documented recovery: re-run the append, then probes cover the
+    # full corpus
+    S.append_ivf_index(second, path, "vec_id", "embedding")
+    n = spark.read.parquet(S.index_data_dir(path, "lists")).count()
+    assert n == emb.count()

@@ -597,3 +597,67 @@ def test_compact_retries_past_concurrent_append_keeping_signatures(
         for r in D.minhash_dups_against_index(probe, path).collect()
     }
     assert got == _cross_pairs_full(indexed, probe)
+
+
+def test_append_marker_cas_never_reverts_a_concurrent_rebuild(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-9 "What's wrong" #2: the third interleaving the
+    compact/append contract didn't cover — a REBUILD commits in the
+    window between the appender's pointer post-check (which passes)
+    and its marker commit. An unconditional marker would then
+    re-point the head BACK at the superseded pre-rebuild version:
+    both callers return success, yet probes read the old corpus.
+    With the marker CAS'd against the post-check head seq, the
+    append must instead raise the documented re-run error and the
+    head must stay on the rebuild's version."""
+    import pytest
+
+    history = _corpus(spark, sf_dir).where(F.col("doc_id") < 80)
+    rebuilt = _corpus(spark, sf_dir).where(F.col("doc_id") < 60)
+    path = str(tmp_path / "mh")
+    D.write_minhash_index(history, path)
+
+    real_store_fn = D._minhash_store
+    fired = {"n": 0}
+
+    class RebuildBetweenCheckAndMarker:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def commit(self, *a, **kw):
+            extra = kw.get("extra") or {}
+            if extra.get("appended") and fired["n"] == 0:
+                fired["n"] += 1
+                # the concurrent rebuild, landing AFTER the pointer
+                # post-check passed but BEFORE the marker commit
+                D.write_minhash_index(rebuilt, path)
+            return self._inner.commit(*a, **kw)
+
+    monkeypatch.setattr(
+        D, "_minhash_store", lambda p: RebuildBetweenCheckAndMarker(real_store_fn(p))
+    )
+    batch = _near_batch(history, 7, 1_000_000)
+    with pytest.raises(RuntimeError, match="re-run the append"):
+        D.append_minhash_index(batch, path)
+    assert fired["n"] == 1
+
+    # the head NEVER reverted: it still names the rebuild's version,
+    # and its payload is a plain rebuild commit, not an append marker
+    monkeypatch.setattr(D, "_minhash_store", real_store_fn)
+    store = D._minhash_store(path)
+    assert "appended" not in (store.current() or {})
+
+    # the documented recovery re-runs the append against the rebuilt
+    # index; afterwards probes see exactly (rebuilt ∪ batch)
+    D.append_minhash_index(batch, path)
+    probe = _near_batch(rebuilt, 5, 3_000_000)
+    indexed = rebuilt.unionByName(batch)
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in D.minhash_dups_against_index(probe, path).collect()
+    }
+    assert got == _cross_pairs_full(indexed, probe)
