@@ -72,15 +72,27 @@ class TableStore:
         df: DataFrame,
         name: str,
         partition_by: list[str] | None = None,
+        extra: dict | None = None,
     ) -> str:
+        """Materialize ``df`` as a fresh version of ``name`` and
+        publish it atomically. ``extra`` lands in the commit payload —
+        provenance a maintainer can act on (e.g. the streaming mart
+        sink records ``built_from``, the source version the mart was
+        derived from, making its refresh replay-idempotent)."""
         store = self._store(name)
         path = store.new_version_path()
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        store.commit(path)
+        store.commit(path, extra=extra)
         return path
+
+    def current_info(self, name: str) -> dict | None:
+        """The head commit's full payload for ``name`` (path plus any
+        ``extra`` fields recorded at :meth:`write` time), or None for
+        an uncommitted table."""
+        return self._store(name).current()
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         path = self.current_version(name)

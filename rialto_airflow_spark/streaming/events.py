@@ -544,31 +544,59 @@ def stream_upsert(
     full-table groupBy per 10-second trigger is exactly the cost
     curve that kills streaming aggregation at 100 TB — this path's
     per-batch work is O(batch) + O(affected groups' rows). Mart
-    maintenance runs BEFORE the retention vacuum so the pre-merge
+    maintenance runs BEFORE the retention vacuum so the source
     version it diffs against is still retained regardless of N.
+
+    Mart replay safety: each mart write records ``built_from`` (the
+    source version it was derived from) in its commit payload, and
+    each refresh diffs from THAT version — not from a pointer read
+    taken before the merge. A crash between the table merge commit
+    and the mart write therefore cannot lose group updates: the
+    replayed batch re-merges idempotently, the mart still names the
+    pre-crash source version, and the diff re-surfaces the changes.
+    If repeated crashes lag ``built_from`` out of retention, the
+    sink falls back to a full mart recompute (the repair path).
     """
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
         spark = batch.sparkSession
-        prev_path = store.current_version(table) if mart else None
         _merge_batch(store, table, key, batch, update_cols=update_cols)
         if mart:
             from rialto_airflow_spark.operators.merge import (
                 incremental_group_agg,
             )
 
-            new_tbl = store.read(spark, table)
+            # Replay safety (round-9 ADVICE, medium): diff from the
+            # source version the CURRENT mart was built from — recorded
+            # in the mart's own commit payload — never from a pointer
+            # read taken before the merge. If the sink crashes after
+            # the table merge commits but before the mart write, the
+            # replayed batch re-merges idempotently AND the mart still
+            # says built_from=<pre-crash version>, so the diff
+            # re-surfaces the lost group updates instead of comparing
+            # the already-merged version against itself (which is
+            # empty and would lose the batch's groups permanently).
+            new_path = store.current_version(table)
+            new_tbl = spark.read.parquet(new_path)
             gcol, exprs = mart["group_col"], mart["agg_exprs"]
-            try:
-                old_mart = store.read(spark, mart["table"])
-            except FileNotFoundError:
-                old_mart = None
-            if prev_path is None or old_mart is None:
+            mart_info = store.current_info(mart["table"]) or {}
+            built_from = mart_info.get("built_from")
+            old_mart = None
+            if mart_info:
+                old_mart = spark.read.parquet(mart_info["path"])
+            old_tbl = None
+            if built_from is not None:
+                try:
+                    old_tbl = spark.read.parquet(built_from)
+                    old_tbl.schema  # force resolution: vacuumed → repair
+                except Exception:
+                    old_tbl = None  # full-refresh repair path
+            if old_tbl is None or old_mart is None:
                 refreshed = new_tbl.groupBy(gcol).agg(*exprs)
             else:
                 refreshed = incremental_group_agg(
-                    spark.read.parquet(prev_path),
+                    old_tbl,
                     new_tbl,
                     old_mart,
                     key,
@@ -576,7 +604,9 @@ def stream_upsert(
                     exprs,
                     compare_cols=mart.get("compare_cols"),
                 )
-            store.write(refreshed, mart["table"])
+            store.write(
+                refreshed, mart["table"], extra={"built_from": new_path}
+            )
         if retention:
             store.vacuum(table, keep=retention)
             if mart:

@@ -949,3 +949,92 @@ def test_stream_sketch_refuses_unstamped_seed_table(spark, sf_dir, tmp_path):
                 SE.read_event_stream(spark, in_dir), store, "freq",
                 "event_type", ckpt, width=64, depth=2,
             )
+
+
+def test_stream_upsert_mart_survives_crash_between_merge_and_mart_write(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 ADVICE (medium): if the sink crashes AFTER the table
+    merge commits but BEFORE the mart write, the replayed batch used
+    to diff the already-merged version against itself — an empty
+    diff that silently and permanently dropped the batch's group
+    updates from the mart. The fix records built_from (the source
+    version the mart was derived from) in the mart's commit payload
+    and diffs from THAT: the replay re-surfaces the lost changes."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rialto_airflow_spark.storage import TableStore
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    store = TableStore(str(tmp_path / "store"))
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    mart = {
+        "table": "by_type",
+        "group_col": "event_type",
+        "agg_exprs": [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        ],
+    }
+
+    def mk(rows):
+        return spark.createDataFrame(rows, SE.EVENTS_DDL)
+
+    def drain():
+        SE.stream_upsert(
+            SE.read_event_stream(spark, in_dir),
+            store, "ev", "event_id", ckpt, mart=mart,
+        )
+
+    mk([
+        (1, t0, 10, "view", 1.0, "{}"),
+        (2, t0, 11, "click", 3.0, "{}"),
+    ]).coalesce(1).write.parquet(in_dir)
+    drain()
+
+    # batch 2 — and the injected crash: table merge commits, mart
+    # write raises before publishing
+    mk([
+        (3, t0 + datetime.timedelta(minutes=1), 12, "view", 5.0, "{}"),
+    ]).coalesce(1).write.parquet(in_dir, mode="append")
+
+    real_write = TableStore.write
+
+    def crash_on_mart(self, df, name, partition_by=None, extra=None):
+        if name == "by_type":
+            raise RuntimeError("injected crash before mart write")
+        return real_write(self, df, name, partition_by=partition_by, extra=extra)
+
+    monkeypatch.setattr(TableStore, "write", crash_on_mart)
+    with pytest.raises(Exception, match="injected crash"):
+        drain()
+    monkeypatch.setattr(TableStore, "write", real_write)
+
+    # the crash really landed in the window: table has batch 2, mart
+    # does not
+    assert store.read(spark, "ev").count() == 3
+    assert {
+        r["event_type"] for r in store.read(spark, "by_type").collect()
+    } == {"view", "click"}
+    assert store.read(spark, "by_type").where(
+        F.col("event_type") == "view"
+    ).first()["n"] == 1
+
+    # replay: the checkpoint never committed batch 2, so the restart
+    # re-runs it — the merge is idempotent and the mart refresh must
+    # re-surface the batch's group updates
+    drain()
+    got = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in store.read(spark, "by_type").collect()
+    }
+    final = store.read(spark, "ev")
+    full = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in final.groupBy("event_type").agg(*mart["agg_exprs"]).collect()
+    }
+    assert got == full == {"view": (2, 6.0), "click": (1, 3.0)}
