@@ -25,8 +25,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from .commitlog import CommitBackend, VersionedStore, default_backend
+from .commitlog import CommitBackend, VersionedStore, _canon, default_backend
 
 
 class TableStore:
@@ -95,10 +96,12 @@ class TableStore:
         return self._store(name).current()
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        path = self.current_version(name)
-        if path is None:
+        info = self.current_info(name)
+        if info is None:
             raise FileNotFoundError(f"table {name} has no committed version")
-        return spark.read.parquet(path)
+        if "manifest" in info:
+            return self._read_manifest(spark, info)
+        return spark.read.parquet(info["path"])
 
     # -- cross-table snapshots --------------------------------------
     def _snapshot_log(self):
@@ -209,6 +212,21 @@ class TableStore:
                 f"table {name} has no retained version {version!r} "
                 f"(vacuumed, or never committed); see versions({name!r})"
             )
+        payload = self._payload_for(name, p)
+        if payload and "manifest" in payload:
+            # a manifest version reads through its bucket references —
+            # any reference the bucket-granular vacuum reclaimed makes
+            # this version gone, loudly (same contract as a vacuumed
+            # whole-dir version)
+            backend = self._backend()
+            for k, vd in payload["manifest"].items():
+                if not backend.data_exists(self._manifest_leaf(vd, k)):
+                    raise FileNotFoundError(
+                        f"table {name} version {version!r} references "
+                        f"bucket {k} in a vacuumed version — time travel "
+                        "to it is gone"
+                    )
+            return self._read_manifest(spark, payload)
         return spark.read.parquet(p)
 
     def changes(
@@ -251,7 +269,26 @@ class TableStore:
         """Roll back to a retained version — the bad-publish undo.
         The restore is just another commit naming the old path; no
         data is copied, and the rolled-back-from version stays
-        retained until vacuum."""
+        retained until vacuum. Restoring a MANIFEST version re-commits
+        its full manifest payload, so reads keep resolving the carried
+        buckets."""
+        p = os.path.join(self.root, name, version)
+        payload = self._payload_for(name, p)
+        if payload and "manifest" in payload:
+            if not self._backend().data_exists(p):
+                raise FileNotFoundError(
+                    f"table {name} has no retained version {version!r}"
+                )
+            self._store(name).commit(
+                p,
+                extra={
+                    "manifest": payload["manifest"],
+                    "n_buckets": payload["n_buckets"],
+                    "bucket_key": payload["bucket_key"],
+                    "restored": True,
+                },
+            )
+            return p
         try:
             return self._store(name).restore(version)
         except FileNotFoundError:
@@ -287,9 +324,17 @@ class TableStore:
         pub_year-partitioned publications table keeps its directory
         pruning (silently flattening the layout would keep the data
         and lose every partition-pruned read)."""
-        src = self.current_version(name)
-        if src is None:
+        info = self.current_info(name)
+        if info is None:
             raise FileNotFoundError(f"table {name} has no committed version")
+        if "manifest" in info:
+            # manifest tables compact bucket-preserving: every bucket
+            # rewritten into a fresh self-contained version (manifest
+            # = all buckets → new dir). For consolidation proportional
+            # to the FRAGMENTATION (not the table), see
+            # compact_buckets with a max_carriers threshold.
+            return self.compact_buckets(spark, name, max_carriers=1)
+        src = info["path"]
         backend = self._backend()
         if partition_by is None:
             # infer the col=value directory chain through the
@@ -328,7 +373,18 @@ class TableStore:
         keep-your-thresholds-aligned convention. To reclaim
         snapshot-pinned versions, prune the snapshot LOG first
         (:meth:`prune_snapshots`) — then the next vacuum sees them
-        unpinned."""
+        unpinned.
+
+        Tables with MANIFEST versions vacuum bucket-granularly: a
+        version dir beyond retention whose buckets are still
+        referenced by a KEPT version's manifest survives as a carrier
+        (only its unreferenced bucket dirs are reclaimed); it is
+        deleted outright once nothing kept references it."""
+        history = list(self._store(name).log.history())
+        if any("manifest" in p for _s, p in history):
+            return self._vacuum_manifest(
+                name, keep, older_than_s, orphan_grace_s, history
+            )
         return self._store(name).vacuum(
             keep=keep,
             older_than_s=older_than_s,
@@ -352,6 +408,409 @@ class TableStore:
         those dropped snapshots referenced become unpinned, and the
         next per-table :meth:`vacuum` reclaims them."""
         return self._snapshot_log().prune(below_seq)
+
+    # -- bucketed manifest versions: O(changes) writes ----------------
+    #
+    # A plain ``write`` materializes the WHOLE table per version — the
+    # right shape for republish-style marts, the wrong one for a 100 TB
+    # table taking a 0.1% weekly delta (the round-9 verdict's biggest
+    # scale gap: compute was incremental, the WRITE wasn't). Manifest
+    # versions fix the write path Delta/Iceberg-style on the existing
+    # commit log: rows hash into ``n_buckets`` stable key-buckets, a
+    # version is a COMMIT-PAYLOAD MAPPING {bucket → version dir that
+    # holds its files}, and an upsert rewrites only the buckets its
+    # batch touches, CARRYING every clean bucket by reference. Bytes
+    # written per upsert = O(dirty buckets) ≈ O(batch × table/n_buckets),
+    # not O(table). Readers resolve the manifest and union the bucket
+    # dirs — unchanged buckets are literally the same files across
+    # versions. Time travel, restore, snapshots and vacuum all keep
+    # working; vacuum goes bucket-granular (see :meth:`vacuum`).
+    #
+    # Sizing at 100 TB: pick n_buckets so a bucket is a few GB (e.g.
+    # 16 Ki buckets × ~6 GB). The manifest payload is O(n_buckets) JSON
+    # (~16k entries ≈ 1 MB per commit) — fine for the commit log; a
+    # deployment beyond ~100k buckets would chunk manifests into files
+    # the way Iceberg splits manifest lists, deliberately out of scope.
+
+    _BUCKET_COL = "__bucket"
+
+    @staticmethod
+    def _bucket_expr(key: str, n_buckets: int):
+        """Stable bucket id for a key: pmod(xxhash64(key), n). Null
+        keys hash to the seed (42), so they land in one fixed bucket —
+        deterministic across writers, which is all bucketing needs."""
+        return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+
+    def _manifest_leaf(self, vdir: str, bucket) -> str:
+        return os.path.join(vdir, f"{self._BUCKET_COL}={bucket}")
+
+    def _present_buckets(self, vdir: str) -> list[int]:
+        pre = f"{self._BUCKET_COL}="
+        return sorted(
+            int(d[len(pre):])
+            for d in self._backend().list_data(vdir)
+            if d.startswith(pre)
+        )
+
+    def _payload_for(self, name: str, path: str) -> dict | None:
+        """The payload of the FIRST commit naming ``path`` (its
+        creating commit — restores re-commit the same payload)."""
+        for _seq, payload in self._store(name).log.history():
+            if payload.get("path") == path:
+                return payload
+        return None
+
+    def _read_manifest(self, spark: SparkSession, payload: dict) -> DataFrame:
+        paths = [
+            self._manifest_leaf(vd, k)
+            for k, vd in sorted(payload["manifest"].items(), key=lambda kv: int(kv[0]))
+        ]
+        if not paths:  # a committed empty table
+            raise FileNotFoundError(
+                "manifest version holds no buckets (empty table)"
+            )
+        return spark.read.parquet(*paths)
+
+    def write_manifest(
+        self, df: DataFrame, name: str, key: str, n_buckets: int = 64
+    ) -> str:
+        """Full (re)write of a bucketed manifest table: every row lands
+        in its key-bucket dir inside one new version; the manifest maps
+        all buckets to it. The expensive bootstrap/rebuild — after it,
+        :meth:`upsert_manifest` keeps writes O(changes)."""
+        store = self._store(name)
+        vdir = store.new_version_path()
+        (
+            df.withColumn(self._BUCKET_COL, self._bucket_expr(key, n_buckets))
+            .repartition(F.col(self._BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(self._BUCKET_COL)
+            .parquet(vdir)
+        )
+        manifest = {str(k): vdir for k in self._present_buckets(vdir)}
+        store.commit(
+            vdir,
+            extra={
+                "manifest": manifest,
+                "n_buckets": n_buckets,
+                "bucket_key": key,
+            },
+        )
+        return vdir
+
+    def upsert_manifest(
+        self,
+        spark: SparkSession,
+        name: str,
+        batch: DataFrame,
+        update_cols: list[str] | None = None,
+        updated_at_col: str | None = None,
+    ) -> str:
+        """MERGE ``batch`` into a manifest table writing ONLY dirty
+        buckets — the O(changes) write path. Plan shape: the batch's
+        distinct bucket ids collect to the driver (bounded ≤ n_buckets
+        BY CONSTRUCTION, not by contract — the bounded-collect kind);
+        only those buckets' files are read; the merge is
+        ``merge_on_key(broadcast_batch=True)`` (zero shuffle/sort of
+        the slice's existing rows); the rewrite repartitions the
+        merged slice on the bucket column so each dirty bucket lands
+        as one file. Clean buckets: never read, never written —
+        carried into the new manifest by reference.
+
+        Single-writer per table, like every TableStore write path.
+        Null-key batch rows insert into the fixed null bucket (see
+        ``_bucket_expr``). MERGE semantics are merge_on_key's M2
+        contract (update_cols / updated_at_col behave identically)."""
+        from rialto_airflow_spark.operators.merge import merge_on_key
+
+        info = self.current_info(name)
+        if info is None or "manifest" not in info:
+            raise FileNotFoundError(
+                f"table {name} has no manifest version at head — bootstrap "
+                "with write_manifest (a plain write() head can't take "
+                "O(changes) upserts)"
+            )
+        manifest, n, key = info["manifest"], info["n_buckets"], info["bucket_key"]
+        bexpr = self._bucket_expr(key, n)
+        dirty = sorted(
+            r["b"] for r in batch.select(bexpr.alias("b")).distinct().collect()
+        )
+        have = [k for k in dirty if str(k) in manifest]
+        if have:
+            existing = spark.read.parquet(
+                *[self._manifest_leaf(manifest[str(k)], k) for k in have]
+            )
+        else:
+            # brand-new buckets only: empty slice with the table schema
+            existing = self._read_manifest(spark, info).limit(0)
+        merged = merge_on_key(
+            existing,
+            batch,
+            key,
+            update_cols=update_cols,
+            updated_at_col=updated_at_col,
+            broadcast_batch=True,
+        )
+        store = self._store(name)
+        vdir = store.new_version_path()
+        (
+            merged.withColumn(self._BUCKET_COL, bexpr)
+            .repartition(F.col(self._BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(self._BUCKET_COL)
+            .parquet(vdir)
+        )
+        new_manifest = dict(manifest)
+        for k in self._present_buckets(vdir):
+            new_manifest[str(k)] = vdir
+        store.commit(
+            vdir,
+            extra={
+                "manifest": new_manifest,
+                "n_buckets": n,
+                "bucket_key": key,
+            },
+        )
+        return vdir
+
+    def replace_keys_manifest(
+        self,
+        spark: SparkSession,
+        name: str,
+        affected_keys: DataFrame,
+        fragment: DataFrame,
+    ) -> str:
+        """Delete-then-insert, O(changes): remove every row whose
+        bucket key is in ``affected_keys`` (null-safe — a null group
+        is replaceable too), insert ``fragment``, rewriting ONLY the
+        buckets either side touches. This is the incremental-MART
+        write shape (`plans.marts.incremental_mart_publications_by_
+        author` recomputes a fragment per affected DOI and the rest
+        of the mart must carry) — where :meth:`upsert_manifest` is
+        keyed MERGE, this is keyed REPLACE, and together they cover
+        both change-feed consumers. ``affected_keys`` is one column
+        named like the table's bucket key; it is O(changes) and
+        broadcasts into the slice anti-join."""
+        info = self.current_info(name)
+        if info is None or "manifest" not in info:
+            raise FileNotFoundError(
+                f"table {name} has no manifest version at head — bootstrap "
+                "with write_manifest"
+            )
+        manifest, n, key = info["manifest"], info["n_buckets"], info["bucket_key"]
+        bexpr = self._bucket_expr(key, n)
+        keys = affected_keys.select(F.col(key)).distinct()
+        dirty = sorted(
+            {
+                r["b"]
+                for r in keys.select(bexpr.alias("b")).distinct().collect()
+            }
+            | {
+                r["b"]
+                for r in fragment.select(bexpr.alias("b")).distinct().collect()
+            }
+        )
+        have = [k for k in dirty if str(k) in manifest]
+        out = fragment
+        if have:
+            slice_df = spark.read.parquet(
+                *[self._manifest_leaf(manifest[str(k)], k) for k in have]
+            )
+            kept = slice_df.join(
+                F.broadcast(keys.withColumnRenamed(key, "__rk")),
+                slice_df[key].eqNullSafe(F.col("__rk")),
+                "left_anti",
+            )
+            out = kept.unionByName(fragment.select(*slice_df.columns))
+        store = self._store(name)
+        vdir = store.new_version_path()
+        (
+            out.withColumn(self._BUCKET_COL, bexpr)
+            .repartition(F.col(self._BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(self._BUCKET_COL)
+            .parquet(vdir)
+        )
+        new_manifest = dict(manifest)
+        present = set(self._present_buckets(vdir))
+        for k in dirty:
+            if k in present:
+                new_manifest[str(k)] = vdir
+            else:
+                # the replace emptied this bucket entirely
+                new_manifest.pop(str(k), None)
+        store.commit(
+            vdir,
+            extra={
+                "manifest": new_manifest,
+                "n_buckets": n,
+                "bucket_key": key,
+            },
+        )
+        return vdir
+
+    def compact_buckets(
+        self,
+        spark: SparkSession,
+        name: str,
+        max_carriers: int = 16,
+    ) -> str | None:
+        """Consolidate CARRIER fragmentation, O(fragmentation) not
+        O(table): a bucket never accretes files (each upsert rewrites
+        its bucket whole), but every upsert adds one version dir and a
+        long-running table's manifest ends up scattered across up to
+        ``n_buckets`` carrier dirs — read fan-in, listing cost, and
+        vacuum's carrier bookkeeping all grow with that spread. When
+        the manifest references more than ``max_carriers`` distinct
+        dirs, the buckets homed in the SMALLEST carriers (fewest
+        buckets — the single-bucket upsert tail) are rewritten
+        together into one new dir until the spread fits; big carriers
+        (the bootstrap dir holding the cold majority) are carried
+        untouched, so bytes rewritten track the fragmentation, not the
+        table. ``max_carriers=1`` forces the full bucket-preserving
+        rewrite (what :meth:`compact` does for manifest heads).
+        Returns the new version dir, or None when the spread already
+        fits (no commit made)."""
+        info = self.current_info(name)
+        if info is None or "manifest" not in info:
+            raise FileNotFoundError(
+                f"table {name} has no manifest version at head"
+            )
+        manifest, n, key = info["manifest"], info["n_buckets"], info["bucket_key"]
+        by_carrier: dict[str, list[int]] = {}
+        for k, vd in manifest.items():
+            by_carrier.setdefault(vd, []).append(int(k))
+        if len(by_carrier) <= max_carriers and max_carriers > 1:
+            return None
+        # consolidate the smallest carriers first; the new dir itself
+        # becomes one carrier, so keep the max_carriers-1 largest
+        ordered = sorted(by_carrier.items(), key=lambda kv: len(kv[1]))
+        keep_n = max(max_carriers - 1, 0)
+        moved = ordered[: len(ordered) - keep_n] if keep_n else ordered
+        dirty = sorted(k for _vd, ks in moved for k in ks)
+        if not dirty:
+            return None
+        rows = spark.read.parquet(
+            *[self._manifest_leaf(manifest[str(k)], k) for k in sorted(dirty)]
+        )
+        store = self._store(name)
+        vdir = store.new_version_path()
+        (
+            rows.withColumn(self._BUCKET_COL, self._bucket_expr(key, n))
+            .repartition(F.col(self._BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(self._BUCKET_COL)
+            .parquet(vdir)
+        )
+        new_manifest = dict(manifest)
+        for k in self._present_buckets(vdir):
+            new_manifest[str(k)] = vdir
+        store.commit(
+            vdir,
+            extra={
+                "manifest": new_manifest,
+                "n_buckets": n,
+                "bucket_key": key,
+                "compacted": True,
+            },
+        )
+        return vdir
+
+    def _vacuum_manifest(
+        self,
+        name: str,
+        keep: int,
+        older_than_s: float | None,
+        orphan_grace_s: float,
+        history: list[tuple[int, dict]],
+    ) -> list[str]:
+        """Bucket-granular vacuum for tables with manifest versions.
+        Retention DECISIONS mirror ``VersionedStore.vacuum`` (newest
+        ``keep`` + current + age/orphan/snapshot protection); the
+        difference is what deletion means: a version dir a KEPT
+        manifest still references survives as a carrier with only its
+        unreferenced bucket dirs reclaimed. Returns fully-deleted
+        version dirs (partial bucket reclaims don't count — the dir
+        still exists for listings)."""
+        import time as _time
+
+        store = self._store(name)
+        backend = self._backend()
+        first_commit: dict[str, tuple[int, float | None, dict]] = {}
+        for seq, payload in history:
+            p = payload.get("path")
+            if p and p not in first_commit:
+                first_commit[p] = (seq, payload.get("committed_at"), payload)
+
+        def committed_at(p: str) -> float | None:
+            hit = first_commit.get(p)
+            if hit is not None and hit[1] is not None:
+                return float(hit[1])
+            return store._name_timestamp(p)
+
+        vs = store.versions()
+        current = store.current_path()
+        pinned = {_canon(p) for p in self._snapshot_pinned(name)}
+        now = _time.time()
+        cutoff = now - older_than_s if older_than_s is not None else None
+        orphan_cutoff = now - max(orphan_grace_s, older_than_s or 0.0)
+
+        deletable = []
+        for v in (
+            [v for v in vs if _canon(v["path"]) not in pinned][:-keep]
+            if keep
+            else [v for v in vs if _canon(v["path"]) not in pinned]
+        ):
+            p = v["path"]
+            if current and _canon(p) == _canon(current):
+                continue
+            ts = committed_at(p)
+            if not v["committed"]:
+                if orphan_grace_s and (ts is None or ts > orphan_cutoff):
+                    continue
+            if cutoff is not None and ts is not None and ts > cutoff:
+                continue
+            deletable.append(v)
+
+        # buckets every KEPT version still needs, per carrier dir
+        deletable_paths = {_canon(v["path"]) for v in deletable}
+        needed: dict[str, set[str]] = {}
+        for v in vs:
+            p = v["path"]
+            if _canon(p) in deletable_paths:
+                continue
+            hit = first_commit.get(p)
+            payload = hit[2] if hit else None
+            if payload and "manifest" in payload:
+                for k, vd in payload["manifest"].items():
+                    needed.setdefault(_canon(vd), set()).add(
+                        f"{self._BUCKET_COL}={k}"
+                    )
+
+        removed = []
+        for v in deletable:
+            p = v["path"]
+            need = needed.get(_canon(p), set())
+            if not need:
+                backend.delete_data(p)
+                removed.append(p)
+                continue
+            for leaf in backend.list_data(p):
+                if leaf.startswith(f"{self._BUCKET_COL}=") and leaf not in need:
+                    backend.delete_data(os.path.join(p, leaf))
+
+        # bound the log the way the base vacuum does: keep entries
+        # from the first commit of the oldest surviving dir onward
+        if removed:
+            removed_set = {_canon(p) for p in removed}
+            kept_seqs = [
+                seq
+                for p, (seq, _ts, _pl) in first_commit.items()
+                if _canon(p) not in removed_set and backend.data_exists(p)
+            ]
+            if kept_seqs:
+                store.log.prune(min(kept_seqs))
+        return removed
 
 
 def write_bucketed(

@@ -1,0 +1,310 @@
+"""Bucketed manifest versions — the O(changes) WRITE path (round 10).
+
+A plain TableStore.write materializes the whole table per version;
+manifest versions rewrite only dirty key-buckets and carry clean ones
+by reference. These tests pin the three contracts that matter at
+100 TB: (1) value semantics identical to the full-rewrite paths,
+(2) bytes written proportional to the change set, with clean buckets
+literally the same files across versions, (3) maintenance — time
+travel, restore, vacuum, compaction — still correct when a version's
+data spans several carrier dirs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rialto_airflow_spark.storage import TableStore
+
+
+def _bytes(vdir: str) -> int:
+    return sum(
+        os.path.getsize(p)
+        for p in glob.glob(vdir + "/**/*.parquet", recursive=True)
+    )
+
+
+def _files(vdir: str) -> set[str]:
+    return set(glob.glob(vdir + "/**/*.parquet", recursive=True))
+
+
+def _base(spark, n=2000):
+    return (
+        spark.range(n)
+        .withColumn("v", F.col("id") * 2)
+        .withColumn("grp", (F.col("id") % 7).cast("int"))
+    )
+
+
+def test_write_and_read_round_trip(spark, tmp_path):
+    st = TableStore(str(tmp_path))
+    df = _base(spark)
+    st.write_manifest(df, "t", "id", n_buckets=16)
+    got = st.read(spark, "t")
+    assert got.exceptAll(df).unionAll(df.exceptAll(got)).count() == 0
+    # the synthetic bucket column never leaks into the table schema
+    assert got.columns == df.columns
+
+
+def test_upsert_rewrites_only_dirty_buckets(spark, tmp_path):
+    """Bytes written per upsert ~ dirty buckets, clean buckets carried
+    as the SAME files; values equal a full-table merge oracle."""
+    from rialto_airflow_spark.operators.merge import merge_on_key
+
+    st = TableStore(str(tmp_path))
+    df = _base(spark)
+    v1 = st.write_manifest(df, "t", "id", n_buckets=16)
+    before = _files(v1)
+
+    batch = spark.createDataFrame(
+        [(5, 999, 0), (9999, 1, 1), (None, 7, 2)],
+        "id long, v long, grp int",
+    )
+    v2 = st.upsert_manifest(spark, "t", batch)
+
+    # oracle: the plain full-table MERGE over the same inputs
+    want = merge_on_key(df, batch, "id")
+    got = st.read(spark, "t")
+    assert got.exceptAll(want).unionAll(want.exceptAll(got)).count() == 0
+
+    # O(changes): the new version holds only the touched buckets
+    m = st.current_info("t")["manifest"]
+    dirty = [k for k, vd in m.items() if vd == v2]
+    assert 1 <= len(dirty) <= 3  # ≤ one bucket per batch key
+    assert _bytes(v2) < _bytes(v1) / 4
+    # clean buckets: same files, untouched (carried by reference)
+    assert before <= _files(v1) | _files(v2)
+    carried = [k for k, vd in m.items() if vd == v1]
+    assert len(carried) == 16 - len(dirty)
+
+
+def test_upsert_semantics_match_plain_stream_shape(spark, tmp_path):
+    """update_cols / updated_at_col behave exactly like merge_on_key's
+    M2 contract through the manifest path."""
+    import datetime
+
+    t0 = datetime.datetime(2020, 1, 1)
+    st = TableStore(str(tmp_path))
+    df = (
+        spark.range(100)
+        .withColumn("a", F.lit(1))
+        .withColumn("b", F.lit("keep"))
+        .withColumn("updated_at", F.lit(t0).cast("timestamp"))
+    )
+    st.write_manifest(df, "t", "id", n_buckets=8)
+    batch = spark.createDataFrame([(3, 42, "new")], "id long, a int, b string")
+    st.upsert_manifest(
+        spark, "t", batch, update_cols=["a"], updated_at_col="updated_at"
+    )
+    row = st.read(spark, "t").where(F.col("id") == 3).first()
+    assert row["a"] == 42 and row["b"] == "keep"
+    assert row["updated_at"] != t0
+    untouched = st.read(spark, "t").where(F.col("id") == 4).first()
+    assert untouched["updated_at"] == t0
+
+
+def test_replace_keys_is_delete_then_insert(spark, tmp_path):
+    """The incremental-mart write shape: affected keys' rows vanish,
+    the fragment lands, everything else carries — equal to the
+    full delete+insert oracle, written O(dirty buckets)."""
+    st = TableStore(str(tmp_path))
+    df = _base(spark)
+    v1 = st.write_manifest(df, "t", "id", n_buckets=16)
+
+    affected = spark.createDataFrame([(5,), (6,), (7777,)], "id long")
+    fragment = spark.createDataFrame(
+        [(5, -1, 0), (7777, -2, 1)], "id long, v long, grp int"
+    )
+    v2 = st.replace_keys_manifest(spark, "t", affected, fragment)
+
+    want = df.join(affected, "id", "left_anti").unionByName(fragment)
+    got = st.read(spark, "t")
+    assert got.exceptAll(want).unionAll(want.exceptAll(got)).count() == 0
+    assert _bytes(v2) < _bytes(v1) / 4
+    # id=6 was deleted with no replacement
+    assert got.where(F.col("id") == 6).count() == 0
+
+
+def test_replace_can_empty_a_bucket(spark, tmp_path):
+    """Deleting every row of a bucket drops it from the manifest —
+    reads stay consistent, no dangling reference."""
+    st = TableStore(str(tmp_path))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    st.write_manifest(df, "t", "id", n_buckets=4)
+    st.replace_keys_manifest(
+        spark,
+        "t",
+        spark.createDataFrame([(1,)], "id long"),
+        spark.createDataFrame([], "id long, v string"),
+    )
+    got = st.read(spark, "t")
+    assert [r["id"] for r in got.collect()] == [2]
+
+
+def test_time_travel_and_restore_over_manifest_versions(spark, tmp_path):
+    st = TableStore(str(tmp_path))
+    df = _base(spark, 500)
+    st.write_manifest(df, "t", "id", n_buckets=8)
+    batch = spark.createDataFrame([(0, -5, 0)], "id long, v long, grp int")
+    st.upsert_manifest(spark, "t", batch)
+
+    vs = st.versions("t")
+    assert len(vs) == 2 and vs[1]["current"]
+    old = st.read_version(spark, "t", vs[0]["version"])
+    assert old.where(F.col("id") == 0).first()["v"] == 0  # pre-upsert
+    assert st.read(spark, "t").where(F.col("id") == 0).first()["v"] == -5
+
+    # restore re-commits the old manifest: reads resolve carried buckets
+    st.restore("t", vs[0]["version"])
+    assert st.read(spark, "t").where(F.col("id") == 0).first()["v"] == 0
+    assert st.read(spark, "t").count() == 500
+
+
+def test_vacuum_keeps_carrier_dirs_and_reclaims_dead_buckets(
+    spark, tmp_path
+):
+    """A version dir beyond retention whose buckets a KEPT manifest
+    still references survives as a carrier; its superseded bucket
+    dirs are reclaimed; a dir nothing references is deleted whole;
+    and time travel to a torn version raises loudly."""
+    st = TableStore(str(tmp_path))
+    df = _base(spark)
+    v1 = st.write_manifest(df, "t", "id", n_buckets=8)
+
+    mk = lambda i: spark.createDataFrame(
+        [(i, i, 0)], "id long, v long, grp int"
+    )
+    v2 = st.upsert_manifest(spark, "t", mk(10_001))
+    v3 = st.upsert_manifest(spark, "t", mk(10_001))  # re-dirty v2's bucket
+    vs_before = st.versions("t")
+
+    removed = st.vacuum("t", keep=1, orphan_grace_s=0)
+    # v2's only bucket was superseded by v3 → v2 deleted whole;
+    # v1 carries the 7 clean buckets → survives
+    assert removed == [v2]
+    assert os.path.isdir(v1) and os.path.isdir(v3)
+    got = st.read(spark, "t")
+    assert got.count() == 2001
+    assert got.where(F.col("id") == 10_001).first()["v"] == 10_001
+
+    # time travel to the vacuumed middle version is gone, loudly
+    middle = next(v for v in vs_before if v["path"] == v2)
+    with pytest.raises(FileNotFoundError):
+        st.read_version(spark, "t", middle["version"])
+    # ... but the oldest version's data it still shares is intact:
+    # v1 remains fully readable (all 8 of its buckets still exist —
+    # 7 referenced + its own copy of the dirty one only if retained)
+    first = next(v for v in vs_before if v["path"] == v1)
+    try:
+        old = st.read_version(spark, "t", first["version"])
+        assert old.count() == 2000
+    except FileNotFoundError:
+        pass  # acceptable: v1's dirty-bucket leaf was reclaimed
+
+
+def test_vacuum_fully_reclaims_after_compaction(spark, tmp_path):
+    """compact_buckets(max_files=1) re-homes every bucket; the next
+    vacuum deletes all old carriers outright."""
+    st = TableStore(str(tmp_path))
+    df = _base(spark, 300)
+    v1 = st.write_manifest(df, "t", "id", n_buckets=4)
+    for i in range(3):
+        st.upsert_manifest(
+            spark,
+            "t",
+            spark.createDataFrame([(i, -i, 0)], "id long, v long, grp int"),
+        )
+    vc = st.compact_buckets(spark, "t", max_carriers=1)
+    assert set(st.current_info("t")["manifest"].values()) == {vc}
+    removed = st.vacuum("t", keep=1, orphan_grace_s=0)
+    assert v1 in removed and len(removed) == 4
+    assert st.read(spark, "t").count() == 300
+    assert st.read(spark, "t").where(F.col("id") == 1).first()["v"] == -1
+
+
+def test_compact_buckets_cost_proportional_to_fragmentation(
+    spark, tmp_path
+):
+    """Carrier consolidation: upserts scatter the manifest across one
+    dir per batch; compaction folds the single-bucket tail together
+    while the big bootstrap carrier (the cold majority of the data)
+    is carried untouched — bytes rewritten track the fragmentation,
+    not the table."""
+    st = TableStore(str(tmp_path))
+    df = _base(spark)
+    v1 = st.write_manifest(df, "t", "id", n_buckets=16)
+    # six upserts to distinct keys → up to six single-bucket carriers
+    for i in range(6):
+        st.upsert_manifest(
+            spark,
+            "t",
+            spark.createDataFrame(
+                [(10_000 + i, i, 0)], "id long, v long, grp int"
+            ),
+        )
+    m = st.current_info("t")["manifest"]
+    spread = len(set(m.values()))
+    assert spread >= 5  # the fragmentation really built up
+
+    vc = st.compact_buckets(spark, "t", max_carriers=3)
+    assert vc is not None
+    m2 = st.current_info("t")["manifest"]
+    assert len(set(m2.values())) <= 3
+    # the bootstrap carrier survives untouched (largest, so kept) and
+    # its files are byte-identical — carried, never copied
+    assert v1 in set(m2.values())
+    # only the fragmented tail rewrote: the new dir is small
+    assert _bytes(vc) < _bytes(v1) / 2
+    # idempotent under the same threshold
+    assert st.compact_buckets(spark, "t", max_carriers=3) is None
+    got = st.read(spark, "t")
+    assert got.count() == 2006
+    assert got.where(F.col("id") == 10_005).first()["v"] == 5
+
+
+def test_stream_upsert_with_manifest_buckets_converges(spark, tmp_path):
+    """The streaming MERGE sink over manifest versions: same replay
+    convergence as the plain path, but each micro-batch's version
+    dir holds ONLY the buckets the batch touched."""
+    import datetime
+
+    from rialto_airflow_spark.streaming import events as SE
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    st = TableStore(str(tmp_path / "store"))
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, SE.EVENTS_DDL)
+
+    mk([
+        (i, t0, i, "view", float(i), "{}") for i in range(200)
+    ]).coalesce(1).write.parquet(in_dir)
+    SE.stream_upsert(
+        SE.read_event_stream(spark, in_dir),
+        st, "ev", "event_id", ckpt, manifest_buckets=16,
+    )
+    assert st.read(spark, "ev").count() == 200
+    v_boot = st.current_version("ev")
+
+    mk([
+        (3, t0 + datetime.timedelta(minutes=1), 3, "click", 99.0, "{}"),
+        (500, t0 + datetime.timedelta(minutes=1), 5, "view", 1.0, "{}"),
+    ]).coalesce(1).write.parquet(in_dir, mode="append")
+    SE.stream_upsert(
+        SE.read_event_stream(spark, in_dir),
+        st, "ev", "event_id", ckpt, manifest_buckets=16,
+    )
+    got = st.read(spark, "ev")
+    assert got.count() == 201
+    assert got.where(F.col("event_id") == 3).first()["value"] == 99.0
+    # the batch version holds only dirty buckets — O(batch) bytes
+    v2 = st.current_version("ev")
+    assert _bytes(v2) < _bytes(v_boot) / 3
+    m = st.current_info("ev")["manifest"]
+    assert sum(1 for vd in m.values() if vd == v_boot) >= 13
