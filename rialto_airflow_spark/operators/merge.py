@@ -273,6 +273,65 @@ def snapshot_diff(
     )
 
 
+def incremental_join_mart(
+    old_tbl: DataFrame,
+    new_tbl: DataFrame,
+    old_mart: DataFrame,
+    key: str,
+    fan_key: str,
+    build,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Incrementally maintain a JOIN-SHAPED mart over a versioned
+    table: ``build`` is the mart definition (any function from a
+    slice of the table to mart rows — typically a fan-out join into
+    dimension tables), and only the mart rows whose ``fan_key`` group
+    was touched between two snapshots are rebuilt; everything else is
+    carried. The generalization of
+    ``plans.marts.incremental_mart_publications_by_author`` (which is
+    exactly this with ``fan_key='doi'`` and ``build`` = the
+    pubs×edges×authors fan-out) — and the join-shaped twin of
+    :func:`incremental_group_agg`, so the streaming sink can maintain
+    BOTH downstream shapes a change feed serves.
+
+    Correctness requires ``build`` to be PER-GROUP: a mart row must
+    depend only on table rows sharing its ``fan_key`` (and on
+    dimension state treated as fixed — dim changes need a full
+    rebuild, the same caveat the publications mart documents). Under
+    that contract, rebuilding the affected groups from the new table
+    and carrying the rest equals a full rebuild — holistic aggregates
+    inside ``build`` included, since affected groups are recomputed
+    from scratch.
+
+    Shape: one thin :func:`snapshot_diff` (narrow it with
+    ``compare_cols``), the affected fan-key set is O(changes) and
+    broadcasts into both the fragment semi-join and the mart
+    anti-join; ``build`` runs over only the affected groups' rows.
+    Null-safe group matching keeps a NULL fan-key group whole."""
+    changed = snapshot_diff(
+        old_tbl, new_tbl, key, compare_cols=compare_cols
+    ).select(key).distinct()
+    affected = (
+        old_tbl.join(changed, key, "left_semi")
+        .select(fan_key)
+        .unionByName(new_tbl.join(changed, key, "left_semi").select(fan_key))
+        .distinct()
+        .withColumnRenamed(fan_key, "__chg_fan")
+    )
+    fragment_rows = new_tbl.join(
+        F.broadcast(affected),
+        new_tbl[fan_key].eqNullSafe(F.col("__chg_fan")),
+        "left_semi",
+    )
+    fragment = build(fragment_rows)
+    kept = old_mart.join(
+        F.broadcast(affected),
+        old_mart[fan_key].eqNullSafe(F.col("__chg_fan")),
+        "left_anti",
+    )
+    return kept.unionByName(fragment)
+
+
 def incremental_group_agg(
     old_tbl: DataFrame,
     new_tbl: DataFrame,

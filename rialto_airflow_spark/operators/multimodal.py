@@ -59,6 +59,126 @@ def decode_media(content: bytes, kind: str) -> dict:
     return {"magic_int": magic, "feature": f"{kind}:{hashlib.md5(content).hexdigest()[:8]}"}
 
 
+def decode_wav(content: bytes) -> dict:
+    """REAL pure-stdlib audio decode for PCM WAV (RIFF chunk walk via
+    ``struct`` — no codec library): format fields from the ``fmt ``
+    chunk, duration from the ``data`` chunk, and peak amplitude
+    actually computed over the samples (8-bit unsigned / 16-bit
+    signed PCM). Round-10 answer to 'exercise one decoder path with
+    real bytes': WAV and BMP parse from the standard library alone,
+    so one audio and one image modality run end-to-end without the
+    injected-fake seam (which stays in place for codecs the container
+    lacks)."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos:pos + 4], struct.unpack(
+            "<I", content[pos + 4:pos + 8]
+        )[0]
+        body = content[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _brate, _align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"only PCM WAV supported (format={audio_format})")
+    if bits == 16:
+        n = len(data) // 2
+        samples = struct.unpack(f"<{n}h", data[: n * 2])
+        peak = max((abs(s) for s in samples), default=0)
+    elif bits == 8:
+        peak = max((abs(b - 128) for b in data), default=0)
+        n = len(data)
+    else:
+        raise ValueError(f"unsupported PCM width {bits}")
+    n_samples = n // max(n_channels, 1)
+    return {
+        "format": "wav",
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "bits": bits,
+        "n_samples": n_samples,
+        "duration_s": n_samples / sample_rate if sample_rate else 0.0,
+        "peak": peak,
+    }
+
+
+def decode_bmp(content: bytes) -> dict:
+    """REAL pure-stdlib image decode for uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, BI_RGB): dimensions from the DIB header and
+    mean R/G/B actually computed over the pixel array (bottom-up rows,
+    4-byte padded) — see :func:`decode_wav` for why these two formats
+    get real decoders."""
+    import struct
+
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack("<I", content[10:14])[0]
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack(
+        "<IiiHHI", content[14:34]
+    )
+    if hdr_size < 40 or compression != 0 or bpp != 24:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    tot_r = tot_g = tot_b = 0
+    for row in range(height):
+        src = row if not bottom_up else height - 1 - row
+        base = pix_off + src * row_bytes
+        line = content[base:base + width * 3]
+        # pixels are little-endian BGR triples
+        tot_b += sum(line[0::3])
+        tot_g += sum(line[1::3])
+        tot_r += sum(line[2::3])
+    n_px = max(width * height, 1)
+    return {
+        "format": "bmp",
+        "width": width,
+        "height": height,
+        "bpp": bpp,
+        "mean_r": tot_r / n_px,
+        "mean_g": tot_g / n_px,
+        "mean_b": tot_b / n_px,
+    }
+
+
+def stdlib_decode_media(content: bytes, kind: str) -> dict:
+    """Drop-in for :func:`decode_media` with REAL decoding where the
+    standard library suffices: ``audio`` payloads parse as PCM WAV,
+    ``image`` payloads as 24-bit BMP; every other kind falls back to
+    the stub (the injected-codec seam is unchanged — this is one
+    concrete decoder a deployment could inject, shipped in-tree).
+    Returns the :data:`FEATURE_DDL` shape (magic_int + feature), with
+    the decoded facts folded into the feature tag."""
+    if kind == "audio":
+        w = decode_wav(content)
+        return {
+            "magic_int": w["n_samples"],
+            "feature": (
+                f"wav:{w['sample_rate']}hz x{w['n_channels']} "
+                f"{w['bits']}bit peak={w['peak']}"
+            ),
+        }
+    if kind == "image":
+        b = decode_bmp(content)
+        return {
+            "magic_int": b["width"] * b["height"],
+            "feature": (
+                f"bmp:{b['width']}x{b['height']} rgb=({b['mean_r']:.1f},"
+                f"{b['mean_g']:.1f},{b['mean_b']:.1f})"
+            ),
+        }
+    return decode_media(content, kind)
+
+
 def extract_features(
     df: DataFrame,
     decode: Callable[[bytes, str], dict] | None = None,

@@ -245,43 +245,25 @@ def incremental_mart_publications_by_author(
     callers that mutate edges/authors must fall back to a full
     rebuild (the DAG's flags-refresh divergence note explains why
     edge deltas are the cheaper-whole-table case anyway)."""
-    from rialto_airflow_spark.operators.merge import snapshot_diff
+    # the generic engine op: fan_key='doi' — rebuild every pub group
+    # SHARING an affected doi, not just the changed ids (the mart is
+    # keyed (doi, sunet), so an unchanged pub contributing rows under
+    # an affected doi must re-enter the fragment or its rows would
+    # vanish with the anti-join; null-safe matching keeps the
+    # null-DOI group whole for the same reason)
+    from rialto_airflow_spark.operators.merge import incremental_join_mart
 
-    changed = (
-        snapshot_diff(old_pubs, new_pubs, key, compare_cols=compare_cols)
-        .select(key)
-        .distinct()
+    return incremental_join_mart(
+        old_pubs,
+        new_pubs,
+        old_mart,
+        key,
+        "doi",
+        lambda pubs: mart_publications_by_author(
+            pubs, author_edges, authors, funder_edges, funders
+        ),
+        compare_cols=compare_cols,
     )
-    affected_dois = (
-        old_pubs.join(changed, key, "left_semi")
-        .select("doi")
-        .unionByName(new_pubs.join(changed, key, "left_semi").select("doi"))
-        .distinct()
-        .withColumnRenamed("doi", "__chg_doi")
-    )
-    # recompute from every pub SHARING an affected doi, not just the
-    # changed ids: the mart is keyed (doi, sunet), so an unchanged
-    # pub contributing rows under an affected doi must re-enter the
-    # fragment or its rows would vanish with the anti-join (null-safe
-    # doi match keeps the null-DOI group whole for the same reason)
-    fragment_pubs = new_pubs.join(
-        F.broadcast(affected_dois),
-        new_pubs["doi"].eqNullSafe(F.col("__chg_doi")),
-        "left_semi",
-    )
-    fragment = mart_publications_by_author(
-        fragment_pubs,
-        author_edges,
-        authors,
-        funder_edges,
-        funders,
-    )
-    kept = old_mart.join(
-        F.broadcast(affected_dois),
-        old_mart["doi"].eqNullSafe(F.col("__chg_doi")),
-        "left_anti",
-    )
-    return kept.unionByName(fragment)
 
 
 def format_for_download(df: DataFrame) -> DataFrame:

@@ -1038,3 +1038,181 @@ def test_stream_upsert_mart_survives_crash_between_merge_and_mart_write(
         for r in final.groupBy("event_type").agg(*mart["agg_exprs"]).collect()
     }
     assert got == full == {"view": (2, 6.0), "click": (1, 3.0)}
+
+
+def test_stream_upsert_maintains_join_mart_incrementally(spark, tmp_path):
+    """Round-10 task #5: the JOIN-shaped mart twin of the group-agg
+    maintenance — mart rows are a per-user fan-out join into a
+    dimension table, and each micro-batch rebuilds only the touched
+    users' mart rows (incremental_join_mart through the same
+    built_from replay-safe hook). After every drain the mart equals
+    the full mart definition over the final table."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from rialto_airflow_spark.storage import TableStore
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    store = TableStore(str(tmp_path / "store"))
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    segments = spark.createDataFrame(
+        [(10, "gold"), (11, "silver"), (12, "bronze"), (13, "gold")],
+        "user_id long, segment string",
+    )
+
+    def build(rows):
+        return (
+            rows.join(F.broadcast(segments), "user_id", "left")
+            .groupBy("user_id", "segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+
+    mart = {"table": "by_user", "fan_key": "user_id", "build": build}
+
+    def mk(rows):
+        return spark.createDataFrame(rows, SE.EVENTS_DDL)
+
+    def drain():
+        SE.stream_upsert(
+            SE.read_event_stream(spark, in_dir),
+            store, "ev", "event_id", ckpt, mart=mart,
+        )
+
+    def mart_rows():
+        return {
+            (r["user_id"], r["segment"]): (r["n_events"], r["total_value"])
+            for r in store.read(spark, "by_user").collect()
+        }
+
+    mk([
+        (1, t0, 10, "view", 1.0, "{}"),
+        (2, t0, 11, "view", 2.0, "{}"),
+        (3, t0, 10, "click", 3.0, "{}"),
+    ]).coalesce(1).write.parquet(in_dir)
+    drain()
+    assert mart_rows() == {(10, "gold"): (2, 4.0), (11, "silver"): (1, 2.0)}
+
+    # batch 2: event 1 migrates user 10 → 12 (both users' groups
+    # refresh), new event for unknown user 99 (null dim row)
+    mk([
+        (1, t0 + datetime.timedelta(minutes=5), 12, "view", 1.5, "{}"),
+        (4, t0 + datetime.timedelta(minutes=1), 99, "view", 7.0, "{}"),
+    ]).coalesce(1).write.parquet(in_dir, mode="append")
+    drain()
+    assert mart_rows() == {
+        (10, "gold"): (1, 3.0),
+        (11, "silver"): (1, 2.0),
+        (12, "bronze"): (1, 1.5),
+        (99, None): (1, 7.0),
+    }
+
+    # batch 3: untouched users' mart rows carry; final mart equals the
+    # full mart definition over the final table
+    mk([
+        (5, t0 + datetime.timedelta(minutes=2), 13, "buy", 9.0, "{}"),
+    ]).coalesce(1).write.parquet(in_dir, mode="append")
+    drain()
+    final = store.read(spark, "ev")
+    want = {
+        (r["user_id"], r["segment"]): (r["n_events"], r["total_value"])
+        for r in build(final).collect()
+    }
+    assert mart_rows() == want
+    assert len(store.versions("by_user")) == 3  # one mart version/batch
+
+
+def _wav_bytes(freq=440, rate=8000, n=800, amp=12000):
+    """A real 16-bit mono PCM WAV, built with the stdlib wave module."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<h", int(amp * math.sin(2 * math.pi * freq * i / rate)))
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _bmp_bytes(width=4, height=3, rgb=(10, 200, 30)):
+    """A real uncompressed 24-bit BMP, hand-packed (BI_RGB,
+    bottom-up, 4-byte padded rows)."""
+    import struct
+
+    row = bytes([rgb[2], rgb[1], rgb[0]]) * width
+    pad = b"\0" * ((4 - (width * 3) % 4) % 4)
+    pixels = (row + pad) * height
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pixels), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + len(dib) + len(pixels), 0, 0,
+                      14 + len(dib))
+    return hdr + dib + pixels
+
+
+def test_stdlib_wav_decode_is_real():
+    """Round-10 task #7: the WAV path decodes REAL bytes — fields
+    come from the RIFF chunks and the peak from the actual samples,
+    not a fake."""
+    wav = _wav_bytes(freq=440, rate=8000, n=800, amp=12000)
+    got = MM.decode_wav(wav)
+    assert got["sample_rate"] == 8000 and got["n_channels"] == 1
+    assert got["bits"] == 16 and got["n_samples"] == 800
+    assert abs(got["duration_s"] - 0.1) < 1e-9
+    # the sine peaks within quantization of the requested amplitude
+    assert 11900 <= got["peak"] <= 12000
+    # truncated/garbage payloads fail loudly, never fake-decode
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"not audio at all")
+
+
+def test_stdlib_bmp_decode_is_real():
+    bmp = _bmp_bytes(width=4, height=3, rgb=(10, 200, 30))
+    got = MM.decode_bmp(bmp)
+    assert (got["width"], got["height"]) == (4, 3)
+    assert (got["mean_r"], got["mean_g"], got["mean_b"]) == (10.0, 200.0, 30.0)
+    with pytest.raises(ValueError):
+        MM.decode_bmp(b"BM but not really a bitmap header....")
+
+
+def test_extract_features_with_stdlib_decoder(spark):
+    """The real decoders ride the SAME injected seam and Arrow batch
+    plumbing as the fakes: a mixed WAV/BMP/text frame extracts
+    through mapInPandas with per-kind real decoding, text falling
+    back to the stub."""
+    rows = [
+        (1, "audio", bytearray(_wav_bytes())),
+        (2, "image", bytearray(_bmp_bytes())),
+        (3, "text", bytearray(b"plain payload")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    media = df.select(
+        "media_id", "kind", "content",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+    feats = {
+        r["media_id"]: (r["magic_int"], r["feature"])
+        for r in MM.extract_features(
+            media, decode=MM.stdlib_decode_media
+        ).collect()
+    }
+    assert feats[1][0] == 800  # n_samples from the real WAV decode
+    assert feats[1][1].startswith("wav:8000hz x1 16bit peak=")
+    assert feats[2][0] == 12  # 4x3 pixels from the real BMP decode
+    assert feats[2][1].startswith("bmp:4x3 rgb=(10.0,200.0,30.0)")
+    assert feats[3][1].startswith("text:")  # stub seam retained
