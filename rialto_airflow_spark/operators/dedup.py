@@ -867,6 +867,18 @@ def append_minhash_index(
             "pbucket"
         ),
     )
+    head_manifest = (_minhash_store(path).current() or {}).get("rows_manifest")
+    touched: list[str] = []
+    if head_manifest is not None:
+        # manifest head (dirty-compacted lineage): the marker must
+        # extend the touched buckets' carrier lists with THIS version's
+        # rows dir, or probes resolving through the manifest would
+        # never see the appended files. Bounded collect (≤ bands·
+        # buckets distinct values by construction).
+        touched = [
+            str(r["pbucket"])
+            for r in rows.select("pbucket").distinct().collect()
+        ]
     salt = F.pmod(F.xxhash64(F.col("index_id")), F.lit(_MINHASH_WRITE_SALT))
     (
         rows.repartition(F.col("pbucket"), salt)
@@ -907,10 +919,22 @@ def append_minhash_index(
                 "in a superseded version and will NOT be probed — re-run the "
                 "append against the current version"
             )
+        extra: dict = {"appended": True}
+        if head_manifest is not None:
+            cur_manifest = dict(
+                (store.current() or {}).get("rows_manifest") or head_manifest
+            )
+            base = _os.path.dirname(rows_dir)
+            for k in touched:
+                dirs = list(cur_manifest.get(k, []))
+                if base not in dirs:
+                    dirs.append(base)
+                cur_manifest[k] = dirs
+            extra["rows_manifest"] = cur_manifest
         try:
             store.commit(
                 _os.path.dirname(rows_dir),
-                extra={"appended": True},
+                extra=extra,
                 expected=head_seq,
             )
             return
@@ -969,7 +993,29 @@ def compact_minhash_index(
         spark.read.parquet(meta_dir).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(base, "meta"))
-        rows = spark.read.parquet(rows_dir).distinct()
+        manifest = (store.current() or {}).get("rows_manifest")
+        if manifest is not None:
+            # manifest head: the full row set spans carrier dirs;
+            # pbucket is a pure function of (band_idx, band_hash), so
+            # it reattaches after the leaf read for the partitioned
+            # rewrite — the compacted version is self-contained again
+            leafs = [
+                os.path.join(b, "rows", f"pbucket={k}")
+                for k, bs in manifest.items()
+                for b in bs
+            ]
+            rows = (
+                spark.read.parquet(*leafs)
+                .withColumn(
+                    "pbucket",
+                    _pbucket(
+                        F.col("band_idx"), F.col("band_hash"), bands, buckets
+                    ),
+                )
+                .distinct()
+            )
+        else:
+            rows = spark.read.parquet(rows_dir).distinct()
         salt = F.pmod(F.xxhash64(F.col("index_id")), F.lit(_MINHASH_WRITE_SALT))
         (
             rows.repartition(F.col("pbucket"), salt)
@@ -986,6 +1032,113 @@ def compact_minhash_index(
             # an append (or rebuild) sequenced past our snapshot —
             # our rewrite may be missing its rows; discard and redo
             # against the new head. The orphaned dir is vacuumable.
+            continue
+
+
+def compact_minhash_index_dirty(
+    spark,
+    path: str,
+    max_files: int = 4,
+    _after_read=None,
+) -> str | None:
+    """DIRTY-PARTITION compaction — cost proportional to the APPEND
+    pattern, not the index (round-10 task #4). Appends accrete one
+    small file set inside the live pbucket dirs; full
+    :func:`compact_minhash_index` rewrites EVERY partition even when
+    one is dirty. This pass rewrites only pbuckets holding more than
+    ``max_files`` data files (or spanning multiple carrier dirs) into
+    a fresh version and CARRIES every clean pbucket by reference: the
+    commit payload's ``rows_manifest`` maps each pbucket to the
+    version dirs holding its files (the TableStore manifest idea,
+    specialized to the index's partitioned layout). Probes resolve
+    the manifest into a per-bucket path selection — pruning semantics
+    unchanged; appends extend the touched buckets' carrier lists in
+    their marker commit; vacuum pins carrier dirs any retained
+    manifest still references (:func:`minhash_index_vacuum`).
+
+    Same CAS concurrency contract as the full compaction (snapshot
+    the head seq BEFORE listing; conflict → re-read). Returns the new
+    version dir, or None when nothing is dirty (no commit, no write).
+    ``_after_read`` is the test-only fault-injection hook."""
+    import os
+
+    from ..commitlog import CommitConflict
+
+    store = _minhash_store(path)
+    while True:
+        head_seq = store.current_seq()
+        cur = minhash_index_current(path)
+        if cur is None or head_seq is None:
+            raise FileNotFoundError(f"no committed minhash index at {path}")
+        rows_dir, meta_dir = cur
+        num_perm, bands, shingle_n, buckets = _minhash_index_meta(
+            spark, meta_dir
+        )
+        payload = store.current() or {}
+        manifest = payload.get("rows_manifest")
+        if manifest is None:
+            # implicit single-dir manifest: every present pbucket
+            # lives in the current version's rows dir
+            base0 = os.path.dirname(rows_dir)
+            manifest = {
+                d.split("=", 1)[1]: [base0]
+                for d in store.backend.list_dir(rows_dir)
+                if d.startswith("pbucket=")
+            }
+        dirty = []
+        for k, bases in manifest.items():
+            n_files = sum(
+                1
+                for b in bases
+                for f in store.backend.list_dir(
+                    os.path.join(b, "rows", f"pbucket={k}")
+                )
+                if f.endswith(".parquet")
+            )
+            if n_files > max_files or len(bases) > 1:
+                dirty.append(k)
+        if not dirty:
+            return None
+        base = store.new_version_path()
+        spark.read.parquet(meta_dir).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, "meta"))
+        leafs = [
+            os.path.join(b, "rows", f"pbucket={k}")
+            for k in dirty
+            for b in manifest[k]
+        ]
+        rows = (
+            spark.read.parquet(*leafs)
+            .withColumn(
+                "pbucket",
+                _pbucket(F.col("band_idx"), F.col("band_hash"), bands, buckets),
+            )
+            .distinct()
+        )
+        salt = F.pmod(F.xxhash64(F.col("index_id")), F.lit(_MINHASH_WRITE_SALT))
+        (
+            rows.repartition(F.col("pbucket"), salt)
+            .write.partitionBy("pbucket")
+            .mode("overwrite")
+            .parquet(os.path.join(base, "rows"))
+        )
+        new_manifest = dict(manifest)
+        for k in dirty:
+            new_manifest[k] = [base]
+        if _after_read is not None:
+            _after_read()
+        try:
+            store.commit(
+                base,
+                extra={
+                    "rows_manifest": new_manifest,
+                    "compacted_dirty": True,
+                },
+                expected=head_seq,
+            )
+            return base
+        except CommitConflict:
             continue
 
 
@@ -1039,11 +1192,45 @@ def minhash_dups_against_index(
     from pyspark import StorageLevel
 
     probe = probe.persist(StorageLevel.MEMORY_AND_DISK)
-    idx = spark.read.parquet(rows_dir)
-    if prune is not False:
-        pbs = [r["pbucket"] for r in probe.select("pbucket").distinct().collect()]
-        if prune or len(pbs) < bands * buckets:
-            idx = idx.where(F.col("pbucket").isin(pbs))
+    manifest = (_minhash_store(path).current() or {}).get("rows_manifest")
+    if manifest is not None:
+        # dirty-compacted index: each pbucket's files live in the
+        # carrier dirs its manifest entry lists — partition pruning
+        # becomes PATH SELECTION (the probed buckets' leaf dirs are
+        # the only paths handed to the scan; a one-document probe
+        # lists ~bands directories of a 100-TB index, same contract
+        # as the isin/PartitionFilters route below)
+        import os as _os
+
+        if prune is False:
+            sel = sorted(manifest, key=int)
+        else:
+            sel = sorted(
+                {
+                    str(r["pbucket"])
+                    for r in probe.select("pbucket").distinct().collect()
+                }
+                & set(manifest)
+            )
+        leafs = [
+            _os.path.join(base, "rows", f"pbucket={k}")
+            for k in sel
+            for base in manifest[k]
+        ]
+        if not leafs:
+            pairs = probe.limit(0).select(
+                "new_id", F.col("new_id").alias("index_id")
+            )
+            return release_on_gc(pairs, probe)
+        idx = spark.read.parquet(*leafs)
+    else:
+        idx = spark.read.parquet(rows_dir)
+        if prune is not False:
+            pbs = [
+                r["pbucket"] for r in probe.select("pbucket").distinct().collect()
+            ]
+            if prune or len(pbs) < bands * buckets:
+                idx = idx.where(F.col("pbucket").isin(pbs))
     pairs = (
         probe.join(idx, ["band_idx", "band_hash"])
         .select("new_id", "index_id")
@@ -1175,7 +1362,39 @@ def minhash_index_vacuum(
     set it ≥ the longest probe lifetime so vacuum can run on a timer
     without racing in-flight probes (the shared
     ``commitlog.VersionedStore.vacuum`` contract; ``orphan_grace_s=0``
-    is the known-single-writer shortcut)."""
-    return _minhash_store(path).vacuum(
-        keep=keep, older_than_s=older_than_s, orphan_grace_s=orphan_grace_s
+    is the known-single-writer shortcut).
+
+    Dirty-compacted lineages (``rows_manifest`` payloads): a carrier
+    dir that a KEPT version's manifest still references is PINNED —
+    deleting it would tear the kept version's row set. The pin set is
+    refs(newest ``keep`` versions + current) minus those versions'
+    own dirs, so a superseded manifest version never pins ITSELF into
+    retention (its self-reference would otherwise make vacuum
+    non-convergent); pinned carriers survive purely as file holders —
+    nothing resolves them as versions anymore, so their own manifests
+    need no protection. Pinning is whole-dir (the index accretes by
+    append; bucket-granular GC inside a carrier buys little)."""
+    store = _minhash_store(path)
+    payload_for: dict[str, dict] = {}
+    for _seq, payload in store.log.history():
+        p = payload.get("path")
+        if p and p not in payload_for:
+            payload_for[p] = payload
+    vs = store.versions()
+    kept_paths = {v["path"] for v in (vs[-keep:] if keep else vs)}
+    cur = store.current_path()
+    if cur:
+        kept_paths.add(cur)
+    pinned: set[str] = set()
+    for p in kept_paths:
+        m = (payload_for.get(p) or {}).get("rows_manifest")
+        if m:
+            for bases in m.values():
+                pinned.update(bases)
+    pinned -= kept_paths
+    return store.vacuum(
+        keep=keep,
+        older_than_s=older_than_s,
+        orphan_grace_s=orphan_grace_s,
+        pinned=pinned,
     )

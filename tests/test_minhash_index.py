@@ -661,3 +661,129 @@ def test_append_marker_cas_never_reverts_a_concurrent_rebuild(
         for r in D.minhash_dups_against_index(probe, path).collect()
     }
     assert got == _cross_pairs_full(indexed, probe)
+
+
+def test_dirty_compaction_rewrites_only_appended_buckets(
+    spark, sf_dir, tmp_path
+):
+    """Round-10 task #4: full compaction rewrites EVERY pbucket even
+    when appends dirtied three; compact_minhash_index_dirty rewrites
+    only partitions over the file threshold and CARRIES the rest by
+    reference (rows_manifest) — and probes, pruned or not, still find
+    exactly what a full recompute would."""
+    import os
+
+    history = _corpus(spark, sf_dir).where(F.col("doc_id") < 80)
+    path = str(tmp_path / "mh")
+    D.write_minhash_index(history, path)
+    v0 = D._minhash_store(path).current_path()
+
+    # appends accrete files in a handful of pbuckets
+    b1 = _near_batch(history, 13, 1_000_000)
+    b2 = _near_batch(history, 13, 2_000_000)
+    for b in (b1, b2):
+        D.append_minhash_index(b, path)
+
+    vc = D.compact_minhash_index_dirty(spark, path, max_files=1)
+    assert vc is not None
+    payload = D._minhash_store(path).current()
+    manifest = payload["rows_manifest"]
+    rewrote = {k for k, bases in manifest.items() if bases == [vc]}
+    carried = {k for k, bases in manifest.items() if bases == [v0]}
+    assert rewrote and carried  # partial rewrite, not a full one
+    assert rewrote | carried == set(manifest)
+    # the new version's rows dir holds ONLY the dirty buckets
+    present = {
+        d.split("=", 1)[1]
+        for d in os.listdir(os.path.join(vc, "rows"))
+        if d.startswith("pbucket=")
+    }
+    assert present == rewrote
+
+    # probe equivalence, pruned AND unpruned, through the manifest
+    indexed = history.unionByName(b1).unionByName(b2)
+    probe = _near_batch(history, 7, 3_000_000)
+    want = _cross_pairs_full(indexed, probe)
+    for prune in (True, False):
+        got = {
+            (r["new_id"], r["index_id"])
+            for r in D.minhash_dups_against_index(
+                probe, path, prune=prune
+            ).collect()
+        }
+        assert got == want, f"prune={prune}"
+
+    # idempotent: nothing dirty after the pass
+    assert D.compact_minhash_index_dirty(spark, path, max_files=1) is None
+
+
+def test_append_on_manifest_head_extends_carrier_lists(
+    spark, sf_dir, tmp_path
+):
+    """An append AFTER a dirty compaction must extend the touched
+    buckets' carrier lists in its marker commit — probes through the
+    manifest see the new batch immediately."""
+    history = _corpus(spark, sf_dir).where(F.col("doc_id") < 80)
+    path = str(tmp_path / "mh")
+    D.write_minhash_index(history, path)
+    D.append_minhash_index(_near_batch(history, 13, 1_000_000), path)
+    D.append_minhash_index(_near_batch(history, 13, 2_000_000), path)
+    vc = D.compact_minhash_index_dirty(spark, path, max_files=1)
+    assert vc is not None
+
+    b3 = _near_batch(history, 11, 4_000_000)
+    D.append_minhash_index(b3, path)
+    payload = D._minhash_store(path).current()
+    assert payload["appended"] is True
+    # at least one bucket now lists the head version as an extra carrier
+    assert any(len(bases) > 1 for bases in payload["rows_manifest"].values())
+
+    indexed = (
+        history.unionByName(_near_batch(history, 13, 1_000_000))
+        .unionByName(_near_batch(history, 13, 2_000_000))
+        .unionByName(b3)
+    )
+    probe = _near_batch(history, 7, 5_000_000)
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in D.minhash_dups_against_index(probe, path).collect()
+    }
+    assert got == _cross_pairs_full(indexed, probe)
+
+
+def test_vacuum_pins_manifest_carriers(spark, sf_dir, tmp_path):
+    """Vacuum after a dirty compaction must NOT reclaim the bootstrap
+    dir the new manifest still references (it carries the clean
+    buckets); after a FULL compaction re-homes everything, the next
+    vacuum reclaims the old dirs."""
+    import os
+
+    history = _corpus(spark, sf_dir).where(F.col("doc_id") < 80)
+    path = str(tmp_path / "mh")
+    D.write_minhash_index(history, path)
+    v0 = D._minhash_store(path).current_path()
+    D.append_minhash_index(_near_batch(history, 13, 1_000_000), path)
+    vc = D.compact_minhash_index_dirty(spark, path, max_files=1)
+    assert vc is not None
+
+    removed = D.minhash_index_vacuum(path, keep=1, orphan_grace_s=0)
+    assert v0 not in removed and os.path.isdir(v0)  # pinned carrier
+
+    probe = _near_batch(history, 7, 3_000_000)
+    indexed = history.unionByName(_near_batch(history, 13, 1_000_000))
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in D.minhash_dups_against_index(probe, path).collect()
+    }
+    assert got == _cross_pairs_full(indexed, probe)
+
+    # full compaction (manifest-aware read) → self-contained version;
+    # carriers become unpinned and the next vacuum reclaims them
+    D.compact_minhash_index(spark, path)
+    removed2 = D.minhash_index_vacuum(path, keep=1, orphan_grace_s=0)
+    assert v0 in removed2 and vc in removed2
+    got2 = {
+        (r["new_id"], r["index_id"])
+        for r in D.minhash_dups_against_index(probe, path).collect()
+    }
+    assert got2 == got
