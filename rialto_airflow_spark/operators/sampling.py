@@ -97,24 +97,54 @@ def cap_per_group(
     )
 
 
-def _gram_buckets(text_col: Column | str, n_buckets: int) -> Column:
+def _gram_buckets(
+    text_col: Column | str, n_buckets: int, gram_hash: str = "xxhash64"
+) -> Column:
     """Hashed unigram+bigram feature buckets for a whitespace-token
-    document: pmod(xxhash64(gram), n_buckets). Pure Column algebra —
-    tokens via split, bigrams via a transform over the token range."""
+    document: pmod(hash(gram), n_buckets). Pure Column algebra —
+    tokens via split, bigrams via a transform over the token range.
+    ``gram_hash``: 'xxhash64' (default — fastest, JVM-side) or 'md5'
+    (first 8 hex chars as an int) for cross-engine replay: md5 is the
+    one hash Spark and SQL oracles share bit-for-bit, which makes the
+    whole DSIR pipeline hash-gateable against DuckDB (q37)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(F.trim(c), r"\s+")
-    bigrams = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    # bigrams via zip_with(toks, toks[2:]) — NOT a transform whose
+    # lambda element_at's into the outer `toks`: Catalyst does not
+    # CSE an outer expression through a higher-order-function lambda,
+    # so that shape re-evaluates the full split() PER BIGRAM ELEMENT
+    # (O(tokens²) work per document — measured 5 s/pass at sf0.1 vs
+    # ~1 s for this one). zip_with pads the shorter side with null;
+    # concat_ws would silently swallow the null into a duplicate
+    # unigram, so the tail null is made explicit and filtered.
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+        ),
+        lambda x: x.isNotNull(),
     )
     grams = F.concat(toks, bigrams)
+    if gram_hash == "md5":
+        return F.transform(
+            grams,
+            lambda g: F.pmod(
+                F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+                F.lit(n_buckets),
+            ),
+        )
     return F.transform(
         grams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets))
     )
 
 
 def _bucket_probs(
-    df: DataFrame, text_col: str, n_buckets: int, smoothing: float
+    df: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    smoothing: float,
+    gram_hash: str = "xxhash64",
 ) -> list[float]:
     """Smoothed hashed-ngram bucket distribution, collected to the
     driver — EXACTLY ``n_buckets`` floats by contract (the point of
@@ -123,7 +153,7 @@ def _bucket_probs(
     ≤ n_buckets rows."""
     counts = dict(
         df.select(
-            F.explode(_gram_buckets(text_col, n_buckets)).alias("b")
+            F.explode(_gram_buckets(text_col, n_buckets, gram_hash)).alias("b")
         )
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -141,6 +171,7 @@ def dsir_weights(
     n_buckets: int = 10_000,
     smoothing: float = 1.0,
     out_col: str = "dsir_logw",
+    gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al. 2023,
     arXiv:2302.03169): score every raw document by how much more
@@ -163,12 +194,12 @@ def dsir_weights(
     """
     import math
 
-    p = _bucket_probs(target, text_col, n_buckets, smoothing)
-    q = _bucket_probs(raw, text_col, n_buckets, smoothing)
+    p = _bucket_probs(target, text_col, n_buckets, smoothing, gram_hash)
+    q = _bucket_probs(raw, text_col, n_buckets, smoothing, gram_hash)
     logratio = [math.log(pi / qi) for pi, qi in zip(p, q)]
     arr = F.lit(logratio)
     score = F.aggregate(
-        _gram_buckets(text_col, n_buckets),
+        _gram_buckets(text_col, n_buckets, gram_hash),
         F.lit(0.0),
         lambda acc, b: acc + F.element_at(arr, (b + 1).cast("int")),
     )

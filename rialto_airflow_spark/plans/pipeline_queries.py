@@ -203,17 +203,58 @@ def q36_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q37_hash_split",
     oracle="""
-    WITH u AS (
-      SELECT lang,
-             CAST('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 8) AS BIGINT)
-               / 4294967296.0 AS u
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
       FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(t) AS g FROM toks
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks
+    ),
+    gb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 256 AS b
+      FROM grams
+    ),
+    buckets AS (SELECT unnest(range(0, 256)) AS b),
+    qc AS (
+      SELECT bk.b, coalesce(r.n, 0) + 1.0 AS c
+      FROM buckets bk
+      LEFT JOIN (SELECT b, count(*) AS n FROM gb GROUP BY b) r USING (b)
+    ),
+    pc AS (
+      SELECT bk.b, coalesce(r.n, 0) + 1.0 AS c
+      FROM buckets bk
+      LEFT JOIN (SELECT b, count(*) AS n FROM gb
+                 WHERE doc_id < 50 GROUP BY b) r USING (b)
+    ),
+    lr AS (
+      SELECT qc.b,
+             ln((pc.c / (SELECT sum(c) FROM pc))
+                / (qc.c / (SELECT sum(c) FROM qc))) AS logr
+      FROM qc JOIN pc ON qc.b = pc.b
+    ),
+    w AS (
+      SELECT gb.doc_id, sum(lr.logr) AS logw
+      FROM gb JOIN lr ON gb.b = lr.b
+      GROUP BY gb.doc_id
+    ),
+    u AS (
+      SELECT d.lang, w.logw,
+             CAST('0x' || substr(md5(d.doc_id::VARCHAR || '#split'), 1, 8) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM documents d JOIN w ON w.doc_id = d.doc_id
     )
     SELECT CASE WHEN u < 0.8 THEN 'train'
                 WHEN u < 0.9 THEN 'val'
                 ELSE 'test' END AS split,
            lang,
-           count(*) AS n_docs
+           count(*) AS n_docs,
+           round(sum(logw), 3) AS sum_dsir_logw
     FROM u
     GROUP BY 1, 2
     """,
@@ -222,12 +263,29 @@ def q37_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment
     (operators.sampling.hash_split): salted-md5 thresholds, stable
     across runs/engines/partitionings — rows never migrate between
-    splits as the corpus grows."""
+    splits as the corpus grows.
+
+    Round 10 folds the DSIR importance-weight family
+    (``operators.sampling.dsir_weights``, Xie et al. 2023) into the
+    same documents scan as a second hash-gated column: per-split/lang
+    sum of log importance weights against a deterministic target
+    slice (doc_id < 50), with the md5 gram hash so DuckDB replays the
+    full pipeline — hashed unigram+bigram buckets, add-1 smoothed
+    probability vectors, per-doc log-ratio fold — bit-for-bit. One
+    scan serves both column families (the q09/q26 slot-merge
+    pattern; the driver registry is capped at 50)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    out = SA.hash_split(
-        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+    target = docs.where(F.col("doc_id") < 50)
+    scored = SA.dsir_weights(
+        docs, target, n_buckets=256, gram_hash="md5"
     )
-    return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    out = SA.hash_split(
+        scored, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+    )
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("dsir_logw"), 3).alias("sum_dsir_logw"),
+    )
 
 
 _IVF_COS = """

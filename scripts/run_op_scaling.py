@@ -248,6 +248,48 @@ def op_mart_full_rebuild(spark, d):
     return mart_publications_by_author(new_pubs, edges, authors, fe, fu)
 
 
+def _docs_table(spark, d):
+    docs = load_tables(spark, d, "documents")["documents"]
+    return docs.select(
+        "doc_id", "text", "lang",
+        F.to_timestamp(F.lit("2024-01-01")).alias("updated_at"),
+    )
+
+
+def _doc_batch(spark, d, n=100):
+    """A fixed change set at every scale (the weekly-delta shape:
+    change size constant, table size grows)."""
+    return (
+        _docs_table(spark, d)
+        .where(F.col("doc_id") < n)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+        .drop("updated_at")
+    )
+
+
+def op_merge_broadcast_batch(spark, d):
+    """Round-10 merge fix, measured: a 100-row batch MERGEd with the
+    broadcast decomposition — the table is scanned but never
+    shuffled/sorted. Pair row: op_merge_fullouter_batch."""
+    from rialto_airflow_spark.operators.merge import merge_on_key
+
+    return merge_on_key(
+        _docs_table(spark, d), _doc_batch(spark, d), "doc_id",
+        updated_at_col="updated_at", broadcast_batch=True,
+    )
+
+
+def op_merge_fullouter_batch(spark, d):
+    """The pre-fix plan for contrast: the full-outer path
+    sort-merge-joins the whole table against the 100-row batch."""
+    from rialto_airflow_spark.operators.merge import merge_on_key
+
+    return merge_on_key(
+        _docs_table(spark, d), _doc_batch(spark, d), "doc_id",
+        updated_at_col="updated_at", broadcast_batch=False,
+    )
+
+
 OPS = {
     "remove_duplicate_spans": op_exact_substr,
     "gopher_quality_filter": op_gopher,
@@ -256,6 +298,76 @@ OPS = {
     "minhash_index_probe": op_minhash_index_probe,
     "mart_incremental_100chg": op_mart_incremental,
     "mart_full_rebuild": op_mart_full_rebuild,
+    "merge_broadcast_batch_100chg": op_merge_broadcast_batch,
+    "merge_fullouter_batch_100chg": op_merge_fullouter_batch,
+}
+
+
+# --- write-path ops: measured in BYTES WRITTEN as well as seconds ---
+# (the round-10 manifest work's whole point: a 0.1% delta must not
+# rewrite 100% of the table)
+
+def _version_bytes(vdir: str) -> int:
+    import glob
+
+    return sum(
+        os.path.getsize(p)
+        for p in glob.glob(vdir + "/**/*.parquet", recursive=True)
+    )
+
+
+_WRITE_SETUP: dict = {}
+
+
+def _write_stores(spark, d):
+    """Per-scale bootstrap: one manifest table and one plain table,
+    both holding the documents corpus keyed by doc_id."""
+    if d in _WRITE_SETUP:
+        return _WRITE_SETUP[d]
+    import tempfile
+
+    from rialto_airflow_spark.storage import TableStore
+
+    root = tempfile.mkdtemp(prefix="rspark_wscale_")
+    st = TableStore(root)
+    base = _docs_table(spark, d)
+    # 256 buckets and a 10-key delta: the weekly-delta RATIO a 100 TB
+    # table sees (~4% of buckets dirty), scaled down — with a delta
+    # that touches most buckets, manifest writes degrade to full
+    # rewrites by design (every bucket is dirty)
+    st.write_manifest(base, "m", "doc_id", n_buckets=256)
+    st.write(base, "p")
+    _WRITE_SETUP[d] = st
+    return st
+
+
+def wop_upsert_manifest(spark, d):
+    """O(changes) write: 10-doc batch upserted into the manifest
+    table — only dirty buckets land on disk."""
+    st = _write_stores(spark, d)
+    vdir = st.upsert_manifest(
+        spark, "m", _doc_batch(spark, d, n=10), updated_at_col="updated_at"
+    )
+    return _version_bytes(vdir)
+
+
+def wop_full_rewrite(spark, d):
+    """The pre-round-10 write path for contrast: the same MERGE
+    result materialized as a whole-table version."""
+    from rialto_airflow_spark.operators.merge import merge_on_key
+
+    st = _write_stores(spark, d)
+    merged = merge_on_key(
+        st.read(spark, "p"), _doc_batch(spark, d, n=10), "doc_id",
+        updated_at_col="updated_at", broadcast_batch=True,
+    )
+    vdir = st.write(merged, "p")
+    return _version_bytes(vdir)
+
+
+WRITE_OPS = {
+    "write_upsert_manifest_10chg": wop_upsert_manifest,
+    "write_full_rewrite_10chg": wop_full_rewrite,
 }
 
 
@@ -282,8 +394,18 @@ def main() -> None:
                 dt = round(time.perf_counter() - t0, 3)
                 if name not in timings or dt < timings[name]:
                     timings[name] = dt
-        result["scales"][label] = {"dir": d, "ops": timings}
-        print(label, timings)
+        # write ops: one run each (they mutate store state), recording
+        # seconds AND bytes written — the O(changes)-writes evidence
+        writes: dict[str, dict] = {}
+        for name, fn in WRITE_OPS.items():
+            t0 = time.perf_counter()
+            nbytes = fn(spark, d)
+            writes[name] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "bytes_written": nbytes,
+            }
+        result["scales"][label] = {"dir": d, "ops": timings, "writes": writes}
+        print(label, timings, writes)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
 
