@@ -71,14 +71,75 @@ def index_data_dir(path: str, name: str = "lists") -> str:
     return os.path.join(base, name) if name else base
 
 
+def _read_lists(spark, index_path: str, probed=None):
+    """The supported read of an IVF index's inverted lists, manifest-
+    aware (round-10 dirty compaction): a ``lists_manifest`` payload
+    maps each centroid to the carrier version dirs holding its files.
+    Reads group by CARRIER (one partitioned read per carrier dir,
+    filtered to the centroids the manifest homes there — partition
+    discovery keeps the ``centroid_id`` column the probe join needs),
+    so the plan has one branch per carrier, not per centroid.
+    ``probed`` (driver-small by contract) prunes to those centroids —
+    path-level on manifest indexes, PartitionFilters otherwise."""
+    import os
+    from functools import reduce
+
+    manifest = (_index_store(index_path).current() or {}).get("lists_manifest")
+    if manifest is None:
+        df = spark.read.parquet(index_data_dir(index_path, "lists"))
+        if probed is not None:
+            df = df.where(F.col("centroid_id").isin(list(probed)))
+        return df
+    sel = (
+        {str(c) for c in probed} if probed is not None else set(manifest)
+    ) & set(manifest)
+    by_base: dict[str, set[int]] = {}
+    for kstr in sel:
+        for b in manifest[kstr]:
+            by_base.setdefault(b, set()).add(int(kstr))
+    parts = [
+        spark.read.parquet(os.path.join(b, "lists")).where(
+            F.col("centroid_id").isin(sorted(ks))
+        )
+        for b, ks in sorted(by_base.items())
+    ]
+    if not parts:
+        return spark.read.parquet(index_data_dir(index_path, "lists")).limit(0)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def index_vacuum(
     path: str, keep: int = 1, older_than_s: float | None = None
 ) -> list[str]:
     """Reclaim superseded index versions (never the current one);
     ``older_than_s`` spares recently-committed versions so vacuum can
     run on a timer without racing in-flight probes — the shared
-    ``commitlog.VersionedStore.vacuum`` contract."""
-    return _index_store(path).vacuum(keep=keep, older_than_s=older_than_s)
+    ``commitlog.VersionedStore.vacuum`` contract.
+
+    Dirty-compacted lineages (``lists_manifest`` payloads) pin the
+    carrier dirs the kept window still references, self-references
+    excluded — the ``dedup.minhash_index_vacuum`` rule."""
+    store = _index_store(path)
+    payload_for: dict[str, dict] = {}
+    for _seq, payload in store.log.history():
+        p = payload.get("path")
+        if p and p not in payload_for:
+            payload_for[p] = payload
+    vs = store.versions()
+    kept_paths = {v["path"] for v in (vs[-keep:] if keep else vs)}
+    cur = store.current_path()
+    if cur:
+        kept_paths.add(cur)
+    pinned: set[str] = set()
+    for p in kept_paths:
+        m = (payload_for.get(p) or {}).get("lists_manifest")
+        if m:
+            for bases in m.values():
+                pinned.update(bases)
+    pinned -= kept_paths
+    return store.vacuum(
+        keep=keep, older_than_s=older_than_s, pinned=pinned
+    )
 
 
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
@@ -732,9 +793,7 @@ def ivf_topk_indexed(
     probed = [
         r["centroid_id"] for r in q.select("centroid_id").distinct().collect()
     ]  # |queries| × nprobe ids at most — driver-side small by contract
-    idx = spark.read.parquet(index_data_dir(index_path, "lists")).where(
-        F.col("centroid_id").isin(probed)
-    )
+    idx = _read_lists(spark, index_path, probed)
     if quantized is None:
         quantized = "qvec" in idx.columns
     if quantized:
@@ -845,6 +904,17 @@ def append_ivf_index(
             "vec_norm",
             "centroid_id",
         )
+    head_manifest = (store.current() or {}).get("lists_manifest")
+    touched: list[str] = []
+    if head_manifest is not None:
+        # manifest head (dirty-compacted lineage): the marker must
+        # extend the touched centroids' carrier lists or manifest-
+        # routed probes would never see the appended files. Bounded
+        # collect (≤ n_centroids distinct values by construction).
+        touched = [
+            str(r["centroid_id"])
+            for r in assigned.select("centroid_id").distinct().collect()
+        ]
     salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(_WRITE_SALT))
     (
         assigned.repartition(F.col("centroid_id"), salt)
@@ -876,17 +946,27 @@ def append_ivf_index(
     from ..commitlog import CommitConflict
 
     cur = store.current() or {}
+    extra = dict(
+        {
+            k: cur[k]
+            for k in ("kind", "n_centroids", "format")
+            if k in cur
+        },
+        appended=True,
+    )
+    if head_manifest is not None:
+        new_manifest = dict(cur.get("lists_manifest") or head_manifest)
+        base = os.path.dirname(lists_dir)
+        for k in touched:
+            dirs = list(new_manifest.get(k, []))
+            if base not in dirs:
+                dirs.append(base)
+            new_manifest[k] = dirs
+        extra["lists_manifest"] = new_manifest
     try:
         store.commit(
             os.path.dirname(lists_dir),
-            extra=dict(
-                {
-                    k: cur[k]
-                    for k in ("kind", "n_centroids", "format")
-                    if k in cur
-                },
-                appended=True,
-            ),
+            extra=extra,
             expected=seq0,
         )
     except CommitConflict:
@@ -937,7 +1017,7 @@ def compact_ivf_index(spark, path: str, _after_read=None) -> str:
                 spark.read.parquet(src).coalesce(1).write.mode(
                     "overwrite"
                 ).parquet(os.path.join(base, aux))
-        lists = spark.read.parquet(os.path.join(base_old, "lists")).distinct()
+        lists = _read_lists(spark, path).distinct()
         salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(_WRITE_SALT))
         (
             lists.repartition(F.col("centroid_id"), salt)
@@ -963,6 +1043,93 @@ def compact_ivf_index(spark, path: str, _after_read=None) -> str:
             return base
         except CommitConflict:
             continue  # an append/rebuild sequenced past us; redo
+
+
+def compact_ivf_index_dirty(
+    spark, path: str, max_files: int = 4, _after_read=None
+) -> str | None:
+    """DIRTY-PARTITION IVF compaction (round-10 task #4, the
+    ``dedup.compact_minhash_index_dirty`` twin): rewrite only centroid
+    lists holding more than ``max_files`` data files (or spanning
+    multiple carrier dirs — the append pattern), carrying every clean
+    list by reference in a ``lists_manifest`` commit payload.
+    Centroids and PQ codebooks copy verbatim; probes resolve the
+    manifest per-carrier (:func:`_read_lists` — centroid_id survives
+    via partition discovery, pruning becomes path selection); appends
+    extend the touched centroids' carrier lists in their marker;
+    :func:`index_vacuum` pins referenced carriers. Same CAS contract
+    as the full compaction. Returns the new base dir, or None when
+    nothing is dirty (no write, no commit)."""
+    import os
+
+    from ..commitlog import CommitConflict
+
+    store = _index_store(path)
+    while True:
+        seq0 = store.current_seq()
+        base_old = store.current_path()
+        if seq0 is None or base_old is None:
+            raise FileNotFoundError(f"no committed index at {path}")
+        payload = store.current() or {}
+        manifest = payload.get("lists_manifest")
+        if manifest is None:
+            lists_dir = os.path.join(base_old, "lists")
+            manifest = {
+                d.split("=", 1)[1]: [base_old]
+                for d in store.backend.list_dir(lists_dir)
+                if d.startswith("centroid_id=")
+            }
+        dirty = []
+        for k, bases in manifest.items():
+            n_files = sum(
+                1
+                for b in bases
+                for f in store.backend.list_dir(
+                    os.path.join(b, "lists", f"centroid_id={k}")
+                )
+                if f.endswith(".parquet")
+            )
+            if n_files > max_files or len(bases) > 1:
+                dirty.append(k)
+        if not dirty:
+            return None
+        base = store.new_version_path()
+        for aux in ("centroids", "pq_codebooks"):
+            src = os.path.join(base_old, aux)
+            if store.backend.data_exists(src):
+                spark.read.parquet(src).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(base, aux))
+        rows = _read_lists(spark, path, probed=[int(k) for k in dirty]).distinct()
+        salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(_WRITE_SALT))
+        (
+            rows.repartition(F.col("centroid_id"), salt)
+            .write.partitionBy("centroid_id")
+            .mode("overwrite")
+            .parquet(os.path.join(base, "lists"))
+        )
+        new_manifest = dict(manifest)
+        for k in dirty:
+            new_manifest[k] = [base]
+        if _after_read is not None:
+            _after_read()
+        try:
+            store.commit(
+                base,
+                extra=dict(
+                    {
+                        k: payload[k]
+                        for k in ("kind", "n_centroids", "format")
+                        if k in payload
+                    },
+                    lists_manifest=new_manifest,
+                    compacted_dirty=True,
+                ),
+                expected=seq0,
+            )
+            return base
+        except CommitConflict:
+            continue
 
 
 def ivf_pq_topk_indexed(
@@ -1004,10 +1171,8 @@ def ivf_pq_topk_indexed(
     probed = [
         r["centroid_id"] for r in qa.select("centroid_id").distinct().collect()
     ]  # driver-small by contract
-    lists = (
-        spark.read.parquet(index_data_dir(index_path, "lists"))
-        .where(F.col("centroid_id").isin(probed))
-        .select(F.col("neighbor_id").alias("pq_id"), "pq_codes")
+    lists = _read_lists(spark, index_path, probed).select(
+        F.col("neighbor_id").alias("pq_id"), "pq_codes"
     )
     return pq_topk(lists, queries, id_col, vec_col, books, k=k)
 
@@ -1695,7 +1860,7 @@ def ivf_drift_stats(
         )
     )
 
-    idx = spark.read.parquet(index_data_dir(index_path, "lists"))
+    idx = _read_lists(spark, index_path)
     if "qvec" in idx.columns:
         idx = idx.withColumn("vec", dequant())
     elif "vec" not in idx.columns:

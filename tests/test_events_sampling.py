@@ -1920,3 +1920,80 @@ def test_ivf_append_marker_cas_never_reverts_a_concurrent_rebuild(
     S.append_ivf_index(second, path, "vec_id", "embedding")
     n = spark.read.parquet(S.index_data_dir(path, "lists")).count()
     assert n == emb.count()
+
+
+def test_ivf_dirty_compaction_rewrites_only_appended_lists(
+    spark, sf_dir, tmp_path
+):
+    """Round-10 task #4 (IVF side): appends dirty a few centroid
+    lists; compact_ivf_index_dirty rewrites only those and carries
+    the rest via lists_manifest — probes through the manifest answer
+    exactly like a full build, appends afterwards still land, and
+    vacuum pins the referenced carrier."""
+    import os
+
+    from rialto_airflow_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 6))
+    third = emb.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") >= 6))
+    qs = emb.where(F.col("vec_id") < 10)
+    cents = S._pick_centroids(first, "vec_id", "embedding", 8)
+
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(first, path, "vec_id", "embedding", centroids=cents)
+    v0 = S._index_store(path).current_path()
+    S.append_ivf_index(second, path, "vec_id", "embedding")
+
+    vc = S.compact_ivf_index_dirty(spark, path, max_files=1)
+    assert vc is not None
+    payload = S._index_store(path).current()
+    manifest = payload["lists_manifest"]
+    rewrote = {k for k, bases in manifest.items() if bases == [vc]}
+    carried = {k for k, bases in manifest.items() if bases == [v0]}
+    assert rewrote and (rewrote | carried) == set(manifest)
+    # the new version's lists dir holds ONLY the dirty centroids
+    present = {
+        d.split("=", 1)[1]
+        for d in os.listdir(os.path.join(vc, "lists"))
+        if d.startswith("centroid_id=")
+    }
+    assert present == rewrote
+
+    # probe equivalence vs a full build pinned to the same centroids
+    full = str(tmp_path / "ivf_full")
+    S.write_ivf_index(
+        first.unionByName(second), full, "vec_id", "embedding",
+        centroids=cents,
+    )
+    a = S.ivf_topk_indexed(spark, path, qs, "vec_id", "embedding", k=3, nprobe=2)
+    b = S.ivf_topk_indexed(spark, full, qs, "vec_id", "embedding", k=3, nprobe=2)
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+
+    # idempotent under the threshold
+    assert S.compact_ivf_index_dirty(spark, path, max_files=1) is None
+
+    # an append on the manifest head extends carrier lists and probes
+    # see it
+    S.append_ivf_index(third, path, "vec_id", "embedding")
+    payload2 = S._index_store(path).current()
+    assert any(len(bs) > 1 for bs in payload2["lists_manifest"].values())
+    n = S._read_lists(spark, path).count()
+    assert n == emb.count()
+
+    # vacuum pins the carrier the manifest references
+    removed = S.index_vacuum(path, keep=1)
+    assert v0 not in removed and os.path.isdir(v0)
+    a2 = S.ivf_topk_indexed(spark, path, qs, "vec_id", "embedding", k=3, nprobe=2)
+    full2 = str(tmp_path / "ivf_full2")
+    S.write_ivf_index(emb, full2, "vec_id", "embedding", centroids=cents)
+    b2 = S.ivf_topk_indexed(spark, full2, qs, "vec_id", "embedding", k=3, nprobe=2)
+    assert a2.exceptAll(b2).unionAll(b2.exceptAll(a2)).count() == 0
+
+    # full compaction re-homes everything → next vacuum reclaims
+    S.compact_ivf_index(spark, path)
+    removed2 = S.index_vacuum(path, keep=1)
+    assert v0 in removed2 and vc in removed2
+    a3 = S.ivf_topk_indexed(spark, path, qs, "vec_id", "embedding", k=3, nprobe=2)
+    assert a3.exceptAll(b2).unionAll(b2.exceptAll(a3)).count() == 0
