@@ -335,6 +335,21 @@ def build_publish_dag() -> Dag:
                         compare_cols=inc.get("compare_cols"),
                     )
                 )
+                # the O(changes)-WRITE parts for publish_to_store:
+                # when the reports store's mart is a manifest table,
+                # the publish applies (affected dois, fragment) as a
+                # keyed REPLACE instead of re-materializing the mart
+                ctx["mart_by_author_parts"] = (
+                    M.incremental_mart_publications_by_author_parts(
+                        inc["prev_pubs"],
+                        ctx["pubs"],
+                        ctx["author_edges"],
+                        ctx["authors"],
+                        ctx["funder_edges"],
+                        ctx["funders"],
+                        compare_cols=inc.get("compare_cols"),
+                    )
+                )
             else:
                 ctx["mart_by_author"] = M.mart_publications_by_author(
                     ctx["pubs"], ctx["author_edges"], ctx["authors"],
@@ -349,16 +364,34 @@ def build_publish_dag() -> Dag:
         156-160, 221-225 — so a reader between two of them sees a
         mixed catalog; publish_snapshot's catalog commit is the last
         write, so readers get all-run-N-or-all-run-N-1 and a crash
-        mid-publish fails closed). Opt-in via ctx['reports_store']."""
+        mid-publish fails closed). Opt-in via ctx['reports_store'].
+
+        O(changes) mart WRITE: when the incremental path ran AND the
+        store's publications_by_author is a MANIFEST table (bootstrap
+        it once with ``write_manifest(mart, 'publications_by_author',
+        'doi', n_buckets=N)``), the (affected dois, fragment) pair
+        applies as a keyed REPLACE — only dirty doi-buckets land on
+        disk — and the snapshot ADOPTS that version (None member).
+        Otherwise the reference's full re-materialization shape."""
         if ctx["publish_ok"] and "reports_store" in ctx:
-            ctx["reports_snapshot"] = ctx["reports_store"].publish_snapshot(
-                {
-                    "publications": ctx["mart_publications"],
-                    "publications_by_school": ctx["mart_by_school"],
-                    "publications_by_department": ctx["mart_by_department"],
-                    "publications_by_author": ctx["mart_by_author"],
-                }
-            )
+            store = ctx["reports_store"]
+            dfs = {
+                "publications": ctx["mart_publications"],
+                "publications_by_school": ctx["mart_by_school"],
+                "publications_by_department": ctx["mart_by_department"],
+                "publications_by_author": ctx["mart_by_author"],
+            }
+            info = store.current_info("publications_by_author")
+            if "mart_by_author_parts" in ctx and info and "manifest" in info:
+                affected, fragment = ctx["mart_by_author_parts"]
+                store.replace_keys_manifest(
+                    fragment.sparkSession,
+                    "publications_by_author",
+                    affected,
+                    fragment,
+                )
+                dfs["publications_by_author"] = None
+            ctx["reports_snapshot"] = store.publish_snapshot(dfs)
 
     @dag.task(
         "generate_download_files",

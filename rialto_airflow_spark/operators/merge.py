@@ -273,6 +273,37 @@ def snapshot_diff(
     )
 
 
+def incremental_join_mart_parts(
+    old_tbl: DataFrame,
+    new_tbl: DataFrame,
+    key: str,
+    fan_key: str,
+    build,
+    compare_cols: Sequence[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The (affected fan-keys, rebuilt fragment) pair behind
+    :func:`incremental_join_mart`, for writers that can apply a keyed
+    REPLACE directly (``TableStore.replace_keys_manifest``) instead of
+    materializing ``kept ∪ fragment`` — the difference between an
+    O(changes) mart WRITE and an O(mart) one. ``affected`` keeps the
+    ``fan_key`` column name."""
+    changed = snapshot_diff(
+        old_tbl, new_tbl, key, compare_cols=compare_cols
+    ).select(key).distinct()
+    affected = (
+        old_tbl.join(changed, key, "left_semi")
+        .select(fan_key)
+        .unionByName(new_tbl.join(changed, key, "left_semi").select(fan_key))
+        .distinct()
+    )
+    fragment_rows = new_tbl.join(
+        F.broadcast(affected.withColumnRenamed(fan_key, "__chg_fan")),
+        new_tbl[fan_key].eqNullSafe(F.col("__chg_fan")),
+        "left_semi",
+    )
+    return affected, build(fragment_rows)
+
+
 def incremental_join_mart(
     old_tbl: DataFrame,
     new_tbl: DataFrame,
@@ -308,24 +339,11 @@ def incremental_join_mart(
     broadcasts into both the fragment semi-join and the mart
     anti-join; ``build`` runs over only the affected groups' rows.
     Null-safe group matching keeps a NULL fan-key group whole."""
-    changed = snapshot_diff(
-        old_tbl, new_tbl, key, compare_cols=compare_cols
-    ).select(key).distinct()
-    affected = (
-        old_tbl.join(changed, key, "left_semi")
-        .select(fan_key)
-        .unionByName(new_tbl.join(changed, key, "left_semi").select(fan_key))
-        .distinct()
-        .withColumnRenamed(fan_key, "__chg_fan")
+    affected, fragment = incremental_join_mart_parts(
+        old_tbl, new_tbl, key, fan_key, build, compare_cols=compare_cols
     )
-    fragment_rows = new_tbl.join(
-        F.broadcast(affected),
-        new_tbl[fan_key].eqNullSafe(F.col("__chg_fan")),
-        "left_semi",
-    )
-    fragment = build(fragment_rows)
     kept = old_mart.join(
-        F.broadcast(affected),
+        F.broadcast(affected.withColumnRenamed(fan_key, "__chg_fan")),
         old_mart[fan_key].eqNullSafe(F.col("__chg_fan")),
         "left_anti",
     )
@@ -365,6 +383,29 @@ def incremental_group_agg(
     exact distinct) are fine too, at the cost of rescanning just the
     affected groups' rows. Group membership via null-safe equality, so
     a NULL group is one group, matching groupBy semantics."""
+    affected, fragment = incremental_group_agg_parts(
+        old_tbl, new_tbl, key, group_col, agg_exprs, compare_cols=compare_cols
+    )
+    kept = old_mart.join(
+        F.broadcast(affected.withColumnRenamed(group_col, "__chg_grp")),
+        old_mart[group_col].eqNullSafe(F.col("__chg_grp")),
+        "left_anti",
+    )
+    return kept.unionByName(fragment)
+
+
+def incremental_group_agg_parts(
+    old_tbl: DataFrame,
+    new_tbl: DataFrame,
+    key: str,
+    group_col: str,
+    agg_exprs: Sequence[Column],
+    compare_cols: Sequence[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The (affected groups, re-folded fragment) pair behind
+    :func:`incremental_group_agg` — see
+    :func:`incremental_join_mart_parts` for why writers want the
+    parts (keyed REPLACE instead of materializing the carried mart)."""
     changed = snapshot_diff(
         old_tbl, new_tbl, key, compare_cols=compare_cols
     ).select(key).distinct()
@@ -373,20 +414,14 @@ def incremental_group_agg(
         .select(group_col)
         .unionByName(new_tbl.join(changed, key, "left_semi").select(group_col))
         .distinct()
-        .withColumnRenamed(group_col, "__chg_grp")
     )
     fragment = (
         new_tbl.join(
-            F.broadcast(affected),
+            F.broadcast(affected.withColumnRenamed(group_col, "__chg_grp")),
             new_tbl[group_col].eqNullSafe(F.col("__chg_grp")),
             "left_semi",
         )
         .groupBy(group_col)
         .agg(*agg_exprs)
     )
-    kept = old_mart.join(
-        F.broadcast(affected),
-        old_mart[group_col].eqNullSafe(F.col("__chg_grp")),
-        "left_anti",
-    )
-    return kept.unionByName(fragment)
+    return affected, fragment

@@ -266,6 +266,38 @@ def incremental_mart_publications_by_author(
     )
 
 
+def incremental_mart_publications_by_author_parts(
+    old_pubs: DataFrame,
+    new_pubs: DataFrame,
+    author_edges: DataFrame,
+    authors: DataFrame,
+    funder_edges: DataFrame,
+    funders: DataFrame,
+    key: str = "id",
+    compare_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The (affected DOIs, rebuilt fragment) pair behind
+    :func:`incremental_mart_publications_by_author`, for publishing
+    the mart as an O(changes) keyed REPLACE on a MANIFEST table
+    (``TableStore.replace_keys_manifest`` — only dirty doi-buckets
+    land on disk) instead of re-materializing the carried rows. Same
+    correctness contract as the full-DataFrame variant."""
+    from rialto_airflow_spark.operators.merge import (
+        incremental_join_mart_parts,
+    )
+
+    return incremental_join_mart_parts(
+        old_pubs,
+        new_pubs,
+        key,
+        "doi",
+        lambda pubs: mart_publications_by_author(
+            pubs, author_edges, authors, funder_edges, funders
+        ),
+        compare_cols=compare_cols,
+    )
+
+
 def format_for_download(df: DataFrame) -> DataFrame:
     """K3 — CSV download formatting (publish/publication.py:400-421):
     booleans rendered 'true'/'false', null → empty string."""

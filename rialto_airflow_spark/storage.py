@@ -136,13 +136,29 @@ class TableStore:
         :meth:`vacuum` does not know about snapshots — keep table
         retention ≥ snapshot lookback, and a read of a vacuumed
         snapshot fails loudly (missing path), never serves a wrong
-        version."""
-        paths = {
-            name: self.write(
-                df, name, partition_by=(partition_by or {}).get(name)
-            )
-            for name, df in dfs.items()
-        }
+        version.
+
+        A ``None`` value ADOPTS the table's current committed version
+        instead of rewriting it — for tables advanced out-of-band
+        just before the publish (e.g. an O(changes)
+        :meth:`replace_keys_manifest` mart refresh): the snapshot
+        stays all-run-N consistent while the big member never
+        re-materializes. Manifest versions referenced by a retained
+        snapshot keep their carrier dirs pinned through vacuum."""
+        paths = {}
+        for name, df in dfs.items():
+            if df is None:
+                cur = self.current_version(name)
+                if cur is None:
+                    raise FileNotFoundError(
+                        f"publish_snapshot: table {name} has no committed "
+                        "version to adopt (None member)"
+                    )
+                paths[name] = cur
+            else:
+                paths[name] = self.write(
+                    df, name, partition_by=(partition_by or {}).get(name)
+                )
         return self._snapshot_log().commit({"tables": paths})
 
     def snapshots(self) -> list[tuple[int, dict]]:
@@ -187,6 +203,18 @@ class TableStore:
                 f"snapshot {seq}'s version of {name!r} was vacuumed "
                 f"({p}); raise table retention above snapshot lookback"
             )
+        vp = self._payload_for(name, p)
+        if vp and "manifest" in vp:
+            # adopted manifest member: resolve its bucket references
+            # (vacuum keeps them pinned while this snapshot is retained)
+            for k, vd in vp["manifest"].items():
+                if not self._backend().data_exists(self._manifest_leaf(vd, k)):
+                    raise FileNotFoundError(
+                        f"snapshot {seq}'s version of {name!r} references "
+                        f"bucket {k} in a vacuumed carrier — raise table "
+                        "retention above snapshot lookback"
+                    )
+            return self._read_manifest(spark, vp)
         return spark.read.parquet(p)
 
     def versions(self, name: str) -> list[dict]:
@@ -472,7 +500,12 @@ class TableStore:
         return spark.read.parquet(*paths)
 
     def write_manifest(
-        self, df: DataFrame, name: str, key: str, n_buckets: int = 64
+        self,
+        df: DataFrame,
+        name: str,
+        key: str,
+        n_buckets: int = 64,
+        extra: dict | None = None,
     ) -> str:
         """Full (re)write of a bucketed manifest table: every row lands
         in its key-bucket dir inside one new version; the manifest maps
@@ -490,11 +523,12 @@ class TableStore:
         manifest = {str(k): vdir for k in self._present_buckets(vdir)}
         store.commit(
             vdir,
-            extra={
-                "manifest": manifest,
-                "n_buckets": n_buckets,
-                "bucket_key": key,
-            },
+            extra=dict(
+                extra or {},
+                manifest=manifest,
+                n_buckets=n_buckets,
+                bucket_key=key,
+            ),
         )
         return vdir
 
@@ -579,6 +613,7 @@ class TableStore:
         name: str,
         affected_keys: DataFrame,
         fragment: DataFrame,
+        extra: dict | None = None,
     ) -> str:
         """Delete-then-insert, O(changes): remove every row whose
         bucket key is in ``affected_keys`` (null-safe — a null group
@@ -641,11 +676,12 @@ class TableStore:
                 new_manifest.pop(str(k), None)
         store.commit(
             vdir,
-            extra={
-                "manifest": new_manifest,
-                "n_buckets": n,
-                "bucket_key": key,
-            },
+            extra=dict(
+                extra or {},
+                manifest=new_manifest,
+                n_buckets=n,
+                bucket_key=key,
+            ),
         )
         return vdir
 

@@ -562,7 +562,14 @@ def stream_upsert(
         ``build`` must be per-group, e.g. a fan-out join into
         dimensions; the publications-by-author shape).
 
-    The first batch computes the mart in full. A
+    The first batch computes the mart in full. Adding
+    ``"manifest_buckets": N`` to either shape makes the mart itself a
+    MANIFEST table: each refresh applies the (affected groups,
+    rebuilt fragment) pair as a keyed REPLACE
+    (``TableStore.replace_keys_manifest``), so the mart WRITE is
+    O(batch-affected groups) too — without it, the carried mart rows
+    re-materialize in full each trigger even though the compute was
+    incremental. A
     full-table groupBy per 10-second trigger is exactly the cost
     curve that kills streaming aggregation at 100 TB — this path's
     per-batch work is O(batch) + O(affected groups' rows). Mart
@@ -600,7 +607,9 @@ def stream_upsert(
         if mart:
             from rialto_airflow_spark.operators.merge import (
                 incremental_group_agg,
+                incremental_group_agg_parts,
                 incremental_join_mart,
+                incremental_join_mart_parts,
             )
 
             # Replay safety (round-9 ADVICE, medium): diff from the
@@ -621,7 +630,7 @@ def stream_upsert(
             built_from = mart_info.get("built_from")
             old_mart = None
             if mart_info:
-                old_mart = spark.read.parquet(mart_info["path"])
+                old_mart = store.read(spark, mart["table"])
             old_tbl = None
             if built_from is not None:
                 try:
@@ -632,39 +641,75 @@ def stream_upsert(
                     )
                 except Exception:
                     old_tbl = None  # vacuumed → full-refresh repair
-            if "build" in mart:
-                # join-shaped mart: mart rows = mart["build"](table
-                # slice), per-fan_key-group (incremental_join_mart's
-                # contract); first batch / repair builds in full
-                if old_tbl is None or old_mart is None:
+            mkey = mart["fan_key"] if "build" in mart else mart["group_col"]
+            m_buckets = mart.get("manifest_buckets")
+            incremental_ok = (
+                old_tbl is not None
+                and old_mart is not None
+                and (m_buckets is None or "manifest" in mart_info)
+            )
+            if not incremental_ok:
+                # first batch / repair: full mart build
+                if "build" in mart:
                     refreshed = mart["build"](new_tbl)
                 else:
+                    refreshed = new_tbl.groupBy(mart["group_col"]).agg(
+                        *mart["agg_exprs"]
+                    )
+                if m_buckets is not None:
+                    store.write_manifest(
+                        refreshed, mart["table"], mkey,
+                        n_buckets=m_buckets,
+                        extra={"built_from": new_path},
+                    )
+                else:
+                    store.write(
+                        refreshed, mart["table"],
+                        extra={"built_from": new_path},
+                    )
+            elif m_buckets is not None:
+                # O(changes) mart WRITE: the affected groups + rebuilt
+                # fragment apply as a keyed REPLACE on the manifest
+                # mart — only dirty mart buckets land on disk, carried
+                # rows are never materialized at all
+                if "build" in mart:
+                    affected, fragment = incremental_join_mart_parts(
+                        old_tbl, new_tbl, key, mkey, mart["build"],
+                        compare_cols=mart.get("compare_cols"),
+                    )
+                else:
+                    affected, fragment = incremental_group_agg_parts(
+                        old_tbl, new_tbl, key, mkey, mart["agg_exprs"],
+                        compare_cols=mart.get("compare_cols"),
+                    )
+                store.replace_keys_manifest(
+                    spark, mart["table"], affected, fragment,
+                    extra={"built_from": new_path},
+                )
+            else:
+                if "build" in mart:
                     refreshed = incremental_join_mart(
                         old_tbl,
                         new_tbl,
                         old_mart,
                         key,
-                        mart["fan_key"],
+                        mkey,
                         mart["build"],
                         compare_cols=mart.get("compare_cols"),
                     )
-            elif old_tbl is None or old_mart is None:
-                refreshed = new_tbl.groupBy(mart["group_col"]).agg(
-                    *mart["agg_exprs"]
+                else:
+                    refreshed = incremental_group_agg(
+                        old_tbl,
+                        new_tbl,
+                        old_mart,
+                        key,
+                        mkey,
+                        mart["agg_exprs"],
+                        compare_cols=mart.get("compare_cols"),
+                    )
+                store.write(
+                    refreshed, mart["table"], extra={"built_from": new_path}
                 )
-            else:
-                refreshed = incremental_group_agg(
-                    old_tbl,
-                    new_tbl,
-                    old_mart,
-                    key,
-                    mart["group_col"],
-                    mart["agg_exprs"],
-                    compare_cols=mart.get("compare_cols"),
-                )
-            store.write(
-                refreshed, mart["table"], extra={"built_from": new_path}
-            )
         if retention:
             store.vacuum(table, keep=retention)
             if mart:

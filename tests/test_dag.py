@@ -670,3 +670,124 @@ def test_two_harvest_incremental_twin(spark, tmp_path):
     assert {i: r3[i]["distilled_at"] for i in r3} == {
         i: r2[i]["distilled_at"] for i in r2
     }
+
+
+def test_publish_snapshot_adopts_manifest_mart(spark, tmp_path):
+    """Round-10 O(changes) publish: with the reports store's
+    publications_by_author bootstrapped as a MANIFEST table, the
+    incremental publish applies (affected dois, fragment) as a keyed
+    REPLACE and the snapshot ADOPTS that version — only dirty
+    doi-buckets land on disk, read_snapshot resolves the manifest,
+    values equal the full rebuild, and vacuum keeps the snapshot's
+    carriers pinned."""
+    from rialto_airflow_spark.plans.marts import mart_publications_by_author
+    from rialto_airflow_spark.storage import TableStore
+
+    store = TableStore(str(tmp_path / "tables"))
+    reports = TableStore(str(tmp_path / "reports"))
+    authors = spark.createDataFrame(
+        [
+            (10, "ada", None, "0-1", "Ada", "L", True, True, "faculty",
+             ["Eng"], ["CS"], "Eng", "CS", None, ts(1), ts(1)),
+            (11, "bob", None, "0-2", "Bob", "M", True, False, "staff",
+             ["Hum"], ["Hist"], "Hum", "Hist", None, ts(1), ts(1)),
+        ],
+        "id bigint, sunet string, cap_profile_id string, orcid string, "
+        "first_name string, last_name string, status boolean, "
+        "academic_council boolean, role string, schools array<string>, "
+        "departments array<string>, primary_school string, primary_dept string, "
+        "primary_division string, created_at timestamp, updated_at timestamp",
+    )
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 11), (4, 10)]
+        + [(i, 10) for i in range(5, 25)],
+        "publication_id bigint, author_id bigint",
+    )
+    funder_edges = spark.createDataFrame(
+        [], "publication_id bigint, funder_id bigint"
+    )
+    funders = spark.createDataFrame(
+        [], "grid_id string, name string, federal boolean, ror_id string, "
+            "openalex_id string, id bigint"
+    )
+
+    def pub(i, doi, title, updated=1):
+        return mkpub(
+            i, doi=doi, updated=updated, sulpub_harvested=ts(1), title=title
+        )
+
+    # 20 untouched filler pubs spread clean dois across many buckets
+    filler = [pub(i, f"10.9/{i}", f"F{i}") for i in range(5, 25)]
+    pubs1 = spark.createDataFrame(
+        [pub(1, "10.1/a", "A v1"), pub(2, "10.1/b", "B v1"),
+         pub(3, "10.1/c", "C v1")] + filler,
+        PUB_SCHEMA,
+    )
+    store.write(pubs1, "pubs")
+    v1 = store.versions("pubs")[-1]["version"]
+    mart1 = mart_publications_by_author(
+        pubs1, edges, authors, funder_edges, funders
+    )
+    # bootstrap: the mart lives as a doi-bucketed manifest table
+    boot = reports.write_manifest(
+        mart1, "publications_by_author", "doi", n_buckets=8
+    )
+
+    pubs2 = spark.createDataFrame(
+        [pub(1, "10.1/a", "A v2", updated=5), pub(2, "10.1/b", "B v1"),
+         pub(4, "10.1/d", "D v1")] + filler,
+        PUB_SCHEMA,
+    )
+    store.write(pubs2, "pubs")
+    old_pubs = store.read_version(spark, "pubs", v1)
+    new_pubs = store.read(spark, "pubs")
+
+    ctx = {
+        "spark": spark,
+        "pubs": new_pubs,
+        "authors": authors,
+        "author_edges": edges,
+        "funder_edges": funder_edges,
+        "funders": funders,
+        "harvests": spark.createDataFrame(
+            [(1, ts(1), ts(2), False)],
+            "id bigint, created_at timestamp, finished_at timestamp, "
+            "is_full boolean",
+        ),
+        "reports_store": reports,
+        "incremental": {
+            "prev_pubs": old_pubs,
+            "prev_mart_by_author": mart1,
+            "compare_cols": ["updated_at"],
+        },
+    }
+    ctx = build_publish_dag().run(ctx)
+    assert ctx["publish_ok"] and "reports_snapshot" in ctx
+
+    def rowset(df):
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+        )
+
+    full = mart_publications_by_author(
+        new_pubs, edges, authors, funder_edges, funders
+    )
+    # the snapshot read resolves the adopted manifest version
+    snap = reports.read_snapshot(spark, "publications_by_author")
+    assert rowset(snap) == rowset(full)
+    assert rowset(reports.read(spark, "publications_by_author")) == rowset(full)
+
+    # O(changes): the refresh version holds only the affected dois'
+    # buckets (3 changed dois → ≤3 of 8), the rest carried from boot
+    info = reports.current_info("publications_by_author")
+    dirty = [k for k, vd in info["manifest"].items() if vd == info["path"]]
+    assert 1 <= len(dirty) <= 3  # 3 affected dois hash into <=3 buckets
+    assert any(vd == boot for vd in info["manifest"].values())
+
+    # vacuum keeps the snapshot-pinned carrier; the snapshot read
+    # still resolves afterwards
+    reports.vacuum("publications_by_author", keep=1, orphan_grace_s=0)
+    assert rowset(
+        reports.read_snapshot(spark, "publications_by_author")
+    ) == rowset(full)

@@ -308,3 +308,70 @@ def test_stream_upsert_with_manifest_buckets_converges(spark, tmp_path):
     assert _bytes(v2) < _bytes(v_boot) / 3
     m = st.current_info("ev")["manifest"]
     assert sum(1 for vd in m.values() if vd == v_boot) >= 13
+
+
+def test_stream_upsert_manifest_mart_writes_only_affected_groups(
+    spark, tmp_path
+):
+    """mart={"manifest_buckets": N}: the mart itself becomes a
+    manifest table and each refresh lands as a keyed REPLACE — the
+    per-batch mart version holds only the affected groups' buckets,
+    while values still equal a full recompute after every drain."""
+    import datetime
+
+    from rialto_airflow_spark.streaming import events as SE
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    store = TableStore(str(tmp_path / "store"))
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    mart = {
+        "table": "by_type",
+        "group_col": "event_type",
+        "agg_exprs": [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        ],
+        "manifest_buckets": 8,
+    }
+
+    def mk(rows):
+        return spark.createDataFrame(rows, SE.EVENTS_DDL)
+
+    def drain():
+        SE.stream_upsert(
+            SE.read_event_stream(spark, in_dir),
+            store, "ev", "event_id", ckpt, mart=mart,
+        )
+
+    def mart_rows():
+        return {
+            r["event_type"]: (r["n"], r["total"])
+            for r in store.read(spark, "by_type").collect()
+        }
+
+    # batch 1: five groups bootstrap the manifest mart
+    mk([
+        (i, t0, i, f"t{i % 5}", float(i), "{}") for i in range(50)
+    ]).coalesce(1).write.parquet(in_dir)
+    drain()
+    info1 = store.current_info("by_type")
+    assert "manifest" in info1 and info1["built_from"]
+
+    # batch 2 touches ONE group
+    mk([
+        (100, t0 + datetime.timedelta(minutes=1), 1, "t3", 7.5, "{}"),
+    ]).coalesce(1).write.parquet(in_dir, mode="append")
+    drain()
+    info2 = store.current_info("by_type")
+    v2 = info2["path"]
+    # the refresh version carries every untouched bucket by reference
+    dirty = [k for k, vd in info2["manifest"].items() if vd == v2]
+    assert len(dirty) <= 1
+    final = store.read(spark, "ev")
+    want = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in final.groupBy("event_type").agg(*mart["agg_exprs"]).collect()
+    }
+    assert mart_rows() == want
+    assert want["t3"] == (11, 7.5 + sum(float(i) for i in range(3, 50, 5)))
