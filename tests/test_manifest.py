@@ -375,3 +375,36 @@ def test_stream_upsert_manifest_mart_writes_only_affected_groups(
     }
     assert mart_rows() == want
     assert want["t3"] == (11, 7.5 + sum(float(i) for i in range(3, 50, 5)))
+
+
+def test_upsert_into_brand_new_buckets_only(spark, tmp_path):
+    """A batch whose keys all hash into buckets the table has never
+    populated exercises the empty-slice path: schema comes from the
+    manifest read, every batch row inserts, no existing bucket is
+    touched."""
+    st = TableStore(str(tmp_path))
+    # two rows → at most two occupied buckets out of 64
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    v1 = st.write_manifest(df, "t", "id", n_buckets=64)
+    occupied = set(st.current_info("t")["manifest"])
+
+    # find keys hashing into unoccupied buckets
+    cand = spark.range(3, 300).select(
+        F.col("id"),
+        TableStore._bucket_expr("id", 64).alias("b"),
+    ).collect()
+    fresh = [r["id"] for r in cand if str(r["b"]) not in occupied][:3]
+    assert len(fresh) == 3
+    batch = spark.createDataFrame(
+        [(k, f"new{k}") for k in fresh], "id long, v string"
+    )
+    v2 = st.upsert_manifest(spark, "t", batch)
+    got = st.read(spark, "t")
+    assert got.count() == 5
+    assert {r["v"] for r in got.collect()} == {"a", "b"} | {
+        f"new{k}" for k in fresh
+    }
+    m = st.current_info("t")["manifest"]
+    # old buckets untouched, new buckets homed in v2
+    assert all(m[k] == v1 for k in occupied)
+    assert all(vd in (v1, v2) for vd in m.values())
