@@ -30,11 +30,23 @@ PLATFORM_KEYS: tuple[tuple[str, str], ...] = (
 
 
 def upsert_source_batch(
-    pubs: DataFrame, batch: DataFrame, source: str, now: Column | None = None
+    pubs: DataFrame,
+    batch: DataFrame,
+    source: str,
+    now: Column | None = None,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """M2 — per-source publication upsert by DOI (openalex.py:86-106
     and siblings): on DOI match only that source's columns update;
-    null-DOI rows always insert; updated_at refreshes on touch."""
+    null-DOI rows always insert; updated_at refreshes on touch.
+
+    Defaults to the broadcast MERGE decomposition (round 10): an
+    incremental harvest batch is tiny against the accumulated pubs
+    table, and the full-outer plan sort-merge-shuffles the WHOLE
+    table per source per run — the M2-at-scale weakness the round-9
+    verdict flagged. Pass ``broadcast_batch=False`` for a FULL
+    harvest, where the batch is table-sized and the single
+    sort-merge join is the right physical plan."""
     update_cols = [c for c in batch.columns if c != "doi"]
     return merge_on_key(
         pubs,
@@ -43,7 +55,7 @@ def upsert_source_batch(
         update_cols=update_cols,
         updated_at_col="updated_at",
         now=now,
-        broadcast_batch=False,
+        broadcast_batch=broadcast_batch,
     )
 
 
