@@ -551,61 +551,79 @@ class TableStore:
         as one file. Clean buckets: never read, never written —
         carried into the new manifest by reference.
 
-        Single-writer per table, like every TableStore write path.
+        Concurrency: the commit CASes against the head observed when
+        the manifest was resolved, and a conflict RETRIES the whole
+        upsert against the new head (a plain ``write`` can publish
+        whole versions unconditionally — each is complete — but a
+        read-modify-write of the manifest that lost a race would
+        silently re-point the loser's clean buckets at data the
+        winner superseded, the same lost-update class the index
+        append markers closed). The orphaned loser dir is vacuumable.
         Null-key batch rows insert into the fixed null bucket (see
         ``_bucket_expr``). MERGE semantics are merge_on_key's M2
         contract (update_cols / updated_at_col behave identically)."""
         from rialto_airflow_spark.operators.merge import merge_on_key
 
-        info = self.current_info(name)
-        if info is None or "manifest" not in info:
-            raise FileNotFoundError(
-                f"table {name} has no manifest version at head — bootstrap "
-                "with write_manifest (a plain write() head can't take "
-                "O(changes) upserts)"
-            )
-        manifest, n, key = info["manifest"], info["n_buckets"], info["bucket_key"]
-        bexpr = self._bucket_expr(key, n)
-        dirty = sorted(
-            r["b"] for r in batch.select(bexpr.alias("b")).distinct().collect()
-        )
-        have = [k for k in dirty if str(k) in manifest]
-        if have:
-            existing = spark.read.parquet(
-                *[self._manifest_leaf(manifest[str(k)], k) for k in have]
-            )
-        else:
-            # brand-new buckets only: empty slice with the table schema
-            existing = self._read_manifest(spark, info).limit(0)
-        merged = merge_on_key(
-            existing,
-            batch,
-            key,
-            update_cols=update_cols,
-            updated_at_col=updated_at_col,
-            broadcast_batch=True,
-        )
+        from .commitlog import CommitConflict
+
         store = self._store(name)
-        vdir = store.new_version_path()
-        (
-            merged.withColumn(self._BUCKET_COL, bexpr)
-            .repartition(F.col(self._BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(self._BUCKET_COL)
-            .parquet(vdir)
-        )
-        new_manifest = dict(manifest)
-        for k in self._present_buckets(vdir):
-            new_manifest[str(k)] = vdir
-        store.commit(
-            vdir,
-            extra={
-                "manifest": new_manifest,
-                "n_buckets": n,
-                "bucket_key": key,
-            },
-        )
-        return vdir
+        while True:
+            seq0 = store.current_seq()
+            info = self.current_info(name)
+            if info is None or "manifest" not in info:
+                raise FileNotFoundError(
+                    f"table {name} has no manifest version at head — "
+                    "bootstrap with write_manifest (a plain write() head "
+                    "can't take O(changes) upserts)"
+                )
+            manifest, n, key = (
+                info["manifest"], info["n_buckets"], info["bucket_key"]
+            )
+            bexpr = self._bucket_expr(key, n)
+            dirty = sorted(
+                r["b"]
+                for r in batch.select(bexpr.alias("b")).distinct().collect()
+            )
+            have = [k for k in dirty if str(k) in manifest]
+            if have:
+                existing = spark.read.parquet(
+                    *[self._manifest_leaf(manifest[str(k)], k) for k in have]
+                )
+            else:
+                # brand-new buckets only: empty slice with table schema
+                existing = self._read_manifest(spark, info).limit(0)
+            merged = merge_on_key(
+                existing,
+                batch,
+                key,
+                update_cols=update_cols,
+                updated_at_col=updated_at_col,
+                broadcast_batch=True,
+            )
+            vdir = store.new_version_path()
+            (
+                merged.withColumn(self._BUCKET_COL, bexpr)
+                .repartition(F.col(self._BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(self._BUCKET_COL)
+                .parquet(vdir)
+            )
+            new_manifest = dict(manifest)
+            for k in self._present_buckets(vdir):
+                new_manifest[str(k)] = vdir
+            try:
+                store.commit(
+                    vdir,
+                    extra={
+                        "manifest": new_manifest,
+                        "n_buckets": n,
+                        "bucket_key": key,
+                    },
+                    expected=seq0,
+                )
+                return vdir
+            except CommitConflict:
+                continue  # concurrent manifest writer won; redo on new head
 
     def replace_keys_manifest(
         self,
@@ -625,65 +643,78 @@ class TableStore:
         keyed MERGE, this is keyed REPLACE, and together they cover
         both change-feed consumers. ``affected_keys`` is one column
         named like the table's bucket key; it is O(changes) and
-        broadcasts into the slice anti-join."""
-        info = self.current_info(name)
-        if info is None or "manifest" not in info:
-            raise FileNotFoundError(
-                f"table {name} has no manifest version at head — bootstrap "
-                "with write_manifest"
-            )
-        manifest, n, key = info["manifest"], info["n_buckets"], info["bucket_key"]
-        bexpr = self._bucket_expr(key, n)
-        keys = affected_keys.select(F.col(key)).distinct()
-        dirty = sorted(
-            {
-                r["b"]
-                for r in keys.select(bexpr.alias("b")).distinct().collect()
-            }
-            | {
-                r["b"]
-                for r in fragment.select(bexpr.alias("b")).distinct().collect()
-            }
-        )
-        have = [k for k in dirty if str(k) in manifest]
-        out = fragment
-        if have:
-            slice_df = spark.read.parquet(
-                *[self._manifest_leaf(manifest[str(k)], k) for k in have]
-            )
-            kept = slice_df.join(
-                F.broadcast(keys.withColumnRenamed(key, "__rk")),
-                slice_df[key].eqNullSafe(F.col("__rk")),
-                "left_anti",
-            )
-            out = kept.unionByName(fragment.select(*slice_df.columns))
+        broadcasts into the slice anti-join. Commit CASes + retries on
+        a concurrent manifest writer (see :meth:`upsert_manifest`)."""
+        from .commitlog import CommitConflict
+
         store = self._store(name)
-        vdir = store.new_version_path()
-        (
-            out.withColumn(self._BUCKET_COL, bexpr)
-            .repartition(F.col(self._BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(self._BUCKET_COL)
-            .parquet(vdir)
-        )
-        new_manifest = dict(manifest)
-        present = set(self._present_buckets(vdir))
-        for k in dirty:
-            if k in present:
-                new_manifest[str(k)] = vdir
-            else:
-                # the replace emptied this bucket entirely
-                new_manifest.pop(str(k), None)
-        store.commit(
-            vdir,
-            extra=dict(
-                extra or {},
-                manifest=new_manifest,
-                n_buckets=n,
-                bucket_key=key,
-            ),
-        )
-        return vdir
+        while True:
+            seq0 = store.current_seq()
+            info = self.current_info(name)
+            if info is None or "manifest" not in info:
+                raise FileNotFoundError(
+                    f"table {name} has no manifest version at head — "
+                    "bootstrap with write_manifest"
+                )
+            manifest, n, key = (
+                info["manifest"], info["n_buckets"], info["bucket_key"]
+            )
+            bexpr = self._bucket_expr(key, n)
+            keys = affected_keys.select(F.col(key)).distinct()
+            dirty = sorted(
+                {
+                    r["b"]
+                    for r in keys.select(bexpr.alias("b")).distinct().collect()
+                }
+                | {
+                    r["b"]
+                    for r in fragment.select(
+                        bexpr.alias("b")
+                    ).distinct().collect()
+                }
+            )
+            have = [k for k in dirty if str(k) in manifest]
+            out = fragment
+            if have:
+                slice_df = spark.read.parquet(
+                    *[self._manifest_leaf(manifest[str(k)], k) for k in have]
+                )
+                kept = slice_df.join(
+                    F.broadcast(keys.withColumnRenamed(key, "__rk")),
+                    slice_df[key].eqNullSafe(F.col("__rk")),
+                    "left_anti",
+                )
+                out = kept.unionByName(fragment.select(*slice_df.columns))
+            vdir = store.new_version_path()
+            (
+                out.withColumn(self._BUCKET_COL, bexpr)
+                .repartition(F.col(self._BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(self._BUCKET_COL)
+                .parquet(vdir)
+            )
+            new_manifest = dict(manifest)
+            present = set(self._present_buckets(vdir))
+            for k in dirty:
+                if k in present:
+                    new_manifest[str(k)] = vdir
+                else:
+                    # the replace emptied this bucket entirely
+                    new_manifest.pop(str(k), None)
+            try:
+                store.commit(
+                    vdir,
+                    extra=dict(
+                        extra or {},
+                        manifest=new_manifest,
+                        n_buckets=n,
+                        bucket_key=key,
+                    ),
+                    expected=seq0,
+                )
+                return vdir
+            except CommitConflict:
+                continue  # concurrent manifest writer won; redo on new head
 
     def compact_buckets(
         self,
@@ -706,51 +737,65 @@ class TableStore:
         table. ``max_carriers=1`` forces the full bucket-preserving
         rewrite (what :meth:`compact` does for manifest heads).
         Returns the new version dir, or None when the spread already
-        fits (no commit made)."""
-        info = self.current_info(name)
-        if info is None or "manifest" not in info:
-            raise FileNotFoundError(
-                f"table {name} has no manifest version at head"
-            )
-        manifest, n, key = info["manifest"], info["n_buckets"], info["bucket_key"]
-        by_carrier: dict[str, list[int]] = {}
-        for k, vd in manifest.items():
-            by_carrier.setdefault(vd, []).append(int(k))
-        if len(by_carrier) <= max_carriers and max_carriers > 1:
-            return None
-        # consolidate the smallest carriers first; the new dir itself
-        # becomes one carrier, so keep the max_carriers-1 largest
-        ordered = sorted(by_carrier.items(), key=lambda kv: len(kv[1]))
-        keep_n = max(max_carriers - 1, 0)
-        moved = ordered[: len(ordered) - keep_n] if keep_n else ordered
-        dirty = sorted(k for _vd, ks in moved for k in ks)
-        if not dirty:
-            return None
-        rows = spark.read.parquet(
-            *[self._manifest_leaf(manifest[str(k)], k) for k in sorted(dirty)]
-        )
+        fits (no commit made). Commit CASes + retries on a concurrent
+        manifest writer (see :meth:`upsert_manifest`)."""
+        from .commitlog import CommitConflict
+
         store = self._store(name)
-        vdir = store.new_version_path()
-        (
-            rows.withColumn(self._BUCKET_COL, self._bucket_expr(key, n))
-            .repartition(F.col(self._BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(self._BUCKET_COL)
-            .parquet(vdir)
-        )
-        new_manifest = dict(manifest)
-        for k in self._present_buckets(vdir):
-            new_manifest[str(k)] = vdir
-        store.commit(
-            vdir,
-            extra={
-                "manifest": new_manifest,
-                "n_buckets": n,
-                "bucket_key": key,
-                "compacted": True,
-            },
-        )
-        return vdir
+        while True:
+            seq0 = store.current_seq()
+            info = self.current_info(name)
+            if info is None or "manifest" not in info:
+                raise FileNotFoundError(
+                    f"table {name} has no manifest version at head"
+                )
+            manifest, n, key = (
+                info["manifest"], info["n_buckets"], info["bucket_key"]
+            )
+            by_carrier: dict[str, list[int]] = {}
+            for k, vd in manifest.items():
+                by_carrier.setdefault(vd, []).append(int(k))
+            if len(by_carrier) <= max_carriers and max_carriers > 1:
+                return None
+            # consolidate the smallest carriers first; the new dir
+            # itself becomes one carrier, so keep max_carriers-1 largest
+            ordered = sorted(by_carrier.items(), key=lambda kv: len(kv[1]))
+            keep_n = max(max_carriers - 1, 0)
+            moved = ordered[: len(ordered) - keep_n] if keep_n else ordered
+            dirty = sorted(k for _vd, ks in moved for k in ks)
+            if not dirty:
+                return None
+            rows = spark.read.parquet(
+                *[
+                    self._manifest_leaf(manifest[str(k)], k)
+                    for k in sorted(dirty)
+                ]
+            )
+            vdir = store.new_version_path()
+            (
+                rows.withColumn(self._BUCKET_COL, self._bucket_expr(key, n))
+                .repartition(F.col(self._BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(self._BUCKET_COL)
+                .parquet(vdir)
+            )
+            new_manifest = dict(manifest)
+            for k in self._present_buckets(vdir):
+                new_manifest[str(k)] = vdir
+            try:
+                store.commit(
+                    vdir,
+                    extra={
+                        "manifest": new_manifest,
+                        "n_buckets": n,
+                        "bucket_key": key,
+                        "compacted": True,
+                    },
+                    expected=seq0,
+                )
+                return vdir
+            except CommitConflict:
+                continue  # concurrent manifest writer won; redo on new head
 
     def _vacuum_manifest(
         self,

@@ -408,3 +408,58 @@ def test_upsert_into_brand_new_buckets_only(spark, tmp_path):
     # old buckets untouched, new buckets homed in v2
     assert all(m[k] == v1 for k in occupied)
     assert all(vd in (v1, v2) for vd in m.values())
+
+
+def test_concurrent_upserts_never_lose_each_others_buckets(
+    spark, tmp_path, monkeypatch
+):
+    """Lost-update race (the index-marker lesson applied to tables):
+    writer A resolves the manifest, writer B commits an upsert to a
+    DIFFERENT bucket before A's commit lands. An unconditional commit
+    from A would re-point B's bucket at pre-B data — both callers
+    succeed, B's row silently vanishes. With the CAS, A conflicts,
+    retries against B's manifest, and BOTH changes survive."""
+    st = TableStore(str(tmp_path))
+    df = _base(spark)
+    st.write_manifest(df, "t", "id", n_buckets=16)
+
+    batch_a = spark.createDataFrame([(10_001, 1, 0)], "id long, v long, grp int")
+    batch_b = spark.createDataFrame([(20_002, 2, 0)], "id long, v long, grp int")
+    # distinct buckets — otherwise the race isn't the dangerous one
+    ba, bb = [
+        spark.createDataFrame([(k,)], "id long")
+        .select(TableStore._bucket_expr("id", 16))
+        .first()[0]
+        for k in (10_001, 20_002)
+    ]
+    assert ba != bb
+
+    real_store = TableStore._store
+    fired = {"n": 0}
+
+    class CommitRaces:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def commit(self, *a, **kw):
+            if (kw.get("extra") or {}).get("manifest") and fired["n"] == 0:
+                fired["n"] += 1
+                # writer B lands first, in the window between A's
+                # manifest resolution and A's commit
+                st.upsert_manifest(spark, "t", batch_b)
+            return self._inner.commit(*a, **kw)
+
+    monkeypatch.setattr(
+        TableStore, "_store", lambda self, name: CommitRaces(real_store(self, name))
+    )
+    st.upsert_manifest(spark, "t", batch_a)
+    monkeypatch.setattr(TableStore, "_store", real_store)
+
+    assert fired["n"] == 1  # the race really ran
+    got = st.read(spark, "t")
+    assert got.count() == 2002
+    assert got.where(F.col("id") == 10_001).first()["v"] == 1
+    assert got.where(F.col("id") == 20_002).first()["v"] == 2  # B survived
