@@ -782,15 +782,30 @@ class TableStore:
             new_manifest = dict(manifest)
             for k in self._present_buckets(vdir):
                 new_manifest[str(k)] = vdir
+            # carry informational payload fields (e.g. the streaming
+            # mart's built_from provenance) — compaction changes the
+            # layout, not the table's meaning, and dropping them would
+            # silently demote the next incremental refresh to a full
+            # repair
+            carried = {
+                k: v
+                for k, v in info.items()
+                if k
+                not in (
+                    "path", "committed_at", "manifest", "n_buckets",
+                    "bucket_key", "compacted",
+                )
+            }
             try:
                 store.commit(
                     vdir,
-                    extra={
-                        "manifest": new_manifest,
-                        "n_buckets": n,
-                        "bucket_key": key,
-                        "compacted": True,
-                    },
+                    extra=dict(
+                        carried,
+                        manifest=new_manifest,
+                        n_buckets=n,
+                        bucket_key=key,
+                        compacted=True,
+                    ),
                     expected=seq0,
                 )
                 return vdir

@@ -513,6 +513,8 @@ def stream_upsert(
     retention: int | None = None,
     mart: dict | None = None,
     manifest_buckets: int | None = None,
+    compact_every: int | None = None,
+    compact_max_carriers: int = 16,
 ) -> None:
     """Streaming MERGE sink via ``foreachBatch``: every micro-batch
     upserts into a versioned :class:`~rialto_airflow_spark.storage.
@@ -593,8 +595,15 @@ def stream_upsert(
     so per-trigger bytes written are O(batch), not O(table) — with
     the plain path a 10-second-trigger stream re-materializes the
     full table 8.6k times a day. Replay convergence is unchanged
-    (same MERGE semantics, same commit-log atomicity); pair with
-    ``retention`` + periodic ``compact_buckets`` for bounded files.
+    (same MERGE semantics, same commit-log atomicity). Each batch
+    adds one carrier dir to the manifest spread, so pair with
+    ``compact_every=N`` (the ``stream_minhash_dedup`` cadence idea):
+    every N batches, ``compact_buckets`` consolidates the small-
+    carrier tail once the spread exceeds ``compact_max_carriers`` — consolidation cost tracks the fragmentation, not
+    the table — and runs on the mart too when it is manifest-shaped.
+    Schema note: manifest versions span carrier dirs, so writes must
+    be schema-stable (same columns/types every batch) — the normal
+    streaming contract anyway.
     """
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
@@ -710,6 +719,26 @@ def stream_upsert(
                 store.write(
                     refreshed, mart["table"], extra={"built_from": new_path}
                 )
+        if (
+            compact_every
+            and manifest_buckets is not None
+            and (batch_id + 1) % compact_every == 0
+        ):
+            # carrier consolidation on cadence: each batch added one
+            # carrier dir; fold the single-bucket tail periodically so
+            # the manifest spread — and with it read fan-in and
+            # vacuum's carrier bookkeeping — stays bounded for an
+            # indefinitely-running stream
+            store.compact_buckets(
+                spark, table, max_carriers=compact_max_carriers
+            )
+            if mart and mart.get("manifest_buckets") is not None:
+                minfo = store.current_info(mart["table"]) or {}
+                if "manifest" in minfo:
+                    store.compact_buckets(
+                        spark, mart["table"],
+                        max_carriers=compact_max_carriers,
+                    )
         if retention:
             store.vacuum(table, keep=retention)
             if mart:

@@ -463,3 +463,68 @@ def test_concurrent_upserts_never_lose_each_others_buckets(
     assert got.count() == 2002
     assert got.where(F.col("id") == 10_001).first()["v"] == 1
     assert got.where(F.col("id") == 20_002).first()["v"] == 2  # B survived
+
+
+def test_stream_upsert_compaction_cadence_bounds_carrier_spread(
+    spark, tmp_path
+):
+    """compact_every on a manifest-table stream: carriers are folded
+    on cadence so an indefinite stream's manifest spread stays
+    bounded; values keep converging, and a manifest-shaped mart's
+    built_from provenance survives compaction (the next refresh stays
+    incremental, not a silent full repair)."""
+    import datetime
+
+    from rialto_airflow_spark.streaming import events as SE
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    st = TableStore(str(tmp_path / "store"))
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    mart = {
+        "table": "by_type",
+        "group_col": "event_type",
+        "agg_exprs": [F.count(F.lit(1)).alias("n")],
+        "manifest_buckets": 8,
+    }
+
+    def mk(rows):
+        return spark.createDataFrame(rows, SE.EVENTS_DDL)
+
+    def drain():
+        SE.stream_upsert(
+            SE.read_event_stream(spark, in_dir),
+            st, "ev", "event_id", ckpt,
+            manifest_buckets=16, mart=mart, compact_every=2,
+            compact_max_carriers=2,
+        )
+
+    mk([
+        (i, t0, i, f"t{i % 3}", 1.0, "{}") for i in range(60)
+    ]).coalesce(1).write.parquet(in_dir)
+    drain()
+    for b in range(3):
+        mk([
+            (1000 + b, t0 + datetime.timedelta(minutes=b + 1), b,
+             f"t{b % 3}", 1.0, "{}"),
+        ]).coalesce(1).write.parquet(in_dir, mode="append")
+        drain()
+
+    # 4 batches, compacted at batches 2 and 4 → spread stays small
+    spread = len(set(st.current_info("ev")["manifest"].values()))
+    assert spread <= 3
+    got = st.read(spark, "ev")
+    assert got.count() == 63
+
+    # mart: still incremental-capable (built_from survived the
+    # compaction) and equal to the full recompute
+    minfo = st.current_info("by_type")
+    assert "manifest" in minfo and minfo.get("built_from")
+    want = {
+        r["event_type"]: r["n"]
+        for r in got.groupBy("event_type").agg(*mart["agg_exprs"]).collect()
+    }
+    have = {
+        r["event_type"]: r["n"] for r in st.read(spark, "by_type").collect()
+    }
+    assert have == want
