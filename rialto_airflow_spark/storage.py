@@ -307,15 +307,25 @@ class TableStore:
                 raise FileNotFoundError(
                     f"table {name} has no retained version {version!r}"
                 )
-            self._store(name).commit(
-                p,
-                extra={
-                    "manifest": payload["manifest"],
-                    "n_buckets": payload["n_buckets"],
-                    "bucket_key": payload["bucket_key"],
-                    "restored": True,
-                },
-            )
+            # a restore re-points, never rewrites — a carried bucket
+            # the bucket-granular vacuum already reclaimed makes the
+            # target version GONE, same contract as time travel to it
+            for k, vd in payload["manifest"].items():
+                if not self._backend().data_exists(self._manifest_leaf(vd, k)):
+                    raise FileNotFoundError(
+                        f"table {name} version {version!r} references "
+                        f"bucket {k} in a vacuumed carrier — it can no "
+                        "longer be restored"
+                    )
+            # carry the FULL creating payload (schema, provenance
+            # fields like built_from) — dropping any of it would make
+            # the restored head lie about the data it points at
+            carried = {
+                k: v
+                for k, v in payload.items()
+                if k not in ("path", "committed_at")
+            }
+            self._store(name).commit(p, extra=dict(carried, restored=True))
             return p
         try:
             return self._store(name).restore(version)
@@ -488,16 +498,62 @@ class TableStore:
                 return payload
         return None
 
+    @staticmethod
+    def _schema_of(payload: dict):
+        """The logical table schema a manifest commit recorded, or None
+        for pre-schema-tracking commits (read falls back to footer
+        inference — correct only while every carrier shares one
+        schema)."""
+        if "schema" not in payload:
+            return None
+        import json
+
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(payload["schema"]))
+
+    @staticmethod
+    def _check_schema_evolution(old_st, new_st, name: str) -> None:
+        """Adding columns is the supported manifest evolution (carried
+        files read them as null under the recorded schema); a TYPE
+        change would make the recorded schema lie about carried files
+        — fail loudly and point at the rebuild path instead of letting
+        a later read error (or a silent parquet coercion) surface it."""
+        if old_st is None:
+            return
+        old = {f.name: f.dataType for f in old_st.fields}
+        for f in new_st.fields:
+            if f.name in old and f.dataType != old[f.name]:
+                raise ValueError(
+                    f"manifest table {name}: column {f.name!r} type change "
+                    f"{old[f.name].simpleString()} -> "
+                    f"{f.dataType.simpleString()} is not supported on the "
+                    "O(changes) path (carried buckets keep the old physical "
+                    "type) — rebuild with write_manifest"
+                )
+
     def _read_manifest(self, spark: SparkSession, payload: dict) -> DataFrame:
+        """Resolve a manifest version to a DataFrame. The scan reads
+        the COMMIT-RECORDED schema, not a file footer: carriers written
+        before a column was added lack it physically, and without the
+        explicit schema Spark picks one arbitrary footer — the added
+        column would silently vanish (or flicker) depending on listing
+        order. Under the recorded schema those files read the column as
+        null, the M2 merge contract's shape."""
+        st = self._schema_of(payload)
         paths = [
             self._manifest_leaf(vd, k)
             for k, vd in sorted(payload["manifest"].items(), key=lambda kv: int(kv[0]))
         ]
         if not paths:  # a committed empty table
+            if st is not None:
+                return spark.createDataFrame([], st)
             raise FileNotFoundError(
-                "manifest version holds no buckets (empty table)"
+                "manifest version holds no buckets (empty table with no "
+                "recorded schema)"
             )
-        return spark.read.parquet(*paths)
+        reader = spark.read.schema(st) if st is not None else spark.read
+        return reader.parquet(*paths)
 
     def write_manifest(
         self,
@@ -528,6 +584,7 @@ class TableStore:
                 manifest=manifest,
                 n_buckets=n_buckets,
                 bucket_key=key,
+                schema=df.schema.json(),
             ),
         )
         return vdir
@@ -580,18 +637,30 @@ class TableStore:
                 info["manifest"], info["n_buckets"], info["bucket_key"]
             )
             bexpr = self._bucket_expr(key, n)
+            st = self._schema_of(info)
             dirty = sorted(
                 r["b"]
                 for r in batch.select(bexpr.alias("b")).distinct().collect()
             )
             have = [k for k in dirty if str(k) in manifest]
             if have:
-                existing = spark.read.parquet(
+                # recorded-schema read: dirty carriers may predate a
+                # column the table has since gained (see _read_manifest)
+                reader = spark.read.schema(st) if st is not None else spark.read
+                existing = reader.parquet(
                     *[self._manifest_leaf(manifest[str(k)], k) for k in have]
                 )
-            else:
-                # brand-new buckets only: empty slice with table schema
+            elif st is not None:
+                # brand-new buckets only (or an empty bootstrap —
+                # e.g. a stream whose first micro-batch was empty):
+                # empty slice with the recorded table schema
+                existing = spark.createDataFrame([], st)
+            elif manifest:
                 existing = self._read_manifest(spark, info).limit(0)
+            else:
+                # legacy empty manifest with no recorded schema: the
+                # table holds nothing, so the batch defines the shape
+                existing = batch.limit(0)
             merged = merge_on_key(
                 existing,
                 batch,
@@ -600,6 +669,7 @@ class TableStore:
                 updated_at_col=updated_at_col,
                 broadcast_batch=True,
             )
+            self._check_schema_evolution(st, merged.schema, name)
             vdir = store.new_version_path()
             (
                 merged.withColumn(self._BUCKET_COL, bexpr)
@@ -618,6 +688,7 @@ class TableStore:
                         "manifest": new_manifest,
                         "n_buckets": n,
                         "bucket_key": key,
+                        "schema": merged.schema.json(),
                     },
                     expected=seq0,
                 )
@@ -660,6 +731,7 @@ class TableStore:
                 info["manifest"], info["n_buckets"], info["bucket_key"]
             )
             bexpr = self._bucket_expr(key, n)
+            st = self._schema_of(info)
             keys = affected_keys.select(F.col(key)).distinct()
             dirty = sorted(
                 {
@@ -674,17 +746,26 @@ class TableStore:
                 }
             )
             have = [k for k in dirty if str(k) in manifest]
-            out = fragment
             if have:
-                slice_df = spark.read.parquet(
+                reader = spark.read.schema(st) if st is not None else spark.read
+                slice_df = reader.parquet(
                     *[self._manifest_leaf(manifest[str(k)], k) for k in have]
                 )
-                kept = slice_df.join(
-                    F.broadcast(keys.withColumnRenamed(key, "__rk")),
-                    slice_df[key].eqNullSafe(F.col("__rk")),
-                    "left_anti",
-                )
-                out = kept.unionByName(fragment.select(*slice_df.columns))
+            elif st is not None:
+                slice_df = spark.createDataFrame([], st)
+            else:
+                slice_df = fragment.limit(0)
+            kept = slice_df.join(
+                F.broadcast(keys.withColumnRenamed(key, "__rk")),
+                slice_df[key].eqNullSafe(F.col("__rk")),
+                "left_anti",
+            )
+            # allowMissingColumns: a fragment gaining a column (mart
+            # definition evolved) nulls it on kept rows instead of
+            # silently DROPPING it from the fragment; the recorded
+            # schema widens with the commit below
+            out = kept.unionByName(fragment, allowMissingColumns=True)
+            self._check_schema_evolution(st, out.schema, name)
             vdir = store.new_version_path()
             (
                 out.withColumn(self._BUCKET_COL, bexpr)
@@ -709,6 +790,7 @@ class TableStore:
                         manifest=new_manifest,
                         n_buckets=n,
                         bucket_key=key,
+                        schema=out.schema.json(),
                     ),
                     expected=seq0,
                 )
@@ -765,7 +847,13 @@ class TableStore:
             dirty = sorted(k for _vd, ks in moved for k in ks)
             if not dirty:
                 return None
-            rows = spark.read.parquet(
+            st = self._schema_of(info)
+            # recorded-schema read: a consolidated carrier predating a
+            # column addition must REWRITE with the column (as nulls) —
+            # footer inference here would physically drop it from the
+            # compacted files
+            reader = spark.read.schema(st) if st is not None else spark.read
+            rows = reader.parquet(
                 *[
                     self._manifest_leaf(manifest[str(k)], k)
                     for k in sorted(dirty)

@@ -528,3 +528,95 @@ def test_stream_upsert_compaction_cadence_bounds_carrier_spread(
         r["event_type"]: r["n"] for r in st.read(spark, "by_type").collect()
     }
     assert have == want
+
+
+def test_empty_bootstrap_then_upsert(spark, tmp_path):
+    """A zero-row bootstrap (e.g. a stream whose first micro-batch
+    filtered to nothing) must not wedge the table: the empty manifest
+    head reads as an empty table and takes upserts — without the
+    recorded-schema payload this raised FileNotFoundError forever."""
+    st = TableStore(str(tmp_path))
+    empty = spark.createDataFrame([], "id long, v long")
+    st.write_manifest(empty, "t", "id", n_buckets=8)
+    assert st.read(spark, "t").count() == 0
+    st.upsert_manifest(
+        spark, "t", spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    )
+    got = {r["id"]: r["v"] for r in st.read(spark, "t").collect()}
+    assert got == {1: 10, 2: 20}
+
+
+def test_upsert_schema_evolution_adds_column(spark, tmp_path):
+    """A batch adding a column (the M2 contract allows it — a new
+    harvest source brings its own columns) must surface on EVERY read,
+    with carried buckets reading it as null. Without the recorded
+    schema, reads inferred from one arbitrary file footer and the new
+    column silently vanished (or flickered with listing order)."""
+    st = TableStore(str(tmp_path))
+    df = _base(spark, n=200)
+    st.write_manifest(df, "t", "id", n_buckets=8)
+    batch = spark.createDataFrame(
+        [(5, 999, 0, "x")], "id long, v long, grp int, extra string"
+    )
+    st.upsert_manifest(spark, "t", batch)
+    got = st.read(spark, "t")
+    assert "extra" in got.columns
+    assert got.where(F.col("id") == 5).first()["extra"] == "x"
+    # carried rows: column present, null
+    assert got.where(F.col("extra").isNull()).count() == 199
+    # the widened schema survives compaction of old carriers
+    st.compact_buckets(spark, "t", max_carriers=1)
+    got2 = st.read(spark, "t")
+    assert got2.where(F.col("id") == 5).first()["extra"] == "x"
+    assert got2.where(F.col("extra").isNull()).count() == 199
+
+
+def test_upsert_type_change_fails_loudly(spark, tmp_path):
+    """A TYPE change can't ride the O(changes) path (carried files
+    keep the old physical type) — it must raise with the rebuild
+    pointer, not corrupt reads later."""
+    st = TableStore(str(tmp_path))
+    st.write_manifest(
+        spark.createDataFrame([(1, 10)], "id long, v int"), "t", "id",
+        n_buckets=4,
+    )
+    batch = spark.createDataFrame([(2, "oops")], "id long, v string")
+    with pytest.raises(ValueError, match="type change"):
+        st.upsert_manifest(spark, "t", batch)
+
+
+def test_replace_fragment_schema_evolution(spark, tmp_path):
+    """A mart fragment gaining a column (mart definition evolved) is
+    kept, nulled on carried rows — previously the select(*slice.cols)
+    silently DROPPED it from the fragment."""
+    st = TableStore(str(tmp_path))
+    st.write_manifest(_base(spark, n=100), "m", "grp", n_buckets=8)
+    frag = spark.createDataFrame(
+        [(0, 0, 1, 7.5)], "id long, v long, grp int, score double"
+    )
+    keys = spark.createDataFrame([(1,)], "grp int")
+    st.replace_keys_manifest(spark, "m", keys, frag)
+    got = st.read(spark, "m")
+    assert got.where(F.col("grp") == 1).first()["score"] == 7.5
+    assert got.where(F.col("score").isNull()).count() == got.count() - 1
+
+
+def test_restore_carries_schema_and_checks_buckets(spark, tmp_path):
+    """Restore of a manifest version re-commits the FULL creating
+    payload (schema included), so a post-restore read still resolves
+    added columns; restoring a version whose carried bucket was
+    vacuumed fails loudly instead of re-pointing at torn data."""
+    import os as _os
+
+    st = TableStore(str(tmp_path))
+    v1 = st.write_manifest(_base(spark, n=100), "t", "id", n_buckets=8)
+    batch = spark.createDataFrame(
+        [(5, 1, 0, "x")], "id long, v long, grp int, extra string"
+    )
+    st.upsert_manifest(spark, "t", batch)
+    # restore to v1: schema payload carried, reads work
+    st.restore("t", _os.path.basename(v1))
+    got = st.read(spark, "t")
+    assert "extra" not in got.columns and got.count() == 100
+    info = st.current_info("t")
+    assert info.get("restored") and "schema" in info
