@@ -265,6 +265,47 @@ def build_harvest_dag() -> Dag:
 
     @dag.task("complete", upstream=("remove_orphans",))
     def complete(ctx):
+        """Optionally persist the run's publications O(changes)
+        (opt-in via ``ctx['pubs_store']`` = a TableStore): the run
+        recomputes ``ctx['pubs']`` lazily in memory, but at 100 TB the
+        WRITE is what matters — against a manifest head the run lands
+        as a keyed REPLACE (diff the finished pubs against the stored
+        version, rewrite only the dirty id-buckets; inserts, updates
+        AND the run's deletes — dedupe losers, removed orphans — all
+        apply through the one affected-key set). First run bootstraps
+        with ``write_manifest``. Keys: ``pubs_table`` (default
+        'publications'), ``pubs_manifest_buckets`` (bootstrap sizing,
+        default 64), ``pubs_compare_cols`` (thin the diff — every
+        MERGE/distill touch re-stamps ``updated_at``/``distilled_at``,
+        so comparing just those is the production shape; deletes are
+        presence-based and need no compare columns)."""
+        store = ctx.get("pubs_store")
+        if store is not None:
+            from pyspark.sql import functions as SF
+
+            from rialto_airflow_spark.operators.merge import snapshot_diff
+
+            table = ctx.get("pubs_table", "publications")
+            new = ctx["pubs"]
+            spark = new.sparkSession
+            info = store.current_info(table)
+            if info is None or "manifest" not in info:
+                store.write_manifest(
+                    new, table, "id",
+                    n_buckets=ctx.get("pubs_manifest_buckets", 64),
+                )
+            else:
+                old = store.read(spark, table)
+                changed = (
+                    snapshot_diff(
+                        old, new, "id",
+                        compare_cols=ctx.get("pubs_compare_cols"),
+                    )
+                    .select("id")
+                    .distinct()
+                )
+                fragment = new.join(SF.broadcast(changed), "id", "left_semi")
+                store.replace_keys_manifest(spark, table, changed, fragment)
         ctx["harvest_finished"] = True
 
     return dag

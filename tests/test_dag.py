@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -791,3 +792,117 @@ def test_publish_snapshot_adopts_manifest_mart(spark, tmp_path):
     assert rowset(
         reports.read_snapshot(spark, "publications_by_author")
     ) == rowset(full)
+
+
+def test_harvest_persists_pubs_as_manifest_replace(spark, tmp_path):
+    """ctx['pubs_store'] — the O(changes) WRITE for the CORE pubs
+    table: run 1 bootstraps a manifest version; run 2 (one mutated
+    payload) lands as a keyed REPLACE that rewrites only the dirty
+    id-buckets, applies the run's deletes (the dedupe loser), and the
+    stored table equals the run's finished ctx['pubs'] exactly."""
+    import glob as _glob
+
+    from rialto_airflow_spark.storage import TableStore
+
+    store = TableStore(str(tmp_path / "tables"))
+
+    oa1 = tmp_path / "oa_run1"
+    oa1.mkdir()
+    (oa1 / "batch.jsonl").write_text(
+        json.dumps({"doi": "https://doi.org/10.1/A", "title": "Run1 OA",
+                    "type": "article", "id": "https://openalex.org/W77"})
+    )
+    pubs = spark.createDataFrame(
+        [mkpub(i, doi=f"10.1/p{i}", updated=1) for i in range(1, 40)]
+        + [
+            mkpub(100, doi="10.1/a", updated=2),
+            # dup group: 102 survives over 101 → run's delete set
+            mkpub(101, openalex_id="W1", updated=1),
+            mkpub(102, openalex_id="W1", updated=5),
+        ],
+        PUB_SCHEMA,
+    )
+    authors = spark.createDataFrame(
+        [(10, "ada", None, "0-1", "Ada", "L", True, True, "faculty",
+          ["Eng"], ["CS"], "Eng", "CS", None, ts(1), ts(1))],
+        "id bigint, sunet string, cap_profile_id string, orcid string, "
+        "first_name string, last_name string, status boolean, "
+        "academic_council boolean, role string, schools array<string>, "
+        "departments array<string>, primary_school string, primary_dept string, "
+        "primary_division string, created_at timestamp, updated_at timestamp",
+    )
+    edges = spark.createDataFrame(
+        [(i, 10) for i in range(1, 40)] + [(100, 10), (101, 10), (102, 10)],
+        "publication_id bigint, author_id bigint",
+    )
+    base_ctx = dict(
+        spark=spark,
+        authors=authors,
+        author_edges=edges,
+        funder_edges=spark.createDataFrame(
+            [], "publication_id bigint, funder_id bigint"
+        ),
+        funders=spark.createDataFrame(
+            [], "grid_id string, name string, federal boolean, ror_id string, "
+                "openalex_id string, id bigint"
+        ),
+        dims={},
+        harvests=spark.createDataFrame(
+            [(1, ts(1), ts(2), True)],
+            "id bigint, created_at timestamp, finished_at timestamp, "
+            "is_full boolean",
+        ),
+        pubs_store=store,
+        pubs_manifest_buckets=16,
+    )
+
+    # run 1: bootstrap
+    ctx1 = dict(base_ctx, pubs=pubs, landing_dirs={"openalex": str(oa1)})
+    ctx1 = build_harvest_dag().run(ctx1)
+    info1 = store.current_info("publications")
+    assert info1 and "manifest" in info1
+    v1 = info1["path"]
+    stored1 = store.read(spark, "publications")
+    assert {r["id"] for r in stored1.select("id").collect()} == (
+        set(range(1, 40)) | {100, 102}
+    )
+
+    # run 2: one mutated payload → one dirty doi; everything else carried
+    oa2 = tmp_path / "oa_run2"
+    oa2.mkdir()
+    (oa2 / "batch.jsonl").write_text(
+        json.dumps({"doi": "https://doi.org/10.1/A", "title": "Run2 OA",
+                    "type": "article", "id": "https://openalex.org/W88"})
+    )
+    ctx2 = dict(
+        base_ctx,
+        pubs=stored1,
+        harvests=spark.createDataFrame(
+            [(2, ts(3), ts(4), False)],
+            "id bigint, created_at timestamp, finished_at timestamp, "
+            "is_full boolean",
+        ),
+        landing_dirs={"openalex": str(oa2)},
+    )
+    ctx2 = build_harvest_dag().run(ctx2)
+
+    info2 = store.current_info("publications")
+    v2 = info2["path"]
+    assert v2 != v1
+    # O(changes): the run-2 version holds only the touched id-buckets
+    dirty = [k for k, vd in info2["manifest"].items() if vd == v2]
+    carried = [k for k, vd in info2["manifest"].items() if vd == v1]
+    assert 1 <= len(dirty) <= 2 and len(carried) >= 10
+    assert sum(
+        os.path.getsize(p)
+        for p in _glob.glob(v2 + "/**/*.parquet", recursive=True)
+    ) < sum(
+        os.path.getsize(p)
+        for p in _glob.glob(v1 + "/**/*.parquet", recursive=True)
+    ) / 4
+
+    # value equality with the run's finished pubs
+    want = {r["id"]: r for r in ctx2["pubs"].collect()}
+    got = {r["id"]: r for r in store.read(spark, "publications").collect()}
+    assert set(got) == set(want)
+    assert json.loads(got[100]["openalex_json"])["title"] == "Run2 OA"
