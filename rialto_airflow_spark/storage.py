@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .commitlog import CommitBackend, VersionedStore, _canon, default_backend
@@ -555,6 +555,32 @@ class TableStore:
         reader = spark.read.schema(st) if st is not None else spark.read
         return reader.parquet(*paths)
 
+    def _write_buckets(
+        self,
+        df: DataFrame,
+        bexpr: Column,
+        vdir: str,
+        sort_cols: list[str] | None,
+    ) -> None:
+        """The one physical writer for manifest versions: partition by
+        the bucket column; when the table declares ``sort_cols``, sort
+        WITHIN partitions (bucket first, then the sort columns) so
+        every data file carries tight parquet row-group min/max stats
+        on those columns — bucket + in-file sort is the Delta
+        OPTIMIZE-style layout, and range predicates on the sort
+        columns then prune row groups inside whichever buckets a read
+        does touch."""
+        out = df.withColumn(self._BUCKET_COL, bexpr).repartition(
+            F.col(self._BUCKET_COL)
+        )
+        if sort_cols:
+            out = out.sortWithinPartitions(self._BUCKET_COL, *sort_cols)
+        (
+            out.write.mode("overwrite")
+            .partitionBy(self._BUCKET_COL)
+            .parquet(vdir)
+        )
+
     def write_manifest(
         self,
         df: DataFrame,
@@ -562,32 +588,95 @@ class TableStore:
         key: str,
         n_buckets: int = 64,
         extra: dict | None = None,
+        sort_cols: list[str] | None = None,
     ) -> str:
         """Full (re)write of a bucketed manifest table: every row lands
         in its key-bucket dir inside one new version; the manifest maps
         all buckets to it. The expensive bootstrap/rebuild — after it,
-        :meth:`upsert_manifest` keeps writes O(changes)."""
+        :meth:`upsert_manifest` keeps writes O(changes).
+
+        ``sort_cols`` declares an in-file sort order recorded in the
+        table's payload; every later writer (upsert, replace,
+        compaction) preserves it, so row-group min/max pruning on
+        those columns survives the table's whole incremental life."""
         store = self._store(name)
         vdir = store.new_version_path()
-        (
-            df.withColumn(self._BUCKET_COL, self._bucket_expr(key, n_buckets))
-            .repartition(F.col(self._BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(self._BUCKET_COL)
-            .parquet(vdir)
+        self._write_buckets(
+            df, self._bucket_expr(key, n_buckets), vdir, sort_cols
         )
         manifest = {str(k): vdir for k in self._present_buckets(vdir)}
-        store.commit(
-            vdir,
-            extra=dict(
-                extra or {},
-                manifest=manifest,
-                n_buckets=n_buckets,
-                bucket_key=key,
-                schema=df.schema.json(),
-            ),
+        payload = dict(
+            extra or {},
+            manifest=manifest,
+            n_buckets=n_buckets,
+            bucket_key=key,
+            schema=df.schema.json(),
         )
+        if sort_cols:
+            payload["sort_cols"] = list(sort_cols)
+        store.commit(vdir, extra=payload)
         return vdir
+
+    def read_keys(self, spark: SparkSession, name: str, values) -> DataFrame:
+        """Point lookup on a manifest table, O(matching buckets) not
+        O(table): hash the requested key values to their buckets (one
+        tiny local job — the bucket function is JVM-side xxhash64, so
+        it must run through Spark to match the writers bit-for-bit),
+        read ONLY those buckets' leaf dirs under the recorded schema,
+        and filter to the values. A 100-DOI lookup against a 16 Ki-
+        bucket 100 TB table reads ≤100 bucket dirs (~table/16Ki bytes
+        each) instead of scanning everything — the WHERE key IN (…)
+        plan Spark cannot derive itself, because bucket = f(key) is
+        invisible to partition pruning on a path-selected read.
+
+        ``values``: an iterable of key values (driver-small by
+        contract — this is the point-read API, not a join; for a big
+        probe side use a broadcast semi-join against :meth:`read`).
+        Nulls allowed — they resolve to the fixed null bucket. Falls
+        back to read-and-filter on a non-manifest head."""
+        vals = list(values)
+        info = self.current_info(name)
+        if info is None:
+            raise FileNotFoundError(f"table {name} has no committed version")
+        if "manifest" not in info:
+            raise ValueError(
+                f"table {name}'s head is not a manifest version — a plain "
+                "head has no bucket metadata to prune with; use "
+                "read(...).where(key.isin(...)) there"
+            )
+        manifest, n, key = (
+            info["manifest"], info["n_buckets"], info["bucket_key"]
+        )
+        st = self._schema_of(info)
+        if st is None or key not in st.fieldNames():
+            return self._filter_keys(self.read(spark, name), key, vals)
+        ktype = st[key].dataType
+        probe = spark.createDataFrame(
+            [(v,) for v in vals], schema=f"`{key}` {ktype.simpleString()}"
+        )
+        buckets = sorted(
+            r["b"]
+            for r in probe.select(
+                self._bucket_expr(key, n).alias("b")
+            ).distinct().collect()
+        )
+        paths = [
+            self._manifest_leaf(manifest[str(b)], b)
+            for b in buckets
+            if str(b) in manifest
+        ]
+        if not paths:
+            return spark.createDataFrame([], st)
+        df = spark.read.schema(st).parquet(*paths)
+        return self._filter_keys(df, key, vals)
+
+    @staticmethod
+    def _filter_keys(df: DataFrame, key: str, vals: list) -> DataFrame:
+        nn = [v for v in vals if v is not None]
+        cond = F.col(key).isin(nn) if nn else F.lit(False)
+        if len(nn) < len(vals):  # a requested null key
+            cond = cond | F.col(key).isNull()
+        return df.where(cond)
 
     def upsert_manifest(
         self,
@@ -671,27 +760,20 @@ class TableStore:
             )
             self._check_schema_evolution(st, merged.schema, name)
             vdir = store.new_version_path()
-            (
-                merged.withColumn(self._BUCKET_COL, bexpr)
-                .repartition(F.col(self._BUCKET_COL))
-                .write.mode("overwrite")
-                .partitionBy(self._BUCKET_COL)
-                .parquet(vdir)
-            )
+            self._write_buckets(merged, bexpr, vdir, info.get("sort_cols"))
             new_manifest = dict(manifest)
             for k in self._present_buckets(vdir):
                 new_manifest[str(k)] = vdir
+            payload = {
+                "manifest": new_manifest,
+                "n_buckets": n,
+                "bucket_key": key,
+                "schema": merged.schema.json(),
+            }
+            if info.get("sort_cols"):
+                payload["sort_cols"] = info["sort_cols"]
             try:
-                store.commit(
-                    vdir,
-                    extra={
-                        "manifest": new_manifest,
-                        "n_buckets": n,
-                        "bucket_key": key,
-                        "schema": merged.schema.json(),
-                    },
-                    expected=seq0,
-                )
+                store.commit(vdir, extra=payload, expected=seq0)
                 return vdir
             except CommitConflict:
                 continue  # concurrent manifest writer won; redo on new head
@@ -767,13 +849,7 @@ class TableStore:
             out = kept.unionByName(fragment, allowMissingColumns=True)
             self._check_schema_evolution(st, out.schema, name)
             vdir = store.new_version_path()
-            (
-                out.withColumn(self._BUCKET_COL, bexpr)
-                .repartition(F.col(self._BUCKET_COL))
-                .write.mode("overwrite")
-                .partitionBy(self._BUCKET_COL)
-                .parquet(vdir)
-            )
+            self._write_buckets(out, bexpr, vdir, info.get("sort_cols"))
             new_manifest = dict(manifest)
             present = set(self._present_buckets(vdir))
             for k in dirty:
@@ -782,18 +858,17 @@ class TableStore:
                 else:
                     # the replace emptied this bucket entirely
                     new_manifest.pop(str(k), None)
+            payload = dict(
+                extra or {},
+                manifest=new_manifest,
+                n_buckets=n,
+                bucket_key=key,
+                schema=out.schema.json(),
+            )
+            if info.get("sort_cols"):
+                payload["sort_cols"] = info["sort_cols"]
             try:
-                store.commit(
-                    vdir,
-                    extra=dict(
-                        extra or {},
-                        manifest=new_manifest,
-                        n_buckets=n,
-                        bucket_key=key,
-                        schema=out.schema.json(),
-                    ),
-                    expected=seq0,
-                )
+                store.commit(vdir, extra=payload, expected=seq0)
                 return vdir
             except CommitConflict:
                 continue  # concurrent manifest writer won; redo on new head
@@ -860,12 +935,8 @@ class TableStore:
                 ]
             )
             vdir = store.new_version_path()
-            (
-                rows.withColumn(self._BUCKET_COL, self._bucket_expr(key, n))
-                .repartition(F.col(self._BUCKET_COL))
-                .write.mode("overwrite")
-                .partitionBy(self._BUCKET_COL)
-                .parquet(vdir)
+            self._write_buckets(
+                rows, self._bucket_expr(key, n), vdir, info.get("sort_cols")
             )
             new_manifest = dict(manifest)
             for k in self._present_buckets(vdir):

@@ -620,3 +620,79 @@ def test_restore_carries_schema_and_checks_buckets(spark, tmp_path):
     assert "extra" not in got.columns and got.count() == 100
     info = st.current_info("t")
     assert info.get("restored") and "schema" in info
+
+
+def test_read_keys_prunes_to_matching_buckets(spark, tmp_path):
+    """Point lookup reads ONLY the requested keys' bucket dirs (path
+    selection — Spark can't derive bucket=f(key) pruning itself on a
+    path-selected read), returns exactly the matching rows, handles a
+    requested null key, and misses cleanly on absent keys."""
+    st = TableStore(str(tmp_path))
+    df = _base(spark, n=500).unionByName(
+        spark.createDataFrame([(None, -1, 0)], "id long, v long, grp int")
+    )
+    st.write_manifest(df, "t", "id", n_buckets=32)
+
+    got = st.read_keys(spark, "t", [7, 401, None])
+    rows = {r["id"]: r["v"] for r in got.collect()}
+    assert rows == {7: 14, 401: 802, None: -1}
+    # plan touches ≤3 bucket leaf dirs, not all 32
+    scan = got._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    n_paths = int(_re.search(r"InMemoryFileIndex\((\d+) paths?\)", scan).group(1))
+    assert 0 < n_paths <= 3  # path-pruned, not a 32-bucket scan
+
+    # absent key: empty, schema intact
+    miss = st.read_keys(spark, "t", [99999])
+    assert miss.count() == 0 and miss.columns == ["id", "v", "grp"]
+
+    # plain head: loud error pointing at the filtered-read shape
+    st.write(_base(spark, n=10), "plain")
+    with pytest.raises(ValueError, match="not a manifest"):
+        st.read_keys(spark, "plain", [1])
+
+
+def test_sort_cols_survive_every_writer(spark, tmp_path):
+    """sort_cols declared at bootstrap: every data file any writer
+    lands (bootstrap, upsert, replace, compaction) is sorted on the
+    sort columns within its bucket, and the payload keeps declaring
+    them — row-group min/max pruning survives the table's whole
+    incremental life."""
+    import pyarrow.parquet as _pq
+
+    st = TableStore(str(tmp_path))
+
+    def all_sorted() -> bool:
+        info = st.current_info("t")
+        ok = True
+        for vd in set(info["manifest"].values()):
+            for f in _glob_files(vd):
+                col = _pq.read_table(f, columns=["v"]).column("v").to_pylist()
+                ok = ok and col == sorted(col)
+        return ok
+
+    def _glob_files(vd):
+        return glob.glob(vd + "/**/*.parquet", recursive=True)
+
+    df = _base(spark, n=400).withColumn(
+        "v", (F.col("id") * 7919 % 1000).cast("long")  # scrambled
+    )
+    st.write_manifest(df, "t", "id", n_buckets=8, sort_cols=["v"])
+    assert st.current_info("t")["sort_cols"] == ["v"] and all_sorted()
+
+    st.upsert_manifest(
+        spark, "t",
+        spark.createDataFrame([(5, 999, 0), (9, 1, 1)], "id long, v long, grp int"),
+    )
+    assert st.current_info("t")["sort_cols"] == ["v"] and all_sorted()
+
+    st.replace_keys_manifest(
+        spark, "t",
+        spark.createDataFrame([(7,)], "id long"),
+        spark.createDataFrame([(7, 500, 0)], "id long, v long, grp int"),
+    )
+    assert st.current_info("t")["sort_cols"] == ["v"] and all_sorted()
+
+    st.compact_buckets(spark, "t", max_carriers=1)
+    assert st.current_info("t")["sort_cols"] == ["v"] and all_sorted()
