@@ -200,7 +200,30 @@ def build_curation_dag() -> Dag:
             "docs_final",
         )
 
-    @dag.task("report", upstream=("split",))
+    @dag.task("export_shards", upstream=("split",))
+    def export_shards(ctx):
+        """Optional terminal handoff to the training data loader
+        (opt-in via ``shards_dir``, pass-through otherwise — the
+        decontaminate/budget_sample pattern): the train split lands
+        as ``shard_id=N`` parquet dirs in a deterministic global
+        shuffle order plus a JSON manifest
+        (``operators.sampling.write_training_shards``). This is where
+        a pretraining pipeline actually ENDS — curated docs are no
+        use to a loader until they're sharded and order-randomized;
+        ``n_shards`` (default 64) sizes shards to loader workers,
+        ``shard_seed`` fixes the epoch-0 order."""
+        out = ctx.get("shards_dir")
+        if out:
+            docs = ctx["store"].read(ctx["spark"], "docs_final")
+            ctx["shards_manifest"] = SA.write_training_shards(
+                docs.where(F.col("split") == "train"),
+                out,
+                "doc_id",
+                n_shards=ctx.get("n_shards", 64),
+                seed=ctx.get("shard_seed", ""),
+            )
+
+    @dag.task("report", upstream=("export_shards",))
     def report(ctx):
         docs = ctx["store"].read(ctx["spark"], "docs_final")
         ctx["store"].write(

@@ -316,3 +316,107 @@ def weighted_sample(
         .limit(n)
         .drop("__wkey")
     )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the handoff
+    from curation to the training data loader (the reference stops at
+    a reports DB; a pretraining pipeline ends at ordered shards).
+    Adds ``shard_id`` (salted-md5 hash of the id — every row's shard
+    depends only on (id, seed), so shards are stable under corpus
+    append and replayable across engines, the :func:`hash_split`
+    property) and ``pos`` (the row's rank within its shard under an
+    independent salt — a uniform random order, NOT corpus order, so
+    consecutive training batches never correlate with ingest order).
+
+    Plan shape: one shuffle (the rank window partitions by shard).
+    Size ``n_shards`` so a shard fits an executor partition (a few
+    GB): the window sorts per shard, never globally — at 100 TB a
+    16 Ki-shard layout sorts 16 Ki independent ~6 GB runs instead of
+    one 100 TB ordering, and that per-shard sort is exactly the work
+    the write needs anyway.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from pyspark.sql.window import Window
+
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.col(id_col).cast("string"), F.lit(seed + "shard")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    w = Window.partitionBy("shard_id").orderBy(
+        hash_uniform(id_col, seed + "order").asc(), F.col(id_col).asc()
+    )
+    return df.withColumn("shard_id", shard).withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: str = "",
+    manifest_name: str = "_shards_manifest.json",
+) -> dict:
+    """Materialize :func:`training_order` as one ``shard_id=N`` dir
+    per shard, rows sorted by ``pos`` within each data file, plus a
+    JSON manifest (seed, n_shards, per-shard row counts) the loader
+    reads first — underscore-prefixed so parquet directory scans
+    ignore it, like ``_SUCCESS``. The loader contract is COLUMNAR, not file-order:
+    ``pos`` is the order authority, so a shard that lands as several
+    files (it spans writer partitions) still replays exactly — the
+    loader sorts the shard it just read by ``pos``, a shard-sized
+    sort by construction. Returns the manifest dict.
+
+    One corpus shuffle total: the rank window's partition-by-shard
+    exchange doubles as the write's clustering; the write itself adds
+    no second exchange (sortWithinPartitions is partition-local).
+    """
+    import json
+    import os
+
+    out = training_order(df, id_col, n_shards, seed)
+    (
+        out.repartition(F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    # count what LANDED (not the plan): the manifest certifies disk
+    written = out.sparkSession.read.parquet(path)
+    counts = {
+        int(r["shard_id"]): int(r["n"])
+        for r in written.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "seed": seed,
+        "id_col": id_col,
+        "rows": sum(counts.values()),
+        "shard_rows": {str(k): counts[k] for k in sorted(counts)},
+    }
+    with open(os.path.join(path, manifest_name), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    return manifest

@@ -186,6 +186,8 @@ def test_llm_curation_dag_end_to_end(spark, sf_dir, tmp_path):
             "clf_dim": 128,
             "clf_iters": 15,
             "sample_docs": 40,  # budget cut: quality-weighted 40 docs
+            "shards_dir": str(tmp_path / "shards"),
+            "n_shards": 4,
         }
     )
     store = ctx["store"]
@@ -221,6 +223,13 @@ def test_llm_curation_dag_end_to_end(spark, sf_dir, tmp_path):
         ).count()
         == 0
     )
+    # terminal shard export: the train split landed as ordered shards
+    man = ctx["shards_manifest"]
+    n_train = final.where(F.col("split") == "train").count()
+    assert man["rows"] == n_train and man["n_shards"] == 4
+    shards = spark.read.parquet(str(tmp_path / "shards"))
+    assert shards.count() == n_train
+    assert {"shard_id", "pos"} <= set(shards.columns)
 
 
 def test_flags_refresh_when_only_edges_change(spark, tmp_path):

@@ -1997,3 +1997,73 @@ def test_ivf_dirty_compaction_rewrites_only_appended_lists(
     assert v0 in removed2 and vc in removed2
     a3 = S.ivf_topk_indexed(spark, path, qs, "vec_id", "embedding", k=3, nprobe=2)
     assert a3.exceptAll(b2).unionAll(b2.exceptAll(a3)).count() == 0
+
+
+def test_training_order_deterministic_and_shard_stable(spark):
+    """Shard assignment depends only on (id, seed) — stable under
+    repartitioning AND under corpus append (new docs never move old
+    docs' shards; the hash_split property). pos is a permutation of
+    0..|shard|-1 per shard and is NOT ingest order."""
+    docs = spark.range(500).withColumn("text", F.lit("x"))
+    a = {
+        r["id"]: (r["shard_id"], r["pos"])
+        for r in SA.training_order(docs, "id", 16, seed="s").collect()
+    }
+    b = {
+        r["id"]: (r["shard_id"], r["pos"])
+        for r in SA.training_order(
+            docs.repartition(13), "id", 16, seed="s"
+        ).collect()
+    }
+    assert a == b
+    # per-shard pos = dense permutation
+    by_shard: dict[int, list[int]] = {}
+    for sid, pos in a.values():
+        by_shard.setdefault(sid, []).append(pos)
+    for sid, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # order within a shard is the salted-hash order, not id order
+    some = max(by_shard, key=lambda s: len(by_shard[s]))
+    ids_in_order = sorted(
+        (v[1], k) for k, v in a.items() if v[0] == some
+    )
+    assert [k for _p, k in ids_in_order] != sorted(
+        k for k, v in a.items() if v[0] == some
+    )
+    # append stability: grow the corpus; old ids keep their shard
+    grown = spark.range(800).withColumn("text", F.lit("x"))
+    g = {
+        r["id"]: r["shard_id"]
+        for r in SA.training_order(grown, "id", 16, seed="s").collect()
+    }
+    assert all(g[i] == a[i][0] for i in a)
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    """One shard_id=N dir per present shard, files sorted by pos
+    within, manifest counts match disk, and a directory scan still
+    works with the underscore-prefixed manifest file present."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    docs = spark.range(300).withColumn("text", F.lit("x"))
+    path = str(tmp_path / "shards")
+    man = SA.write_training_shards(docs, path, "id", 8, seed="s")
+    assert man["rows"] == 300 and man["n_shards"] == 8
+    assert _os.path.exists(_os.path.join(path, "_shards_manifest.json"))
+    on_disk = _json.load(open(_os.path.join(path, "_shards_manifest.json")))
+    assert on_disk == man
+    got = spark.read.parquet(path)  # manifest file ignored by the scan
+    assert got.count() == 300
+    per = {
+        int(r["shard_id"]): int(r["n"])
+        for r in got.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {int(k): v for k, v in man["shard_rows"].items()}
+    # in-file pos order: the loader's replay contract
+    for f in _glob.glob(path + "/shard_id=*/*.parquet"):
+        ps = _pq.read_table(f, columns=["pos"]).column("pos").to_pylist()
+        assert ps == sorted(ps)
