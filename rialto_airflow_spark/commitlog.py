@@ -129,6 +129,22 @@ class CommitBackend:
             d for d in names if os.path.isdir(os.path.join(dirpath, d))
         ]
 
+    def list_data_files(self, dirpath: str) -> list[str]:
+        """Plain FILE names under ``dirpath`` (one level — the
+        per-partition data files a compactor counts); [] if absent.
+        DATA-plane: maintenance decisions like "is this bucket
+        fragmented" must route here, not through :meth:`list_dir`,
+        which lists the METADATA store and returns [] for on-disk
+        version dirs under a split-plane backend (memory/object-store
+        log over filesystem data)."""
+        try:
+            names = os.listdir(dirpath)
+        except FileNotFoundError:
+            return []
+        return [
+            f for f in names if os.path.isfile(os.path.join(dirpath, f))
+        ]
+
     def delete_data(self, path: str) -> None:
         """Reclaim the version at ``path`` (recursive; missing is
         fine). Object stores: paged LIST + batched DELETE."""
@@ -415,6 +431,17 @@ class HadoopFsBackend(CommitBackend):
             s.getPath().getName()
             for s in fs.listStatus(p)
             if s.isDirectory()
+        ]
+
+    def list_data_files(self, dirpath: str) -> list[str]:
+        p = self._jpath(dirpath)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return []
+        return [
+            s.getPath().getName()
+            for s in fs.listStatus(p)
+            if s.isFile()
         ]
 
     def delete_data(self, path: str) -> None:

@@ -122,7 +122,14 @@ def build_harvest_dag() -> Dag:
             landing = ctx.get("landing_dirs", {}).get(source)
             if landing:
                 batch = read_payload_batch(ctx["spark"], source, landing)
-                ctx["pubs"] = H.upsert_source_batch(ctx["pubs"], batch, source)
+                # a FULL harvest's batch is corpus-sized: broadcasting
+                # it would hit the broadcast-table ceiling / driver OOM
+                # at scale — take the sort-merge plan there, broadcast
+                # only the incremental trickle
+                ctx["pubs"] = H.upsert_source_batch(
+                    ctx["pubs"], batch, source,
+                    broadcast_batch=not ctx.get("is_full", False),
+                )
 
         return harvest
 
@@ -138,7 +145,10 @@ def build_harvest_dag() -> Dag:
             landing = ctx.get("fill_in_dirs", {}).get(source)
             if landing:
                 batch = read_payload_batch(ctx["spark"], source, landing)
-                ctx["pubs"] = H.upsert_source_batch(ctx["pubs"], batch, source)
+                ctx["pubs"] = H.upsert_source_batch(
+                    ctx["pubs"], batch, source,
+                    broadcast_batch=not ctx.get("is_full", False),
+                )
 
         return fill_in
 

@@ -1082,7 +1082,7 @@ def compact_minhash_index_dirty(
             base0 = os.path.dirname(rows_dir)
             manifest = {
                 d.split("=", 1)[1]: [base0]
-                for d in store.backend.list_dir(rows_dir)
+                for d in store.backend.list_data(rows_dir)
                 if d.startswith("pbucket=")
             }
         dirty = []
@@ -1090,7 +1090,7 @@ def compact_minhash_index_dirty(
             n_files = sum(
                 1
                 for b in bases
-                for f in store.backend.list_dir(
+                for f in store.backend.list_data_files(
                     os.path.join(b, "rows", f"pbucket={k}")
                 )
                 if f.endswith(".parquet")
@@ -1218,9 +1218,26 @@ def minhash_dups_against_index(
             for base in manifest[k]
         ]
         if not leafs:
-            pairs = probe.limit(0).select(
-                "new_id", F.col("new_id").alias("index_id")
-            )
+            # empty selection: keep the EXACT output schema of the
+            # join path below (index_id must carry the INDEX corpus's
+            # id type, not new_id's — a long-probe/string-index setup
+            # would otherwise only type-break on the empty case)
+            any_leafs = [
+                _os.path.join(base, "rows", f"pbucket={k}")
+                for k, bases in manifest.items()
+                for base in bases
+            ]
+            if any_leafs:
+                idx0 = spark.read.parquet(any_leafs[0]).limit(0)
+                pairs = (
+                    probe.limit(0)
+                    .join(idx0, ["band_idx", "band_hash"])
+                    .select("new_id", "index_id")
+                )
+            else:  # a fully-empty index
+                pairs = probe.limit(0).select(
+                    "new_id", F.col("new_id").alias("index_id")
+                )
             return release_on_gc(pairs, probe)
         idx = spark.read.parquet(*leafs)
     else:

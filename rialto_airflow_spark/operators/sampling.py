@@ -388,16 +388,18 @@ def write_training_shards(
     sort by construction. Returns the manifest dict.
 
     One corpus shuffle total: the rank window's partition-by-shard
-    exchange doubles as the write's clustering; the write itself adds
-    no second exchange (sortWithinPartitions is partition-local).
+    exchange doubles as the write's clustering — every shard's rows
+    already share one partition coming out of the window, so the
+    write adds only a partition-local sort (no second exchange; an
+    explicit repartition(shard_id) here would re-shuffle the whole
+    corpus for nothing).
     """
     import json
     import os
 
     out = training_order(df, id_col, n_shards, seed)
     (
-        out.repartition(F.col("shard_id"))
-        .sortWithinPartitions("shard_id", "pos")
+        out.sortWithinPartitions("shard_id", "pos")
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(path)
@@ -417,6 +419,18 @@ def write_training_shards(
         "rows": sum(counts.values()),
         "shard_rows": {str(k): counts[k] for k in sorted(counts)},
     }
-    with open(os.path.join(path, manifest_name), "w") as f:
-        json.dump(manifest, f, sort_keys=True)
+    # write through the session's Hadoop FileSystem, not builtin
+    # open(): ``path`` is wherever the parquet just landed (file://,
+    # hdfs://, s3a://) and a local-only manifest write would leave a
+    # cluster export half-finished — shards on the store, the file
+    # the loader reads FIRST missing
+    sc = out.sparkSession.sparkContext
+    jvm = sc._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, manifest_name))
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(json.dumps(manifest, sort_keys=True).encode()))
+    finally:
+        stream.close()
     return manifest

@@ -1076,7 +1076,7 @@ def compact_ivf_index_dirty(
             lists_dir = os.path.join(base_old, "lists")
             manifest = {
                 d.split("=", 1)[1]: [base_old]
-                for d in store.backend.list_dir(lists_dir)
+                for d in store.backend.list_data(lists_dir)
                 if d.startswith("centroid_id=")
             }
         dirty = []
@@ -1084,7 +1084,7 @@ def compact_ivf_index_dirty(
             n_files = sum(
                 1
                 for b in bases
-                for f in store.backend.list_dir(
+                for f in store.backend.list_data_files(
                     os.path.join(b, "lists", f"centroid_id={k}")
                 )
                 if f.endswith(".parquet")

@@ -215,6 +215,7 @@ class TableStore:
                         "retention above snapshot lookback"
                     )
             return self._read_manifest(spark, vp)
+        self._assert_not_carrier(name, p)
         return spark.read.parquet(p)
 
     def versions(self, name: str) -> list[dict]:
@@ -255,6 +256,7 @@ class TableStore:
                         "to it is gone"
                     )
             return self._read_manifest(spark, payload)
+        self._assert_not_carrier(name, p)
         return spark.read.parquet(p)
 
     def changes(
@@ -327,6 +329,7 @@ class TableStore:
             }
             self._store(name).commit(p, extra=dict(carried, restored=True))
             return p
+        self._assert_not_carrier(name, p)
         try:
             return self._store(name).restore(version)
         except FileNotFoundError:
@@ -498,6 +501,25 @@ class TableStore:
                 return payload
         return None
 
+    def _assert_not_carrier(self, name: str, path: str) -> None:
+        """Refuse to serve a version dir holding ``__bucket=`` leaves
+        when its creating payload is gone from the (pruned) log: the
+        dir is a manifest CARRIER — it physically holds only the
+        buckets that were dirty at its write, so a plain parquet read
+        of it would return a silent PARTIAL table. Resolvable manifest
+        versions always have their payload (vacuum's log pruning keeps
+        every retained version's first commit); no payload + bucket
+        leaves = demoted carrier, and reads of it must fail loudly."""
+        if any(
+            d.startswith(f"{self._BUCKET_COL}=")
+            for d in self._backend().list_data(path)
+        ):
+            raise FileNotFoundError(
+                f"table {name}: {path} is a manifest carrier, not a "
+                "resolvable version (its commit entry was pruned) — "
+                "reading it directly would return a partial table"
+            )
+
     @staticmethod
     def _schema_of(payload: dict):
         """The logical table schema a manifest commit recorded, or None
@@ -632,8 +654,9 @@ class TableStore:
         ``values``: an iterable of key values (driver-small by
         contract — this is the point-read API, not a join; for a big
         probe side use a broadcast semi-join against :meth:`read`).
-        Nulls allowed — they resolve to the fixed null bucket. Falls
-        back to read-and-filter on a non-manifest head."""
+        Nulls allowed — they resolve to the fixed null bucket. A
+        plain (non-manifest) head raises: it has no bucket metadata
+        to prune with — use ``read(...).where(isin)`` there."""
         vals = list(values)
         info = self.current_info(name)
         if info is None:
@@ -1054,14 +1077,25 @@ class TableStore:
                 if leaf.startswith(f"{self._BUCKET_COL}=") and leaf not in need:
                     backend.delete_data(os.path.join(p, leaf))
 
-        # bound the log the way the base vacuum does: keep entries
-        # from the first commit of the oldest surviving dir onward
-        if removed:
-            removed_set = {_canon(p) for p in removed}
+        # bound the log: keep entries from the first commit of the
+        # oldest RETAINED-AS-VERSION dir onward. Anchoring at surviving
+        # DIRS would be wrong here: a carrier (the bootstrap dir whose
+        # cold buckets every head references — compact_buckets
+        # deliberately leaves the biggest carrier in place) survives
+        # indefinitely, and anchoring at its seq (~1) makes pruning a
+        # permanent no-op — a 10-second-trigger stream would accrete
+        # one commit entry per micro-batch forever, the unbounded
+        # object-store LIST retention exists to prevent. Demoted
+        # carriers need no payload: nothing resolves them as versions
+        # (enforced by _assert_not_carrier), and their buckets are
+        # pinned by the KEPT versions' manifests, whose entries this
+        # keeps.
+        if removed or deletable:
+            demoted = {_canon(v["path"]) for v in deletable}
             kept_seqs = [
                 seq
                 for p, (seq, _ts, _pl) in first_commit.items()
-                if _canon(p) not in removed_set and backend.data_exists(p)
+                if _canon(p) not in demoted and backend.data_exists(p)
             ]
             if kept_seqs:
                 store.log.prune(min(kept_seqs))

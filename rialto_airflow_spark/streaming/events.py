@@ -648,8 +648,14 @@ def stream_upsert(
                     old_tbl = store.read_version(
                         spark, table, _os.path.basename(built_from)
                     )
-                except Exception:
-                    old_tbl = None  # vacuumed → full-refresh repair
+                except FileNotFoundError:
+                    # vacuumed → full-refresh repair. ONLY the missing-
+                    # version case: a broader catch would turn any
+                    # unrelated error (backend failure, corrupt payload)
+                    # into a silent full-mart rebuild on EVERY trigger —
+                    # the exact cost curve this path exists to avoid,
+                    # with the underlying defect masked indefinitely
+                    old_tbl = None
             mkey = mart["fan_key"] if "build" in mart else mart["group_col"]
             m_buckets = mart.get("manifest_buckets")
             incremental_ok = (
@@ -719,19 +725,18 @@ def stream_upsert(
                 store.write(
                     refreshed, mart["table"], extra={"built_from": new_path}
                 )
-        if (
-            compact_every
-            and manifest_buckets is not None
-            and (batch_id + 1) % compact_every == 0
-        ):
+        if compact_every and (batch_id + 1) % compact_every == 0:
             # carrier consolidation on cadence: each batch added one
             # carrier dir; fold the single-bucket tail periodically so
             # the manifest spread — and with it read fan-in and
             # vacuum's carrier bookkeeping — stays bounded for an
-            # indefinitely-running stream
-            store.compact_buckets(
-                spark, table, max_carriers=compact_max_carriers
-            )
+            # indefinitely-running stream. The table and the mart gate
+            # INDEPENDENTLY: a manifest-shaped mart over a plain table
+            # accretes carriers just the same
+            if manifest_buckets is not None:
+                store.compact_buckets(
+                    spark, table, max_carriers=compact_max_carriers
+                )
             if mart and mart.get("manifest_buckets") is not None:
                 minfo = store.current_info(mart["table"]) or {}
                 if "manifest" in minfo:

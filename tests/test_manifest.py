@@ -696,3 +696,92 @@ def test_sort_cols_survive_every_writer(spark, tmp_path):
 
     st.compact_buckets(spark, "t", max_carriers=1)
     assert st.current_info("t")["sort_cols"] == ["v"] and all_sorted()
+
+
+def test_vacuum_bounds_the_commit_log_despite_permanent_carriers(
+    spark, tmp_path
+):
+    """The streaming profile: bootstrap + many upserts + per-batch
+    vacuum. The bootstrap dir survives forever as a carrier (every
+    head references its cold buckets), but the LOG must not anchor on
+    its seq — entries for reclaimed upsert versions prune away, so
+    head() resolution stays O(retention), not O(batches). Demoted
+    carriers then read as 'gone' loudly (a plain parquet read of a
+    carrier would silently return a partial table)."""
+    import os as _os
+
+    st = TableStore(str(tmp_path))
+    st.write_manifest(_base(spark, n=400), "t", "id", n_buckets=8)
+    versions = []
+    for i in range(6):
+        versions.append(
+            st.upsert_manifest(
+                spark, "t",
+                spark.createDataFrame([(i, 111, 0)], "id long, v long, grp int"),
+            )
+        )
+        st.vacuum("t", keep=2, orphan_grace_s=0)
+    log_len = len(list(st._store("t").log.history()))
+    assert log_len <= 4  # keep=2 window + slack, NOT 7 (bootstrap-anchored)
+    # table still reads correctly through the carried bootstrap
+    assert st.read(spark, "t").count() == 400
+    # a demoted (carrier or reclaimed) old upsert version refuses to
+    # serve a partial read
+    old = versions[0]
+    if st._backend().data_exists(old):
+        with pytest.raises(FileNotFoundError):
+            st.read_version(spark, "t", _os.path.basename(old))
+
+
+def test_stream_mart_manifest_compacts_over_plain_table(spark, tmp_path):
+    """compact_every must bound the MART's carrier spread even when
+    the TABLE itself is plain (manifest_buckets=None): every batch's
+    keyed REPLACE adds one mart carrier, and the old gate skipped the
+    whole compaction block unless the table was manifest-shaped."""
+    import datetime
+
+    from rialto_airflow_spark.streaming import events as SE
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    st = TableStore(str(tmp_path / "store"))
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    mart = {
+        "table": "by_type",
+        "group_col": "event_type",
+        "agg_exprs": [F.count(F.lit(1)).alias("n")],
+        "manifest_buckets": 8,
+    }
+
+    def mk(rows):
+        return spark.createDataFrame(rows, SE.EVENTS_DDL)
+
+    def drain():
+        SE.stream_upsert(
+            SE.read_event_stream(spark, in_dir),
+            st, "ev", "event_id", ckpt,
+            mart=mart, compact_every=2, compact_max_carriers=2,
+        )
+
+    mk([(i, t0, i, f"t{i % 3}", 1.0, "{}") for i in range(30)]).coalesce(
+        1
+    ).write.parquet(in_dir)
+    drain()
+    for b in range(3):
+        mk([
+            (1000 + b, t0, b, f"t{b % 3}", 1.0, "{}"),
+        ]).coalesce(1).write.parquet(in_dir, mode="append")
+        drain()
+    spread = len(set(st.current_info("by_type")["manifest"].values()))
+    assert spread <= 2
+    got = {
+        r["event_type"]: r["n"] for r in st.read(spark, "by_type").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in st.read(spark, "ev")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

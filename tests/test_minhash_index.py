@@ -787,3 +787,34 @@ def test_vacuum_pins_manifest_carriers(spark, sf_dir, tmp_path):
         for r in D.minhash_dups_against_index(probe, path).collect()
     }
     assert got2 == got
+
+
+def test_dirty_compaction_works_on_split_plane_backend(
+    spark, sf_dir, tmp_path
+):
+    """Fragmentation detection must route through the DATA plane: with
+    MemoryBackend installed (commits in memory, parquet on disk — the
+    object-store deployment spec), a metadata-plane list_dir returns
+    [] for version dirs, which silently no-ops the compactor forever
+    while appends accrete files unbounded."""
+    from rialto_airflow_spark.commitlog import (
+        MemoryBackend,
+        set_default_backend,
+    )
+
+    history = _corpus(spark, sf_dir).where(F.col("doc_id") < 60)
+    path = str(tmp_path / "mh")
+    set_default_backend(MemoryBackend())
+    try:
+        D.write_minhash_index(history, path)
+        for off in (1_000_000, 2_000_000):
+            D.append_minhash_index(_near_batch(history, 13, off), path)
+        vc = D.compact_minhash_index_dirty(spark, path, max_files=1)
+        assert vc is not None  # dirty buckets FOUND, not silently none
+        manifest = D._minhash_store(path).current()["rows_manifest"]
+        assert any(bases == [vc] for bases in manifest.values())
+        # probes still resolve through the manifest
+        probe = _near_batch(history, 13, 3_000_000)
+        assert D.minhash_dups_against_index(probe, path).count() > 0
+    finally:
+        set_default_backend(None)

@@ -356,3 +356,40 @@ def test_merge_broadcast_batch_never_shuffles_the_table(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "Exchange hashpartitioning" not in plan
     assert "Sort " not in plan
+
+
+def test_full_harvest_takes_sort_merge_not_broadcast(spark, sf_dir):
+    """The DAG must thread is_full into the merge's physical choice:
+    a FULL harvest's batch is corpus-sized, and broadcasting it hits
+    the broadcast-table ceiling / driver OOM at scale — so is_full
+    plans the sort-merge join, incremental plans the broadcast
+    decomposition. (The default alone can't be right for both; the
+    flag exists in ctx and must reach upsert_source_batch.)"""
+    from pyspark.sql import functions as F
+
+    from rialto_airflow_spark.plans.harvest import upsert_source_batch
+
+    pubs = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderkey").cast("string").alias("doi"),
+        F.lit("{}").alias("openalex_json"),
+        F.lit("T0").alias("updated_at"),
+    )
+    batch = pubs.select("doi").withColumn("openalex_json", F.lit("{}"))
+
+    full = upsert_source_batch(pubs, batch, "openalex", broadcast_batch=False)
+    plan_full = full._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_full and "BroadcastHashJoin" not in plan_full
+
+    inc = upsert_source_batch(pubs, batch.limit(3), "openalex")
+    plan_inc = inc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_inc and "SortMergeJoin" not in plan_inc
+
+    # and the DAG threads the flag: source inspection beats running a
+    # corpus-sized broadcast to find out
+    import inspect
+
+    from rialto_airflow_spark import dag as dag_mod
+
+    src = inspect.getsource(dag_mod.build_harvest_dag)
+    assert src.count('broadcast_batch=not ctx.get("is_full", False)') >= 2
