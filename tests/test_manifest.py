@@ -785,3 +785,80 @@ def test_stream_mart_manifest_compacts_over_plain_table(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_manifest_lifecycle_model(spark, tmp_path):
+    """Model-based sweep: random interleavings of upsert / keyed
+    replace / compaction / vacuum against a
+    plain dict model of key→value. After EVERY op the store must read
+    back exactly the model — the whole carrier/manifest machinery is
+    invisible to values by contract, no matter the op order. (The
+    example tests pin each op in isolation; this pins their
+    COMPOSITIONS, where round-10's defects actually lived.)"""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    KEY = st.integers(min_value=0, max_value=30)
+    OP = st.one_of(
+        st.tuples(st.just("upsert"), st.lists(KEY, min_size=1, max_size=4)),
+        st.tuples(
+            st.just("replace"),
+            st.lists(KEY, min_size=1, max_size=4),  # affected
+            st.lists(KEY, max_size=3),              # re-inserted subset
+        ),
+        st.tuples(st.just("compact"), st.just(None)),
+        st.tuples(st.just("vacuum"), st.just(None)),
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(ops=st.lists(OP, min_size=1, max_size=5))
+    def run(ops):
+        import shutil
+        import uuid
+
+        root = str(tmp_path / uuid.uuid4().hex[:12])
+        st_ = TableStore(root)
+        model = {k: k * 10 for k in range(8)}
+        st_.write_manifest(
+            spark.createDataFrame(
+                [(k, v) for k, v in model.items()], "id long, v long"
+            ),
+            "t", "id", n_buckets=4,
+        )
+        step = 0
+        for op in ops:
+            step += 1
+            if op[0] == "upsert":
+                rows = [(k, k * 100 + step) for k in sorted(set(op[1]))]
+                st_.upsert_manifest(
+                    spark, "t",
+                    spark.createDataFrame(rows, "id long, v long"),
+                )
+                model.update(dict(rows))
+            elif op[0] == "replace":
+                affected = sorted(set(op[1]))
+                frag_keys = sorted(set(op[2]) & set(affected))
+                frag = [(k, k * 1000 + step) for k in frag_keys]
+                st_.replace_keys_manifest(
+                    spark, "t",
+                    spark.createDataFrame([(k,) for k in affected], "id long"),
+                    spark.createDataFrame(frag, "id long, v long"),
+                )
+                for k in affected:
+                    model.pop(k, None)
+                model.update(dict(frag))
+            elif op[0] == "compact":
+                st_.compact_buckets(spark, "t", max_carriers=2)
+            elif op[0] == "vacuum":
+                st_.vacuum("t", keep=1, orphan_grace_s=0)
+            got = {
+                r["id"]: r["v"] for r in st_.read(spark, "t").collect()
+            }
+            assert got == model, f"step {step} ({op[0]}): {got} != {model}"
+        shutil.rmtree(root, ignore_errors=True)
+
+    run()
