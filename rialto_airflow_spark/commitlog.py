@@ -911,6 +911,7 @@ class VersionedStore:
         older_than_s: float | None = None,
         orphan_grace_s: float = 3600.0,
         pinned: set[str] | frozenset[str] = frozenset(),
+        log_anchor_exclude: set[str] | frozenset[str] = frozenset(),
     ) -> list[str]:
         """Reclaim version dirs: all but the newest ``keep`` (0 =
         count-unbounded), and — when ``older_than_s`` is given — only
@@ -939,7 +940,17 @@ class VersionedStore:
         an aggressive per-table vacuum can't tear a snapshot apart
         (pinned paths don't count against ``keep`` either: pinning N
         old snapshot versions doesn't silently protect N unpinned
-        ones)."""
+        ones).
+
+        ``log_anchor_exclude``: paths whose first-commit seqs must NOT
+        anchor the log prune below. Snapshot-pinned TABLE versions
+        need their entries (reads resolve their payloads), but a
+        dirty-compacted INDEX lineage pins CARRIER dirs that survive
+        indefinitely as pure file-holders — nothing resolves them as
+        versions, and anchoring on their (oldest) seqs would make log
+        pruning a permanent no-op, growing head()'s LIST one entry
+        per append forever. Index vacuums pass their carrier pin set
+        here; TableStore's snapshot pins deliberately do not."""
         # ONE history pass feeds ordering, age lookup, and the prune
         # cutoff (on an object store every history() re-read is a
         # LIST+GETs — the per-candidate re-scan this replaces was
@@ -988,14 +999,20 @@ class VersionedStore:
         # first commit of the oldest RETAINED dir onward so retained
         # versions keep their committed_at lineage; prune() clamps to
         # the head, so the live pointer is never touched.
-        if removed:
-            removed_set = {_canon(p) for p in removed}
-            kept_seqs = [
-                seq
-                for p, (seq, _ts) in first_commit.items()
-                if _canon(p) not in removed_set
-                and self.backend.data_exists(p)
-            ]
-            if kept_seqs:
-                self.log.prune(min(kept_seqs))
+        # prune even when nothing was removed THIS pass: an append-only
+        # index commits one marker per append against the same dir, so
+        # removal may never trigger, yet everything below the oldest
+        # retained version's first commit is dead metadata either way
+        # (markers above the anchor prune on the next compaction roll)
+        removed_set = {_canon(p) for p in removed}
+        anchor_excl = {_canon(p) for p in log_anchor_exclude}
+        kept_seqs = [
+            seq
+            for p, (seq, _ts) in first_commit.items()
+            if _canon(p) not in removed_set
+            and _canon(p) not in anchor_excl
+            and self.backend.data_exists(p)
+        ]
+        if kept_seqs:
+            self.log.prune(min(kept_seqs))
         return removed

@@ -1414,4 +1414,7 @@ def minhash_index_vacuum(
         older_than_s=older_than_s,
         orphan_grace_s=orphan_grace_s,
         pinned=pinned,
+        # carriers are pure file-holders: anchoring the log prune on
+        # their (immortal) seqs would stop it pruning forever
+        log_anchor_exclude=pinned,
     )

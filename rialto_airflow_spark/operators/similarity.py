@@ -109,7 +109,10 @@ def _read_lists(spark, index_path: str, probed=None):
 
 
 def index_vacuum(
-    path: str, keep: int = 1, older_than_s: float | None = None
+    path: str,
+    keep: int = 1,
+    older_than_s: float | None = None,
+    orphan_grace_s: float = 3600.0,
 ) -> list[str]:
     """Reclaim superseded index versions (never the current one);
     ``older_than_s`` spares recently-committed versions so vacuum can
@@ -118,7 +121,13 @@ def index_vacuum(
 
     Dirty-compacted lineages (``lists_manifest`` payloads) pin the
     carrier dirs the kept window still references, self-references
-    excluded — the ``dedup.minhash_index_vacuum`` rule."""
+    excluded — the ``dedup.minhash_index_vacuum`` rule. A pinned
+    carrier's LOG entries are pruned away (they would otherwise
+    anchor the prune forever — nothing resolves a carrier as a
+    version), so once a later full compaction un-pins it, the dir
+    reclaims through the ORPHAN path: up to ``orphan_grace_s`` later
+    (≤1 h by default — noise against carrier lifetimes; 0 for
+    known-single-writer immediate cleanup)."""
     store = _index_store(path)
     payload_for: dict[str, dict] = {}
     for _seq, payload in store.log.history():
@@ -138,7 +147,9 @@ def index_vacuum(
                 pinned.update(bases)
     pinned -= kept_paths
     return store.vacuum(
-        keep=keep, older_than_s=older_than_s, pinned=pinned
+        keep=keep, older_than_s=older_than_s, pinned=pinned,
+        orphan_grace_s=orphan_grace_s,
+        log_anchor_exclude=pinned,
     )
 
 

@@ -365,10 +365,52 @@ def wop_full_rewrite(spark, d):
     return _version_bytes(vdir)
 
 
+def wop_training_shards(spark, d):
+    """Loader handoff: deterministic shuffle+shard export of the
+    documents corpus (64 shards) — one corpus exchange by plan;
+    bytes scale with the corpus, seconds must too (nothing
+    super-linear hides in the rank window)."""
+    import shutil
+    import tempfile
+
+    from rialto_airflow_spark.operators.sampling import (
+        write_training_shards,
+    )
+
+    out = tempfile.mkdtemp(prefix="rspark_shards_")
+    try:
+        write_training_shards(
+            _docs_table(spark, d).select("doc_id", "text"),
+            out, "doc_id", n_shards=64, seed="scale",
+        )
+        return _version_bytes(out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 WRITE_OPS = {
     "write_upsert_manifest_10chg": wop_upsert_manifest,
     "write_full_rewrite_10chg": wop_full_rewrite,
+    "write_training_shards_64": wop_training_shards,
 }
+
+
+def op_read_keys_pointlookup(spark, d):
+    """Bucket-pruned point read: 5 keys against the 256-bucket
+    manifest table — path selection reads ≤5 bucket dirs."""
+    st = _write_stores(spark, d)
+    return st.read_keys(spark, "m", [1, 7, 13, 29, 31])
+
+
+def op_read_filter_fullscan(spark, d):
+    """The contrast: the same 5-key lookup as a filtered full-table
+    read — every bucket scanned, the pre-read_keys shape."""
+    st = _write_stores(spark, d)
+    return st.read(spark, "m").where(F.col("doc_id").isin([1, 7, 13, 29, 31]))
+
+
+OPS["read_keys_pointlookup_5"] = op_read_keys_pointlookup
+OPS["read_filter_fullscan_5"] = op_read_filter_fullscan
 
 
 def main() -> None:

@@ -1991,9 +1991,12 @@ def test_ivf_dirty_compaction_rewrites_only_appended_lists(
     b2 = S.ivf_topk_indexed(spark, full2, qs, "vec_id", "embedding", k=3, nprobe=2)
     assert a2.exceptAll(b2).unionAll(b2.exceptAll(a2)).count() == 0
 
-    # full compaction re-homes everything → next vacuum reclaims
+    # full compaction re-homes everything → next vacuum reclaims.
+    # The demoted carrier's log entries were pruned while it was
+    # pinned (log boundedness), so it reclaims via the ORPHAN path —
+    # grace 0 here, the known-single-writer shortcut
     S.compact_ivf_index(spark, path)
-    removed2 = S.index_vacuum(path, keep=1)
+    removed2 = S.index_vacuum(path, keep=1, orphan_grace_s=0)
     assert v0 in removed2 and vc in removed2
     a3 = S.ivf_topk_indexed(spark, path, qs, "vec_id", "embedding", k=3, nprobe=2)
     assert a3.exceptAll(b2).unionAll(b2.exceptAll(a3)).count() == 0

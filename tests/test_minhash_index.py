@@ -818,3 +818,33 @@ def test_dirty_compaction_works_on_split_plane_backend(
         assert D.minhash_dups_against_index(probe, path).count() > 0
     finally:
         set_default_backend(None)
+
+
+def test_index_vacuum_bounds_log_despite_pinned_carriers(
+    spark, sf_dir, tmp_path
+):
+    """A dirty-compacted lineage pins its carrier dirs forever (the
+    head's manifest references them); the LOG prune must not anchor
+    on the carrier's seq or it never prunes — one entry per append,
+    unbounded head() LISTs on an indefinitely-appending index."""
+    history = _corpus(spark, sf_dir).where(F.col("doc_id") < 60)
+    path = str(tmp_path / "mh")
+    D.write_minhash_index(history, path)
+    D.append_minhash_index(_near_batch(history, 13, 1_000_000), path)
+    assert D.compact_minhash_index_dirty(spark, path, max_files=1) is not None
+    for i in range(3):
+        D.append_minhash_index(
+            _near_batch(history, 13, (i + 2) * 1_000_000), path
+        )
+        # keep=1 demotes the bootstrap dir to a pure CARRIER (still
+        # pinned — the head's manifest references it) — a carrier's
+        # seq must not anchor the prune
+        D.minhash_index_vacuum(path, keep=1, orphan_grace_s=0)
+    store = D._minhash_store(path)
+    # compact's first commit + one marker per post-compact append;
+    # everything below the compact anchor (bootstrap + first append
+    # marker) pruned despite the carrier surviving on disk
+    assert len(list(store.log.history())) <= 4
+    # the lineage still probes correctly through its carriers
+    probe = _near_batch(history, 13, 9_000_000)
+    assert D.minhash_dups_against_index(probe, path).count() > 0
