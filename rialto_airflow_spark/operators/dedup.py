@@ -1222,13 +1222,16 @@ def minhash_dups_against_index(
             # join path below (index_id must carry the INDEX corpus's
             # id type, not new_id's — a long-probe/string-index setup
             # would otherwise only type-break on the empty case)
-            any_leafs = [
-                _os.path.join(base, "rows", f"pbucket={k}")
-                for k, bases in manifest.items()
-                for base in bases
-            ]
-            if any_leafs:
-                idx0 = spark.read.parquet(any_leafs[0]).limit(0)
+            any_leaf = next(
+                (
+                    _os.path.join(bases[0], "rows", f"pbucket={k}")
+                    for k, bases in manifest.items()
+                    if bases
+                ),
+                None,
+            )
+            if any_leaf is not None:
+                idx0 = spark.read.parquet(any_leaf).limit(0)
                 pairs = (
                     probe.limit(0)
                     .join(idx0, ["band_idx", "band_hash"])

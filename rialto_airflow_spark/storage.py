@@ -502,22 +502,29 @@ class TableStore:
         return None
 
     def _assert_not_carrier(self, name: str, path: str) -> None:
-        """Refuse to serve a version dir holding ``__bucket=`` leaves
-        when its creating payload is gone from the (pruned) log: the
-        dir is a manifest CARRIER — it physically holds only the
-        buckets that were dirty at its write, so a plain parquet read
-        of it would return a silent PARTIAL table. Resolvable manifest
-        versions always have their payload (vacuum's log pruning keeps
-        every retained version's first commit); no payload + bucket
-        leaves = demoted carrier, and reads of it must fail loudly."""
+        """Refuse to serve a MANIFEST-SHAPED version dir (``__bucket=``
+        leaves) that has no creating payload in the log. Two ways to
+        get here, both unservable as a plain read: a demoted CARRIER
+        (its commit entries were pruned once nothing resolved it as a
+        version — it physically holds only the buckets that were dirty
+        at its write, so a plain read returns a silent PARTIAL table),
+        or a NEVER-COMMITTED manifest write (a writer crashed between
+        parquet and commit — its data may be complete, but without the
+        payload there is no schema/manifest to resolve it under, and a
+        plain read would leak the synthetic bucket column). Resolvable
+        manifest versions always have their payload: vacuum's log
+        pruning keeps every retained version's first commit."""
         if any(
             d.startswith(f"{self._BUCKET_COL}=")
             for d in self._backend().list_data(path)
         ):
             raise FileNotFoundError(
-                f"table {name}: {path} is a manifest carrier, not a "
-                "resolvable version (its commit entry was pruned) — "
-                "reading it directly would return a partial table"
+                f"table {name}: {path} is manifest-shaped but has no "
+                "commit payload — either a carrier demoted out of the "
+                "(pruned) log, or a write whose commit never landed. "
+                "Neither resolves as a version; a plain read of it "
+                "would be partial or mis-schemaed. If this was a "
+                "crashed bootstrap, re-run write_manifest."
             )
 
     @staticmethod

@@ -428,6 +428,9 @@ def main() -> None:
             print(f"skip {label}: {d} missing", file=sys.stderr)
             continue
         _force(op_gopher(spark, d))  # warm footers
+        _write_stores(spark, d)  # bootstrap OUTSIDE the timers: at
+        # RUNS=1 the corpus write would otherwise land inside the
+        # first read_keys timing and invert the point-read contrast
         timings: dict[str, float] = {}
         for _ in range(RUNS):
             for name, fn in OPS.items():
