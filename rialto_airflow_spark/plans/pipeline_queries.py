@@ -244,18 +244,35 @@ def q36_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY gb.doc_id
     ),
     u AS (
-      SELECT d.lang, w.logw,
+      SELECT d.doc_id, d.lang, w.logw,
              CAST('0x' || substr(md5(d.doc_id::VARCHAR || '#split'), 1, 8) AS BIGINT)
                / 4294967296.0 AS u
       FROM documents d JOIN w ON w.doc_id = d.doc_id
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(doc_id::VARCHAR || '#sshard'), 1, 8)) AS BIGINT)
+               % 16 AS shard_id,
+             CAST(('0x' || substr(md5(doc_id::VARCHAR || '#sorder'), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS ou
+      FROM documents
+    ),
+    shp AS (
+      SELECT doc_id, shard_id,
+             row_number() OVER (
+               PARTITION BY shard_id ORDER BY ou ASC, doc_id ASC
+             ) - 1 AS pos
+      FROM sh
     )
     SELECT CASE WHEN u < 0.8 THEN 'train'
                 WHEN u < 0.9 THEN 'val'
                 ELSE 'test' END AS split,
            lang,
            count(*) AS n_docs,
-           round(sum(logw), 3) AS sum_dsir_logw
-    FROM u
+           round(sum(logw), 3) AS sum_dsir_logw,
+           sum(shp.shard_id) AS sum_shard,
+           sum(shp.pos * shp.shard_id) AS shard_pos_dot
+    FROM u JOIN shp USING (doc_id)
     GROUP BY 1, 2
     """,
 )
@@ -273,7 +290,16 @@ def q37_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     full pipeline — hashed unigram+bigram buckets, add-1 smoothed
     probability vectors, per-doc log-ratio fold — bit-for-bit. One
     scan serves both column families (the q09/q26 slot-merge
-    pattern; the driver registry is capped at 50)."""
+    pattern; the driver registry is capped at 50).
+
+    This session adds a THIRD hash-gated family to the same scan: the
+    training-shard assignment and per-shard uniform rank
+    (``operators.sampling.training_order`` — the loader handoff).
+    ``sum_shard`` gates the salted-md5 shard mapping per group;
+    ``shard_pos_dot`` (Σ pos·shard_id) gates the WITHIN-shard order
+    jointly — a single misranked row under any shard moves the dot
+    product, so DuckDB replays the full shuffle+shard determinism
+    claim, not just its marginals."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     target = docs.where(F.col("doc_id") < 50)
     scored = SA.dsir_weights(
@@ -282,9 +308,12 @@ def q37_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = SA.hash_split(
         scored, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
     )
-    return out.groupBy("split", "lang").agg(
+    sharded = SA.training_order(out, "doc_id", 16, seed="s")
+    return sharded.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.sum("dsir_logw"), 3).alias("sum_dsir_logw"),
+        F.sum("shard_id").alias("sum_shard"),
+        F.sum(F.col("pos") * F.col("shard_id")).alias("shard_pos_dot"),
     )
 
 
