@@ -221,6 +221,10 @@ def build_curation_dag() -> Dag:
                 "doc_id",
                 n_shards=ctx.get("n_shards", 64),
                 seed=ctx.get("shard_seed", ""),
+                # docs_final carries per-doc token counts (the signals
+                # stage) — the manifest's per-shard token totals are
+                # what a loader schedules epochs by
+                token_col="n_tokens" if "n_tokens" in docs.columns else None,
             )
 
     @dag.task("report", upstream=("export_shards",))

@@ -376,6 +376,7 @@ def write_training_shards(
     n_shards: int,
     seed: str = "",
     manifest_name: str = "_shards_manifest.json",
+    token_col: str | None = None,
 ) -> dict:
     """Materialize :func:`training_order` as one ``shard_id=N`` dir
     per shard, rows sorted by ``pos`` within each data file, plus a
@@ -404,14 +405,19 @@ def write_training_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
-    # count what LANDED (not the plan): the manifest certifies disk
+    # count what LANDED (not the plan): the manifest certifies disk.
+    # token_col (opt-in) also sums a per-row token count per shard —
+    # loaders schedule work by TOKENS, and shard-level totals let them
+    # balance epochs without scanning the data first
     written = out.sparkSession.read.parquet(path)
-    counts = {
-        int(r["shard_id"]): int(r["n"])
-        for r in written.groupBy("shard_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).cast("long").alias("tok"))
+    per = {
+        int(r["shard_id"]): r
+        for r in written.groupBy("shard_id").agg(*aggs).collect()
     }
+    counts = {k: int(r["n"]) for k, r in per.items()}
     manifest = {
         "n_shards": n_shards,
         "seed": seed,
@@ -419,6 +425,11 @@ def write_training_shards(
         "rows": sum(counts.values()),
         "shard_rows": {str(k): counts[k] for k in sorted(counts)},
     }
+    if token_col is not None:
+        toks = {k: int(r["tok"] or 0) for k, r in per.items()}
+        manifest["token_col"] = token_col
+        manifest["tokens"] = sum(toks.values())
+        manifest["shard_tokens"] = {str(k): toks[k] for k in sorted(toks)}
     # write through the session's Hadoop FileSystem, not builtin
     # open(): ``path`` is wherever the parquet just landed (file://,
     # hdfs://, s3a://) and a local-only manifest write would leave a

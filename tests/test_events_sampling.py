@@ -2052,10 +2052,19 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
 
     import pyarrow.parquet as _pq
 
-    docs = spark.range(300).withColumn("text", F.lit("x"))
+    docs = spark.range(300).withColumn("text", F.lit("x")).withColumn(
+        "n_tokens", (F.col("id") % 5 + 1).cast("int")
+    )
     path = str(tmp_path / "shards")
-    man = SA.write_training_shards(docs, path, "id", 8, seed="s")
+    man = SA.write_training_shards(
+        docs, path, "id", 8, seed="s", token_col="n_tokens"
+    )
     assert man["rows"] == 300 and man["n_shards"] == 8
+    # token-aware manifest: per-shard totals sum to the corpus total
+    assert man["tokens"] == sum(
+        r["s"] for r in docs.agg(F.sum("n_tokens").alias("s")).collect()
+    )
+    assert sum(man["shard_tokens"].values()) == man["tokens"]
     assert _os.path.exists(_os.path.join(path, "_shards_manifest.json"))
     on_disk = _json.load(open(_os.path.join(path, "_shards_manifest.json")))
     assert on_disk == man
