@@ -270,8 +270,8 @@ def q36_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            lang,
            count(*) AS n_docs,
            round(sum(logw), 3) AS sum_dsir_logw,
-           sum(shp.shard_id) AS sum_shard,
-           sum(shp.pos * shp.shard_id) AS shard_pos_dot
+           CAST(sum(shp.shard_id) AS BIGINT) AS sum_shard,
+           CAST(sum(shp.pos * shp.shard_id) AS BIGINT) AS shard_pos_dot
     FROM u JOIN shp USING (doc_id)
     GROUP BY 1, 2
     """,
