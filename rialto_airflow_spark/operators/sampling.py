@@ -266,6 +266,7 @@ def weighted_sample(
     n: int,
     salt: str = "wsample",
     group_cols: list[str] | None = None,
+    key_round: int | None = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement, deterministic:
     Efraimidis–Spirakis A-ES (2006) — each row gets key
@@ -294,9 +295,19 @@ def weighted_sample(
     silent permanent dropout for that (id, salt). The clamp value
     2^-33 sits below the smallest nonzero ``u`` (2^-32), so no
     other row's key ordering changes.
+
+    ``key_round`` (opt-in) rounds the A-ES key to that many decimal
+    digits before the top-n — the cross-ENGINE replay affordance:
+    ``ln`` is not bit-identical across libms, so two engines replaying
+    the same draw could disagree on a candidate sitting within one ulp
+    of the cut. Rounding absorbs that jitter; the ties it creates
+    break on ascending id identically everywhere. Production leaves it
+    None (full-precision keys, same determinism within one engine).
     """
     u = F.greatest(hash_uniform(id_col, salt), F.lit(2.0 ** -33))
     key = F.log(u) / F.col(weight_col).cast("double")
+    if key_round is not None:
+        key = F.round(key, key_round)
     base = df.where(
         F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
     ).withColumn("__wkey", key)
@@ -369,6 +380,71 @@ def training_order(
     )
 
 
+def _local_fs_path(path: str) -> str | None:
+    """The plain filesystem path behind ``path``, or None when it
+    lives on a non-local store (hdfs://, s3a://, …) a driver-side
+    footer reader can't open directly."""
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        # file:///p and file:/p both mean local /p; file://host/p doesn't
+        if rest.startswith("///"):
+            return rest[2:]
+        if rest.startswith("//"):
+            return None
+        return rest
+    if "://" in path:
+        return None
+    return path
+
+
+def _footer_shard_stats(
+    path: str, want_tokens: bool
+) -> tuple[dict[int, int], dict[int, int]] | None:
+    """Per-shard (rows, token totals) from parquet FOOTERS only — the
+    zero-row-read certification behind :func:`write_training_shards`.
+    Rows come from each file's footer ``num_rows`` (always present);
+    token totals from the max column statistic of the monotone
+    ``tok_cum`` running offset (a per-shard cumulative sum, so its max
+    across the shard's files IS the shard total). Returns None when
+    the path isn't a local filesystem or any needed statistic is
+    missing — callers fall back to the scan certification."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    base = _local_fs_path(path)
+    if base is None:
+        return None
+    rows: dict[int, int] = {}
+    toks: dict[int, int] = {}
+    for d in sorted(os.listdir(base)):
+        if not d.startswith("shard_id="):
+            continue
+        sid = int(d.split("=", 1)[1])
+        nr = 0
+        mx: int | None = None
+        for f in sorted(os.listdir(os.path.join(base, d))):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(base, d, f)).metadata
+            nr += md.num_rows
+            if want_tokens:
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        if col.path_in_schema != "tok_cum":
+                            continue
+                        st = col.statistics
+                        if st is None or st.max is None:
+                            return None  # stats absent → scan path
+                        mx = st.max if mx is None else max(mx, st.max)
+        rows[sid] = nr
+        if want_tokens:
+            toks[sid] = int(mx or 0)
+    return rows, toks
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -377,6 +453,7 @@ def write_training_shards(
     seed: str = "",
     manifest_name: str = "_shards_manifest.json",
     token_col: str | None = None,
+    certify: str = "footer",
 ) -> dict:
     """Materialize :func:`training_order` as one ``shard_id=N`` dir
     per shard, rows sorted by ``pos`` within each data file, plus a
@@ -394,30 +471,76 @@ def write_training_shards(
     write adds only a partition-local sort (no second exchange; an
     explicit repartition(shard_id) here would re-shuffle the whole
     corpus for nothing).
+
+    With ``token_col`` the output also carries ``tok_cum`` — the
+    per-shard RUNNING token offset (same window as ``pos``, so it
+    costs no extra shuffle). It serves two masters: loaders seek to a
+    token position inside a shard without summing prefixes, and the
+    manifest certification below reads shard token totals straight
+    from its parquet footer max-statistics. Token counts must be
+    non-negative (a running sum's max equals its total only then).
+
+    ``certify`` controls how the manifest counts what LANDED (the
+    manifest certifies disk, not the plan):
+
+      * ``"footer"`` (default) — parquet footer metadata only:
+        ``num_rows`` per file for rows, the ``tok_cum`` max statistic
+        for tokens. ZERO data rows read after the write — at a 100 TB
+        export the old full re-read doubled the job. Falls back to
+        ``"scan"`` when the path isn't local-filesystem or a footer
+        statistic is missing.
+      * ``"scan"`` — re-read the landed data (column-pruned to
+        ``shard_id`` + ``token_col``) and aggregate; the independent
+        end-to-end check, opt-in.
+
+    The manifest's ``shard_rows``/``shard_tokens`` are TOTAL over
+    ``range(n_shards)``: a shard that received no rows gets an
+    explicit 0 entry (and no directory), so a loader iterating
+    ``range(n_shards)`` never hits a missing key.
     """
     import json
     import os
 
+    if certify not in ("footer", "scan"):
+        raise ValueError(f"certify must be 'footer' or 'scan', got {certify!r}")
+    from pyspark.sql.window import Window
+
     out = training_order(df, id_col, n_shards, seed)
+    if token_col is not None:
+        w = Window.partitionBy("shard_id").orderBy("pos")
+        out = out.withColumn(
+            "tok_cum", F.sum(F.col(token_col).cast("long")).over(w)
+        )
     (
         out.sortWithinPartitions("shard_id", "pos")
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(path)
     )
-    # count what LANDED (not the plan): the manifest certifies disk.
-    # token_col (opt-in) also sums a per-row token count per shard —
-    # loaders schedule work by TOKENS, and shard-level totals let them
-    # balance epochs without scanning the data first
-    written = out.sparkSession.read.parquet(path)
-    aggs = [F.count(F.lit(1)).alias("n")]
-    if token_col is not None:
-        aggs.append(F.sum(token_col).cast("long").alias("tok"))
-    per = {
-        int(r["shard_id"]): r
-        for r in written.groupBy("shard_id").agg(*aggs).collect()
-    }
-    counts = {k: int(r["n"]) for k, r in per.items()}
+    stats = (
+        _footer_shard_stats(path, token_col is not None)
+        if certify == "footer"
+        else None
+    )
+    if stats is not None:
+        counts, toks = stats
+    else:
+        # scan certification: column-pruned to shard_id (+ token_col)
+        written = out.sparkSession.read.parquet(path)
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if token_col is not None:
+            aggs.append(F.sum(token_col).cast("long").alias("tok"))
+        per = {
+            int(r["shard_id"]): r
+            for r in written.groupBy("shard_id").agg(*aggs).collect()
+        }
+        counts = {k: int(r["n"]) for k, r in per.items()}
+        toks = (
+            {k: int(r["tok"] or 0) for k, r in per.items()}
+            if token_col is not None
+            else {}
+        )
+    counts = {s: counts.get(s, 0) for s in range(n_shards)}
     manifest = {
         "n_shards": n_shards,
         "seed": seed,
@@ -426,7 +549,7 @@ def write_training_shards(
         "shard_rows": {str(k): counts[k] for k in sorted(counts)},
     }
     if token_col is not None:
-        toks = {k: int(r["tok"] or 0) for k, r in per.items()}
+        toks = {s: toks.get(s, 0) for s in range(n_shards)}
         manifest["token_col"] = token_col
         manifest["tokens"] = sum(toks.values())
         manifest["shard_tokens"] = {str(k): toks[k] for k in sorted(toks)}

@@ -2065,6 +2065,10 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
         r["s"] for r in docs.agg(F.sum("n_tokens").alias("s")).collect()
     )
     assert sum(man["shard_tokens"].values()) == man["tokens"]
+    # totality: every shard id in range(n_shards) has an entry, even
+    # zero-row shards (the loader iterates range(n_shards))
+    assert sorted(man["shard_rows"]) == sorted(str(s) for s in range(8))
+    assert sorted(man["shard_tokens"]) == sorted(str(s) for s in range(8))
     assert _os.path.exists(_os.path.join(path, "_shards_manifest.json"))
     on_disk = _json.load(open(_os.path.join(path, "_shards_manifest.json")))
     assert on_disk == man
@@ -2079,3 +2083,81 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
     for f in _glob.glob(path + "/shard_id=*/*.parquet"):
         ps = _pq.read_table(f, columns=["pos"]).column("pos").to_pylist()
         assert ps == sorted(ps)
+    # tok_cum is the per-shard running token offset (seekable loaders)
+    for sid, rows in (
+        spark.read.parquet(path)
+        .select("shard_id", "pos", "n_tokens", "tok_cum")
+        .toPandas()
+        .groupby("shard_id")
+    ):
+        rows = rows.sort_values("pos")
+        assert list(rows["tok_cum"]) == list(rows["n_tokens"].cumsum())
+
+
+def test_write_training_shards_footer_certification_no_spark_read(
+    spark, tmp_path, monkeypatch
+):
+    """The default (footer) certification never re-reads the export
+    through Spark: with DataFrameReader.parquet poisoned, the write +
+    manifest still succeed, and the manifest equals the independent
+    scan certification bit-for-bit — including multi-file shards
+    (maxRecordsPerFile forces several files per shard, so the
+    footer max-over-files/row-groups logic is exercised)."""
+    import pyspark.sql.readwriter as _rw
+
+    docs = spark.range(400).withColumn(
+        "n_tokens", (F.col("id") % 7 + 1).cast("int")
+    )
+    p_footer = str(tmp_path / "footer")
+    p_scan = str(tmp_path / "scan")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "20")
+    try:
+        man_scan = SA.write_training_shards(
+            docs, p_scan, "id", 8, seed="s", token_col="n_tokens",
+            certify="scan",
+        )
+        orig = _rw.DataFrameReader.parquet
+
+        def _boom(self, *a, **k):
+            raise AssertionError("footer certification must not scan")
+
+        monkeypatch.setattr(_rw.DataFrameReader, "parquet", _boom)
+        try:
+            man_footer = SA.write_training_shards(
+                docs, p_footer, "id", 8, seed="s", token_col="n_tokens",
+                certify="footer",
+            )
+        finally:
+            monkeypatch.setattr(_rw.DataFrameReader, "parquet", orig)
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    assert man_footer == man_scan
+    # several files per shard actually landed (the option took effect)
+    import glob as _glob
+
+    some_shard = _glob.glob(p_footer + "/shard_id=*")[0]
+    assert len(_glob.glob(some_shard + "/*.parquet")) > 1
+
+
+def test_write_training_shards_zero_shards_explicit(spark, tmp_path):
+    """A shard hashing to zero rows gets an explicit 0 manifest entry
+    and no directory — the loader contract is total over
+    range(n_shards) (round-10 ADVICE)."""
+    import os as _os
+
+    docs = spark.range(3).withColumn("n_tokens", F.lit(2).cast("int"))
+    path = str(tmp_path / "sparse")
+    man = SA.write_training_shards(
+        docs, path, "id", 32, seed="s", token_col="n_tokens"
+    )
+    assert set(man["shard_rows"]) == {str(s) for s in range(32)}
+    assert set(man["shard_tokens"]) == {str(s) for s in range(32)}
+    assert man["rows"] == 3 and man["tokens"] == 6
+    present_dirs = {
+        int(d.split("=")[1])
+        for d in _os.listdir(path)
+        if d.startswith("shard_id=")
+    }
+    zero_ids = {int(s) for s, n in man["shard_rows"].items() if n == 0}
+    assert zero_ids and zero_ids.isdisjoint(present_dirs)
+    assert len(present_dirs) + len(zero_ids) == 32
