@@ -394,6 +394,58 @@ def incremental_group_agg(
     return kept.unionByName(fragment)
 
 
+def incremental_mart_parts_from_changes(
+    old_changed_rows: DataFrame,
+    new_changed_rows: DataFrame,
+    new_tbl: DataFrame,
+    fan_key: str,
+    build=None,
+    agg_exprs: Sequence[Column] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The (affected groups, rebuilt fragment) pair when the caller
+    ALREADY KNOWS which keys changed — the streaming sink's case: the
+    micro-batch in hand IS the change set, so deriving it again via
+    :func:`snapshot_diff` (a full-outer join of two complete table
+    versions per 10-second trigger) pays an O(table) read to discover
+    an O(batch) fact. Here the caller passes the changed keys' ROWS
+    from each version instead — on a manifest table those come from a
+    bucket-pruned read (``TableStore.read_buckets``: O(dirty buckets)
+    bytes, zero full-version scan), and the only remaining table-sized
+    input is ``new_tbl``, used once for the affected groups' re-fold
+    (a broadcast semi-join — scanned, never shuffled).
+
+    A SUPERSET of the truly-changed keys is safe: a group re-folded
+    from the new table without having changed reproduces its mart rows
+    exactly (the per-group ``build`` contract). The streaming sink
+    passes the batch's keys — no-op rows cost a redundant re-fold
+    bounded by the batch, never a wrong answer. Deletes need no
+    special casing there because streaming MERGE never deletes; a
+    consumer with deletes must include the deleted keys in both
+    changed-row reads (the old version still has their rows, which is
+    what re-points their groups).
+
+    Exactly one of ``build`` (join-shaped mart: fragment =
+    ``build(rows of affected groups)``) / ``agg_exprs`` (group
+    aggregate: fragment = ``groupBy(fan_key).agg(*agg_exprs)`` over
+    those rows) must be given — same contracts as
+    :func:`incremental_join_mart` / :func:`incremental_group_agg`."""
+    if (build is None) == (agg_exprs is None):
+        raise ValueError("pass exactly one of build= / agg_exprs=")
+    affected = (
+        old_changed_rows.select(fan_key)
+        .unionByName(new_changed_rows.select(fan_key))
+        .distinct()
+    )
+    fragment_rows = new_tbl.join(
+        F.broadcast(affected.withColumnRenamed(fan_key, "__chg_fan")),
+        new_tbl[fan_key].eqNullSafe(F.col("__chg_fan")),
+        "left_semi",
+    )
+    if build is not None:
+        return affected, build(fragment_rows)
+    return affected, fragment_rows.groupBy(fan_key).agg(*agg_exprs)
+
+
 def incremental_group_agg_parts(
     old_tbl: DataFrame,
     new_tbl: DataFrame,

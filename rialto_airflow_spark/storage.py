@@ -708,6 +708,81 @@ class TableStore:
             cond = cond | F.col(key).isNull()
         return df.where(cond)
 
+    def batch_buckets(self, name: str, batch: DataFrame) -> list[int]:
+        """The bucket ids a batch's keys hash into under ``name``'s
+        CURRENT manifest parameters — the bounded collect (≤ n_buckets
+        BY CONSTRUCTION) every O(changes) consumer starts from. One
+        tiny distinct job over the batch's key column."""
+        info = self.current_info(name)
+        if info is None or "manifest" not in info:
+            raise FileNotFoundError(
+                f"table {name} has no manifest version at head"
+            )
+        bexpr = self._bucket_expr(info["bucket_key"], info["n_buckets"])
+        return sorted(
+            r["b"] for r in batch.select(bexpr.alias("b")).distinct().collect()
+        )
+
+    def read_buckets(
+        self,
+        spark: SparkSession,
+        name: str,
+        buckets,
+        version: str | None = None,
+    ) -> DataFrame:
+        """Read ONLY the named buckets of a manifest version (default:
+        the head) under its commit-recorded schema — the bucket-pruned
+        slice read behind O(changes) change detection: two versions'
+        slices for the batch's buckets cost O(dirty buckets) bytes
+        regardless of table size, where a full-version read costs
+        O(table) per call. Buckets absent from the manifest contribute
+        nothing (an empty frame with the recorded schema when none are
+        present). ``version`` is a version name as listed by
+        :meth:`versions`; a vacuumed version raises, same contract as
+        :meth:`read_version`."""
+        if version is None:
+            payload = self.current_info(name)
+            if payload is None:
+                raise FileNotFoundError(
+                    f"table {name} has no committed version"
+                )
+        else:
+            p = os.path.join(self.root, name, version)
+            if not self._backend().data_exists(p):
+                raise FileNotFoundError(
+                    f"table {name} has no retained version {version!r}"
+                )
+            payload = self._payload_for(name, p)
+        if payload is None or "manifest" not in payload:
+            raise ValueError(
+                f"table {name}: the requested version is not a manifest "
+                "version — there is no bucket metadata to prune with"
+            )
+        manifest = payload["manifest"]
+        st = self._schema_of(payload)
+        backend = self._backend()
+        paths = []
+        for b in sorted(set(int(x) for x in buckets)):
+            vd = manifest.get(str(b))
+            if vd is None:
+                continue
+            leaf = self._manifest_leaf(vd, b)
+            if not backend.data_exists(leaf):
+                raise FileNotFoundError(
+                    f"table {name}: bucket {b} of the requested version "
+                    "was vacuumed — its carrier leaf is gone"
+                )
+            paths.append(leaf)
+        if not paths:
+            if st is not None:
+                return spark.createDataFrame([], st)
+            raise FileNotFoundError(
+                f"table {name}: none of the requested buckets exist and "
+                "the version records no schema"
+            )
+        reader = spark.read.schema(st) if st is not None else spark.read
+        return reader.parquet(*paths)
+
     def upsert_manifest(
         self,
         spark: SparkSession,

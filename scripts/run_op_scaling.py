@@ -395,6 +395,52 @@ WRITE_OPS = {
 }
 
 
+# --- read-path ops: measured in BYTES READ (input file bytes the
+# plan resolves to) — the round-11 evidence that streaming mart
+# change detection is O(dirty buckets), not O(two full versions)
+
+def _input_bytes(df) -> int:
+    total = 0
+    for p in df.inputFiles():
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            if p.startswith("///"):
+                p = p[2:]
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass
+    return total
+
+
+def rop_mart_change_detection(spark, d):
+    """Per-trigger change detection for the streaming mart, measured
+    in bytes READ: the batch's buckets are sliced out of BOTH the
+    built_from version and head (read_buckets — the stream_upsert
+    path), vs the pre-round-11 snapshot_diff shape that read both
+    versions whole. Fixed 10-key batch at every scale: pruned bytes
+    must stay ~flat, full-diff bytes grow with the table."""
+    st = _write_stores(spark, d)
+    batch = _doc_batch(spark, d, n=10).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" det"))
+    )
+    old_v = os.path.basename(st.current_version("m"))
+    st.upsert_manifest(spark, "m", batch, updated_at_col="updated_at")
+    bks = st.batch_buckets("m", batch)
+    pruned = _input_bytes(
+        st.read_buckets(spark, "m", bks, version=old_v)
+    ) + _input_bytes(st.read_buckets(spark, "m", bks))
+    full = _input_bytes(st.read_version(spark, "m", old_v)) + _input_bytes(
+        st.read(spark, "m")
+    )
+    return {"bytes_read_pruned": pruned, "bytes_read_full_diff": full}
+
+
+READ_BYTES_OPS = {
+    "stream_mart_change_detect_10chg": rop_mart_change_detection,
+}
+
+
 def op_read_keys_pointlookup(spark, d):
     """Bucket-pruned point read: 5 keys against the 256-bucket
     manifest table — path selection reads ≤5 bucket dirs."""
@@ -449,8 +495,13 @@ def main() -> None:
                 "sec": round(time.perf_counter() - t0, 3),
                 "bytes_written": nbytes,
             }
-        result["scales"][label] = {"dir": d, "ops": timings, "writes": writes}
-        print(label, timings, writes)
+        reads: dict[str, dict] = {}
+        for name, fn in READ_BYTES_OPS.items():
+            reads[name] = fn(spark, d)
+        result["scales"][label] = {
+            "dir": d, "ops": timings, "writes": writes, "reads": reads,
+        }
+        print(label, timings, writes, reads)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
 

@@ -653,6 +653,47 @@ def test_read_keys_prunes_to_matching_buckets(spark, tmp_path):
         st.read_keys(spark, "plain", [1])
 
 
+def test_read_buckets_slices_versions_without_full_scans(spark, tmp_path):
+    """read_buckets + batch_buckets: the bucket-pruned slice read
+    behind O(changes) streaming change detection. Requested buckets of
+    a NAMED version resolve under its own manifest (time-travel-aware:
+    the same bucket id yields different rows before/after an upsert),
+    the plan touches only the requested leaf dirs, absent buckets
+    contribute nothing, and a plain version raises."""
+    import re as _re
+
+    st = TableStore(str(tmp_path))
+    df = _base(spark, n=500)
+    v1 = st.write_manifest(df, "t", "id", n_buckets=16)
+
+    batch = spark.createDataFrame([(5, 999, 0)], "id long, v long, grp int")
+    bks = st.batch_buckets("t", batch)
+    assert len(bks) == 1
+    st.upsert_manifest(spark, "t", batch)
+
+    old_slice = st.read_buckets(spark, "t", bks, version=os.path.basename(v1))
+    new_slice = st.read_buckets(spark, "t", bks)
+    assert old_slice.where(F.col("id") == 5).collect()[0]["v"] == 10
+    assert new_slice.where(F.col("id") == 5).collect()[0]["v"] == 999
+    # both slices hold EXACTLY bucket 5's rows of their version —
+    # same membership (the upsert changed a value, not the key set)
+    assert old_slice.count() == new_slice.count() > 0
+    for sl in (old_slice, new_slice):
+        scan = sl._jdf.queryExecution().executedPlan().toString()
+        n_paths = int(
+            _re.search(r"InMemoryFileIndex\((\d+) paths?\)", scan).group(1)
+        )
+        assert n_paths == 1  # one leaf dir, not a 16-bucket scan
+        assert sl.columns == ["id", "v", "grp"]  # recorded schema
+
+    # a bucket id with no manifest entry contributes nothing
+    assert st.read_buckets(spark, "t", [9999]).count() == 0
+    # plain versions have no bucket metadata
+    st.write(_base(spark, n=10), "plain")
+    with pytest.raises(ValueError, match="not a manifest"):
+        st.read_buckets(spark, "plain", [0])
+
+
 def test_sort_cols_survive_every_writer(spark, tmp_path):
     """sort_cols declared at bootstrap: every data file any writer
     lands (bootstrap, upsert, replace, compaction) is sorted on the
