@@ -113,9 +113,11 @@ class CommitBackend:
 
     # --- data plane (version directories) --------------------------
     def data_exists(self, path: str) -> bool:
-        """True iff a data version exists at ``path`` — a directory
-        on POSIX, a non-empty key prefix on an object store."""
-        return os.path.isdir(path)
+        """True iff data exists at ``path`` — a directory OR a single
+        data file (file-granular manifest entries reference individual
+        parquet files) on POSIX; a non-empty key prefix or object on
+        an object store."""
+        return os.path.exists(path)
 
     def list_data(self, dirpath: str) -> list[str]:
         """Child DIRECTORY names (candidate versions) under
@@ -146,10 +148,17 @@ class CommitBackend:
         ]
 
     def delete_data(self, path: str) -> None:
-        """Reclaim the version at ``path`` (recursive; missing is
-        fine). Object stores: paged LIST + batched DELETE."""
+        """Reclaim the data at ``path`` — a version/leaf directory
+        (recursive) or a single data file (file-granular vacuum);
+        missing is fine. Object stores: paged LIST + batched DELETE."""
         import shutil
 
+        if os.path.isfile(path):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            return
         shutil.rmtree(path, ignore_errors=True)
 
     def data_size(self, path: str) -> int:
@@ -157,7 +166,13 @@ class CommitBackend:
         metadata only: a recursive listing, never a data read. Object
         stores: sum of object sizes from a paged LIST; Hadoop:
         ``getContentSummary``. Hidden files (``_*``/``.*``) are
-        excluded to match what a parquet reader pays for."""
+        excluded to match what a parquet reader pays for. A single
+        data FILE (file-granular manifest entry) sizes directly."""
+        if os.path.isfile(path):
+            try:
+                return os.path.getsize(path)
+            except OSError:
+                return 0
         total = 0
         for root, _dirs, files in os.walk(path):
             for f in files:
@@ -418,9 +433,10 @@ class HadoopFsBackend(CommitBackend):
 
     # --- data plane -------------------------------------------------
     def data_exists(self, path: str) -> bool:
+        # directories AND single data files count (file-granular
+        # manifest entries reference individual parquet files)
         p = self._jpath(path)
-        fs = self._fs(p)
-        return fs.exists(p) and fs.getFileStatus(p).isDirectory()
+        return self._fs(p).exists(p)
 
     def list_data(self, dirpath: str) -> list[str]:
         p = self._jpath(dirpath)

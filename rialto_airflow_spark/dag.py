@@ -275,50 +275,136 @@ def build_harvest_dag() -> Dag:
 
     @dag.task("complete", upstream=("remove_orphans",))
     def complete(ctx):
-        """Optionally persist the run's publications O(changes)
-        (opt-in via ``ctx['pubs_store']`` = a TableStore): the run
-        recomputes ``ctx['pubs']`` lazily in memory, but at 100 TB the
-        WRITE is what matters — against a manifest head the run lands
-        as a keyed REPLACE (diff the finished pubs against the stored
-        version, rewrite only the dirty id-buckets; inserts, updates
-        AND the run's deletes — dedupe losers, removed orphans — all
-        apply through the one affected-key set). First run bootstraps
-        with ``write_manifest``. Keys: ``pubs_table`` (default
-        'publications'), ``pubs_manifest_buckets`` (bootstrap sizing,
-        default 64), ``pubs_compare_cols`` (thin the diff — every
-        MERGE/distill touch re-stamps ``updated_at``/``distilled_at``,
-        so comparing just those is the production shape; deletes are
-        presence-based and need no compare columns)."""
+        """Optionally persist the run's tables O(changes) (opt-in via
+        ``ctx['pubs_store']`` = a TableStore): the run recomputes its
+        frames lazily in memory, but at 100 TB the WRITE is what
+        matters — against a manifest head the run lands as a keyed
+        REPLACE (diff the finished table against the stored version,
+        rewrite only dirty buckets/files; inserts, updates AND the
+        run's deletes — dedupe losers, removed orphans, M5 edge
+        resets — all apply through the one affected-key set).
+
+        Publications persist by ``id`` (``pubs_table``, default
+        'publications'; ``pubs_compare_cols`` thins the diff —
+        ["updated_at"] is the production shape since every MERGE/
+        distill touch re-stamps it). BOTH edge tables persist too,
+        bucketed by ``publication_id`` with a PRESENCE diff (edges
+        are insert/delete-only — M4/M5 — and carry no stamp):
+        ``pub_author_edges`` / ``pub_funder_edges`` by default.
+
+        Full-harvest and schema-evolution runs RE-BOOTSTRAP with
+        ``write_manifest`` instead of diffing (round-10 ADVICE): a
+        full harvest re-stamps nearly every row, so the "diff" is the
+        table and the O(changes) path degenerates through its slowest
+        shape (and a corpus-sized changed-set broadcast risks the
+        driver); a run that added a column would leave rows whose
+        shared columns are unchanged out of the dirty set while the
+        replace widened the schema — the stored table would silently
+        diverge from the run's finished frame."""
         store = ctx.get("pubs_store")
         if store is not None:
-            from pyspark.sql import functions as SF
-
-            from rialto_airflow_spark.operators.merge import snapshot_diff
-
-            table = ctx.get("pubs_table", "publications")
-            new = ctx["pubs"]
-            spark = new.sparkSession
-            info = store.current_info(table)
-            if info is None or "manifest" not in info:
-                store.write_manifest(
-                    new, table, "id",
-                    n_buckets=ctx.get("pubs_manifest_buckets", 64),
-                )
-            else:
-                old = store.read(spark, table)
-                changed = (
-                    snapshot_diff(
-                        old, new, "id",
-                        compare_cols=ctx.get("pubs_compare_cols"),
+            spark = ctx["pubs"].sparkSession
+            is_full = bool(ctx.get("is_full", False))
+            nb = ctx.get("pubs_manifest_buckets", 64)
+            _persist_keyed_table(
+                store, spark, ctx.get("pubs_table", "publications"),
+                ctx["pubs"], "id",
+                n_buckets=nb,
+                compare_cols=ctx.get("pubs_compare_cols"),
+                is_full=is_full,
+                sort_cols=ctx.get("pubs_sort_cols"),
+                max_file_rows=ctx.get("pubs_max_file_rows"),
+            )
+            for default_tbl, ctx_key, other_col in (
+                ("pub_author_edges", "author_edges", "author_id"),
+                ("pub_funder_edges", "funder_edges", "funder_id"),
+            ):
+                if ctx_key in ctx:
+                    _persist_edge_table(
+                        store, spark,
+                        ctx.get(f"{ctx_key}_table", default_tbl),
+                        ctx[ctx_key],
+                        fan_key="publication_id",
+                        key_cols=["publication_id", other_col],
+                        n_buckets=ctx.get("edges_manifest_buckets", nb),
+                        is_full=is_full,
                     )
-                    .select("id")
-                    .distinct()
-                )
-                fragment = new.join(SF.broadcast(changed), "id", "left_semi")
-                store.replace_keys_manifest(spark, table, changed, fragment)
         ctx["harvest_finished"] = True
 
     return dag
+
+
+def _persist_keyed_table(
+    store, spark, table, new, key, *,
+    n_buckets, compare_cols, is_full,
+    sort_cols=None, max_file_rows=None,
+) -> None:
+    """O(changes) persistence for a key-unique run table (see
+    ``complete``). Bootstrap / full-harvest / schema-change runs take
+    ``write_manifest``; incremental runs diff and apply a keyed
+    REPLACE. The changed-set joins carry NO broadcast hint — the set
+    is small by construction on the incremental path, and AQE picks
+    the strategy from the measured size instead of a promise
+    (round-10 ADVICE: an unconditional hint turned corpus-sized
+    changed sets into driver-OOM broadcasts)."""
+    from rialto_airflow_spark.operators.merge import snapshot_diff
+
+    info = store.current_info(table)
+    if info is None or "manifest" not in info or is_full:
+        store.write_manifest(
+            new, table, key, n_buckets=n_buckets,
+            sort_cols=sort_cols, max_file_rows=max_file_rows,
+        )
+        return
+    old = store.read(spark, table)
+    if set(old.columns) != set(new.columns):
+        # schema evolved: snapshot_diff compares only SHARED columns,
+        # so new-column-only changes would silently miss the dirty set
+        store.write_manifest(
+            new, table, key, n_buckets=info["n_buckets"],
+            sort_cols=info.get("sort_cols"),
+            max_file_rows=info.get("max_file_rows"),
+        )
+        return
+    changed = (
+        snapshot_diff(old, new, key, compare_cols=compare_cols)
+        .select(key)
+        .distinct()
+    )
+    fragment = new.join(changed, key, "left_semi")
+    store.replace_keys_manifest(spark, table, changed, fragment)
+
+
+def _persist_edge_table(
+    store, spark, table, new, *, fan_key, key_cols, n_buckets, is_full
+) -> None:
+    """O(changes) persistence for an association table (M4 shape):
+    bucketed by the publication-side key, diffed by PRESENCE (edges
+    are insert/delete-only and carry no updated_at — two anti-joins
+    on the composite key find every added or removed edge), and
+    applied as a keyed REPLACE of the affected publications' whole
+    edge groups. Full-harvest runs re-bootstrap: M5 resets the edge
+    table wholesale, the presence diff would BE the table."""
+    info = store.current_info(table)
+    if info is None or "manifest" not in info or is_full:
+        store.write_manifest(new, table, fan_key, n_buckets=n_buckets)
+        return
+    old = store.read(spark, table)
+    if set(old.columns) != set(new.columns):
+        store.write_manifest(
+            new, table, fan_key, n_buckets=info["n_buckets"]
+        )
+        return
+    o = old.select(*key_cols)
+    nn = new.select(*key_cols)
+    affected = (
+        nn.join(o, key_cols, "left_anti")
+        .select(fan_key)
+        .unionByName(o.join(nn, key_cols, "left_anti").select(fan_key))
+        .distinct()
+    )
+    fragment = new.join(affected, fan_key, "left_semi")
+    store.replace_keys_manifest(spark, table, affected, fragment)
 
 
 def build_publish_dag() -> Dag:

@@ -34,7 +34,52 @@ def publications_for_author(
     my_pubs = pubs.join(
         F.broadcast(pub_ids), pubs["id"] == pub_ids["publication_id"], "left_semi"
     )
+    return _cli_projection(
+        my_pubs, pub_ids, author_edges, authors, funder_edges, funders
+    )
 
+
+def publications_for_author_from_store(
+    sunet: str,
+    spark,
+    store,
+    pubs_table: str,
+    author_edges: DataFrame,
+    authors: DataFrame,
+    funder_edges: DataFrame,
+    funders: DataFrame,
+) -> DataFrame:
+    """The CLI lookup against a PERSISTED manifest publications table
+    (``dag.complete``'s ``pubs_store`` output): one author's
+    publication ids are driver-small by construction (hundreds, not
+    millions — the point-read contract), so they collect and the pubs
+    side reads through ``TableStore.read_keys`` — path-selected to
+    ≤k bucket leaf dirs (file-pruned further under file-COW layouts)
+    instead of scanning a 100 TB table to serve one author. The
+    pre-round-11 shape (``publications_for_author`` over
+    ``store.read(...)``) semi-joined the SAME ids against a
+    full-table scan."""
+    target = authors.where(F.col("sunet") == sunet).select(
+        F.col("id").alias("__target_aid")
+    )
+    pub_ids_df = author_edges.join(
+        F.broadcast(target), F.col("author_id") == F.col("__target_aid")
+    ).select("publication_id").distinct()
+    ids = [r["publication_id"] for r in pub_ids_df.collect()]
+    my_pubs = store.read_keys(spark, pubs_table, ids)
+    return _cli_projection(
+        my_pubs, pub_ids_df, author_edges, authors, funder_edges, funders
+    )
+
+
+def _cli_projection(
+    my_pubs: DataFrame,
+    pub_ids: DataFrame,
+    author_edges: DataFrame,
+    authors: DataFrame,
+    funder_edges: DataFrame,
+    funders: DataFrame,
+) -> DataFrame:
     co_authors = (
         author_edges.join(
             F.broadcast(pub_ids.withColumnRenamed("publication_id", "__pid")),

@@ -263,6 +263,20 @@ def q36_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY shard_id ORDER BY ou ASC, doc_id ASC
              ) - 1 AS pos
       FROM sh
+    ),
+    wk AS (
+      SELECT doc_id,
+             round(
+               ln(greatest(
+                 CAST('0x' || substr(md5(doc_id::VARCHAR || '#wsample'), 1, 8)
+                      AS BIGINT) / 4294967296.0,
+                 1.1641532182693481e-10))
+               / n_chars::DOUBLE, 6) AS wkey
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    samp AS (
+      SELECT doc_id FROM wk ORDER BY wkey DESC, doc_id ASC LIMIT 100
     )
     SELECT CASE WHEN u < 0.8 THEN 'train'
                 WHEN u < 0.9 THEN 'val'
@@ -271,8 +285,12 @@ def q36_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            round(sum(logw), 3) AS sum_dsir_logw,
            CAST(sum(shp.shard_id) AS BIGINT) AS sum_shard,
-           CAST(sum(shp.pos * shp.shard_id) AS BIGINT) AS shard_pos_dot
-    FROM u JOIN shp USING (doc_id)
+           CAST(sum(shp.pos * shp.shard_id) AS BIGINT) AS shard_pos_dot,
+           CAST(sum(CASE WHEN samp.doc_id IS NOT NULL THEN u.doc_id END)
+                AS BIGINT) AS sum_wsample_ids
+    FROM u
+    JOIN shp USING (doc_id)
+    LEFT JOIN samp ON samp.doc_id = u.doc_id
     GROUP BY 1, 2
     """,
 )
@@ -292,14 +310,16 @@ def q37_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan serves both column families (the q09/q26 slot-merge
     pattern; the driver registry is capped at 50).
 
-    This session adds a THIRD hash-gated family to the same scan: the
-    training-shard assignment and per-shard uniform rank
-    (``operators.sampling.training_order`` — the loader handoff).
-    ``sum_shard`` gates the salted-md5 shard mapping per group;
-    ``shard_pos_dot`` (Σ pos·shard_id) gates the WITHIN-shard order
-    jointly — a single misranked row under any shard moves the dot
-    product, so DuckDB replays the full shuffle+shard determinism
-    claim, not just its marginals."""
+    Round-10 added the THIRD family (training-shard assignment +
+    within-shard order: ``sum_shard`` and the Σ pos·shard_id dot
+    product replay ``training_order``'s full shuffle+shard
+    determinism in DuckDB). Round 11 folds a FOURTH into the same
+    scan: the Efraimidis–Spirakis weighted sample
+    (``operators.sampling.weighted_sample`` — key = ln(u)/w over the
+    salted-md5 uniform, top-100 by n_chars weight, ``key_round=6``
+    absorbing cross-libm ln jitter) — ``sum_wsample_ids`` sums the
+    SELECTED doc ids per group, so a single membership difference in
+    the draw breaks the hash."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     target = docs.where(F.col("doc_id") < 50)
     scored = SA.dsir_weights(
@@ -309,11 +329,17 @@ def q37_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
     )
     sharded = SA.training_order(out, "doc_id", 16, seed="s")
-    return sharded.groupBy("split", "lang").agg(
+    sample = SA.weighted_sample(
+        docs.select("doc_id", F.col("n_chars").cast("double").alias("__w")),
+        "doc_id", "__w", n=100, salt="wsample", key_round=6,
+    ).select("doc_id").withColumn("__s", F.lit(True))
+    gated = sharded.join(F.broadcast(sample), "doc_id", "left")
+    return gated.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.sum("dsir_logw"), 3).alias("sum_dsir_logw"),
         F.sum("shard_id").alias("sum_shard"),
         F.sum(F.col("pos") * F.col("shard_id")).alias("shard_pos_dot"),
+        F.sum(F.when(F.col("__s"), F.col("doc_id"))).alias("sum_wsample_ids"),
     )
 
 

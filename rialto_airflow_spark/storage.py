@@ -207,13 +207,15 @@ class TableStore:
         if vp and "manifest" in vp:
             # adopted manifest member: resolve its bucket references
             # (vacuum keeps them pinned while this snapshot is retained)
-            for k, vd in vp["manifest"].items():
-                if not self._backend().data_exists(self._manifest_leaf(vd, k)):
-                    raise FileNotFoundError(
-                        f"snapshot {seq}'s version of {name!r} references "
-                        f"bucket {k} in a vacuumed carrier — raise table "
-                        "retention above snapshot lookback"
-                    )
+            for k, e in vp["manifest"].items():
+                for pth in self._entry_paths(e, k):
+                    if not self._backend().data_exists(pth):
+                        raise FileNotFoundError(
+                            f"snapshot {seq}'s version of {name!r} "
+                            f"references bucket {k} in a vacuumed carrier "
+                            "— raise table retention above snapshot "
+                            "lookback"
+                        )
             return self._read_manifest(spark, vp)
         self._assert_not_carrier(name, p)
         return spark.read.parquet(p)
@@ -248,13 +250,14 @@ class TableStore:
             # this version gone, loudly (same contract as a vacuumed
             # whole-dir version)
             backend = self._backend()
-            for k, vd in payload["manifest"].items():
-                if not backend.data_exists(self._manifest_leaf(vd, k)):
-                    raise FileNotFoundError(
-                        f"table {name} version {version!r} references "
-                        f"bucket {k} in a vacuumed version — time travel "
-                        "to it is gone"
-                    )
+            for k, e in payload["manifest"].items():
+                for pth in self._entry_paths(e, k):
+                    if not backend.data_exists(pth):
+                        raise FileNotFoundError(
+                            f"table {name} version {version!r} references "
+                            f"bucket {k} in a vacuumed version — time "
+                            "travel to it is gone"
+                        )
             return self._read_manifest(spark, payload)
         self._assert_not_carrier(name, p)
         return spark.read.parquet(p)
@@ -312,13 +315,14 @@ class TableStore:
             # a restore re-points, never rewrites — a carried bucket
             # the bucket-granular vacuum already reclaimed makes the
             # target version GONE, same contract as time travel to it
-            for k, vd in payload["manifest"].items():
-                if not self._backend().data_exists(self._manifest_leaf(vd, k)):
-                    raise FileNotFoundError(
-                        f"table {name} version {version!r} references "
-                        f"bucket {k} in a vacuumed carrier — it can no "
-                        "longer be restored"
-                    )
+            for k, e in payload["manifest"].items():
+                for pth in self._entry_paths(e, k):
+                    if not self._backend().data_exists(pth):
+                        raise FileNotFoundError(
+                            f"table {name} version {version!r} references "
+                            f"bucket {k} in a vacuumed carrier — it can "
+                            "no longer be restored"
+                        )
             # carry the FULL creating payload (schema, provenance
             # fields like built_from) — dropping any of it would make
             # the restored head lie about the data it points at
@@ -485,6 +489,199 @@ class TableStore:
     def _manifest_leaf(self, vdir: str, bucket) -> str:
         return os.path.join(vdir, f"{self._BUCKET_COL}={bucket}")
 
+    # -- manifest ENTRY forms -----------------------------------------
+    #
+    # A manifest maps bucket id → where its rows live, in one of two
+    # forms:
+    #   * a version-dir string — ALL files under that dir's
+    #     ``__bucket=<id>`` leaf (the original, whole-bucket form);
+    #   * ``{"files": [[path, min, max], ...]}`` — an explicit file
+    #     list with each file's bucket-key range (round 11): the
+    #     file-granular copy-on-write form, written whenever the table
+    #     declares ``sort_cols`` starting with the bucket key (the
+    #     in-file sort that makes per-file ranges tight). An upsert
+    #     then rewrites only the files whose range intersects the
+    #     batch's keys and CARRIES the rest by reference — bytes per
+    #     upsert become O(files containing matched keys), not
+    #     O(table/n_buckets × touched buckets). min/max are
+    #     JSON-serialized (strings for temporal types) and cast back
+    #     through the recorded key type for the pruning join; null
+    #     ranges (all-null-key files) never intersect, matching MERGE
+    #     semantics (null keys always insert, never match).
+
+    @staticmethod
+    def _jval(v):
+        """JSON-safe form of a bucket-key value for the manifest
+        payload; round-trips through a Spark string cast."""
+        if v is None or isinstance(v, (int, float, str, bool)):
+            return v
+        return str(v)
+
+    # -- manifest ENTRY keys ------------------------------------------
+    #
+    # An entry key is "b" (bucket b under the payload's CURRENT
+    # n_buckets) or "b@m" (bucket b under a COARSER modulus m — a
+    # not-yet-split remnant of incremental rebucketing, round 11).
+    # The refinement property pmod(h, n·f) mod n == pmod(h, n) (true
+    # for any integers) means a coarse entry b@m holds exactly the
+    # rows whose fine bucket j satisfies j ≡ b (mod m), so fine and
+    # coarse entries partition the key space as long as a coarse
+    # entry DISSOLVES WHOLE when first touched — which every writer
+    # here guarantees (opportunistic split on upsert/replace/compact,
+    # bulk split via :meth:`split_buckets`).
+
+    @staticmethod
+    def _parse_entry_key(k) -> tuple[int, int | None]:
+        """(physical bucket id, coarse modulus or None-for-current)."""
+        s = str(k)
+        if "@" in s:
+            b, m = s.split("@", 1)
+            return int(b), int(m)
+        return int(s), None
+
+    @staticmethod
+    def _moduli(manifest) -> list[int]:
+        """Coarse moduli present in a manifest, ascending."""
+        return sorted(
+            {int(str(k).split("@", 1)[1]) for k in manifest if "@" in str(k)}
+        )
+
+    @classmethod
+    def _covering_key(cls, manifest: dict, moduli: list[int], j: int):
+        """The unique entry key whose range contains fine bucket ``j``
+        (the fine key itself, or the coarse remnant covering it), or
+        None when the table holds no rows there."""
+        if str(j) in manifest:
+            return str(j)
+        for m in moduli:
+            ck = f"{j % m}@{m}"
+            if ck in manifest:
+                return ck
+        return None
+
+    def _entry_paths(self, entry, bucket) -> list[str]:
+        """The parquet paths an entry resolves to (leaf dir for the
+        whole-bucket form, explicit files for the file form).
+        ``bucket`` may be an entry KEY ("5" / "5@64") or a bare id —
+        the physical leaf name is the id part either way."""
+        if isinstance(entry, str):
+            b, _m = self._parse_entry_key(bucket)
+            return [self._manifest_leaf(entry, b)]
+        return [f[0] for f in entry["files"]]
+
+    @staticmethod
+    def _entry_carriers(entry) -> set[str]:
+        """The version dirs an entry references (vacuum/compaction
+        bookkeeping). File paths are ``{vdir}/__bucket=N/part-*``."""
+        if isinstance(entry, str):
+            return {entry}
+        return {
+            os.path.dirname(os.path.dirname(p))
+            for p, _mn, _mx in entry["files"]
+        }
+
+    def _manifest_paths(self, payload: dict) -> list[str]:
+        return [
+            p
+            for k, e in sorted(
+                payload["manifest"].items(),
+                key=lambda kv: (
+                    self._parse_entry_key(kv[0])[0],
+                    self._parse_entry_key(kv[0])[1] or 0,
+                ),
+            )
+            for p in self._entry_paths(e, k)
+        ]
+
+    @staticmethod
+    def _file_cow_active(payload: dict) -> bool:
+        """File-granular COW requires every row of a key to live in
+        files whose recorded range covers it — true exactly when the
+        in-file sort leads with the bucket key."""
+        sc = payload.get("sort_cols") or []
+        return bool(sc) and sc[0] == payload.get("bucket_key")
+
+    def _file_stats(
+        self, spark: SparkSession, vdir: str, key: str
+    ) -> dict[int, list[list]]:
+        """Per-file (path, min(key), max(key)) for a just-written
+        version dir, grouped by bucket — ONE column-pruned scan of the
+        new files only (O(bytes just written), the write-time cost
+        that buys read/write-time file pruning forever after)."""
+        if not any(
+            d.startswith(f"{self._BUCKET_COL}=")
+            for d in self._backend().list_data(vdir)
+        ):
+            return {}  # the write landed no rows (e.g. a full delete)
+        rows = (
+            spark.read.parquet(vdir)
+            .select(
+                F.col(self._BUCKET_COL).cast("int").alias("b"),
+                F.col(key).alias("k"),
+                F.input_file_name().alias("f"),
+            )
+            .groupBy("b", "f")
+            .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+            .collect()
+        )
+        out: dict[int, list[list]] = {}
+        for r in rows:
+            f = r["f"]
+            if f.startswith("file:"):
+                f = f[len("file:"):]
+                if f.startswith("///"):
+                    f = f[2:]
+            out.setdefault(int(r["b"]), []).append(
+                [f, self._jval(r["mn"]), self._jval(r["mx"])]
+            )
+        for fs in out.values():
+            fs.sort(key=lambda x: x[0])
+        return out
+
+    def _rewrite_files(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        key: str,
+        ktype,
+        n_buckets: int,
+        file_entries: list[tuple[int, list[list]]],
+    ) -> set[str]:
+        """Which carried files a change set actually touches: join the
+        (path, bucket, min, max) ranges (O(dirty-bucket files), a
+        local frame) against the change keys on bucket + range
+        containment. Conservative by construction — a missed overlap
+        is impossible, a spurious one only costs a rewrite."""
+        rngs = [
+            (p, b, None if mn is None else str(mn),
+             None if mx is None else str(mx))
+            for b, files in file_entries
+            for p, mn, mx in files
+        ]
+        if not rngs:
+            return set()
+        rdf = spark.createDataFrame(
+            rngs, "f string, b int, mn string, mx string"
+        )
+        probe = keys_df.where(F.col(key).isNotNull()).select(
+            F.col(key).alias("k"),
+            self._bucket_expr(key, n_buckets).alias("b"),
+        )
+        hits = (
+            rdf.join(
+                F.broadcast(probe),
+                (rdf["b"] == probe["b"])
+                & probe["k"].between(
+                    rdf["mn"].cast(ktype), rdf["mx"].cast(ktype)
+                ),
+                "left_semi",
+            )
+            .select("f")
+            .distinct()
+            .collect()
+        )
+        return {r["f"] for r in hits}
+
     def _present_buckets(self, vdir: str) -> list[int]:
         pre = f"{self._BUCKET_COL}="
         return sorted(
@@ -570,10 +767,7 @@ class TableStore:
         order. Under the recorded schema those files read the column as
         null, the M2 merge contract's shape."""
         st = self._schema_of(payload)
-        paths = [
-            self._manifest_leaf(vd, k)
-            for k, vd in sorted(payload["manifest"].items(), key=lambda kv: int(kv[0]))
-        ]
+        paths = self._manifest_paths(payload)
         if not paths:  # a committed empty table
             if st is not None:
                 return spark.createDataFrame([], st)
@@ -590,6 +784,7 @@ class TableStore:
         bexpr: Column,
         vdir: str,
         sort_cols: list[str] | None,
+        max_file_rows: int | None = None,
     ) -> None:
         """The one physical writer for manifest versions: partition by
         the bucket column; when the table declares ``sort_cols``, sort
@@ -598,17 +793,20 @@ class TableStore:
         on those columns — bucket + in-file sort is the Delta
         OPTIMIZE-style layout, and range predicates on the sort
         columns then prune row groups inside whichever buckets a read
-        does touch."""
+        does touch. ``max_file_rows`` splits each bucket into several
+        files (sequential split of the sorted partition → contiguous,
+        disjoint key ranges per file) — the granularity file-level COW
+        rewrites at: a bucket written as one file can only ever
+        rewrite whole."""
         out = df.withColumn(self._BUCKET_COL, bexpr).repartition(
             F.col(self._BUCKET_COL)
         )
         if sort_cols:
             out = out.sortWithinPartitions(self._BUCKET_COL, *sort_cols)
-        (
-            out.write.mode("overwrite")
-            .partitionBy(self._BUCKET_COL)
-            .parquet(vdir)
-        )
+        writer = out.write.mode("overwrite")
+        if max_file_rows:
+            writer = writer.option("maxRecordsPerFile", str(max_file_rows))
+        writer.partitionBy(self._BUCKET_COL).parquet(vdir)
 
     def write_manifest(
         self,
@@ -618,6 +816,7 @@ class TableStore:
         n_buckets: int = 64,
         extra: dict | None = None,
         sort_cols: list[str] | None = None,
+        max_file_rows: int | None = None,
     ) -> str:
         """Full (re)write of a bucketed manifest table: every row lands
         in its key-bucket dir inside one new version; the manifest maps
@@ -627,24 +826,83 @@ class TableStore:
         ``sort_cols`` declares an in-file sort order recorded in the
         table's payload; every later writer (upsert, replace,
         compaction) preserves it, so row-group min/max pruning on
-        those columns survives the table's whole incremental life."""
+        those columns survives the table's whole incremental life.
+        When it LEADS with ``key``, the manifest records per-FILE key
+        ranges and later upserts go file-granular: only the files
+        whose range intersects the batch's keys rewrite, the rest of
+        even a DIRTY bucket carries by reference — pair with
+        ``max_file_rows`` (recorded, preserved by every writer) so a
+        bucket spans several files and the pruning has grain to work
+        with. The range-recording pass is one column-pruned scan of
+        what was just written."""
         store = self._store(name)
         vdir = store.new_version_path()
         self._write_buckets(
-            df, self._bucket_expr(key, n_buckets), vdir, sort_cols
+            df, self._bucket_expr(key, n_buckets), vdir, sort_cols,
+            max_file_rows,
         )
-        manifest = {str(k): vdir for k in self._present_buckets(vdir)}
         payload = dict(
             extra or {},
-            manifest=manifest,
             n_buckets=n_buckets,
             bucket_key=key,
             schema=df.schema.json(),
         )
         if sort_cols:
             payload["sort_cols"] = list(sort_cols)
+        if max_file_rows:
+            payload["max_file_rows"] = max_file_rows
+        if self._file_cow_active(payload):
+            stats = self._file_stats(df.sparkSession, vdir, key)
+            payload["manifest"] = {
+                str(b): {"files": fs} for b, fs in sorted(stats.items())
+            }
+        else:
+            payload["manifest"] = {
+                str(k): vdir for k in self._present_buckets(vdir)
+            }
         store.commit(vdir, extra=payload)
         return vdir
+
+    def migrate_to_manifest(
+        self,
+        spark: SparkSession,
+        name: str,
+        key: str,
+        n_buckets: int = 64,
+        sort_cols: list[str] | None = None,
+        max_file_rows: int | None = None,
+    ) -> str:
+        """Upgrade a PLAIN-head table to manifest versions in one call
+        ("what's wrong #3", round 10): reads the current head and
+        re-publishes it as a bucketed manifest bootstrap. History is
+        untouched — the migration is just one more commit, so time
+        travel to pre-migration versions, restores and snapshot pins
+        all keep working across the boundary; informational payload
+        fields on the old head (e.g. a mart's ``built_from``) carry
+        into the new one. A head that is ALREADY a manifest version
+        returns its path unchanged (idempotent), so callers can use
+        this as ensure-manifest."""
+        info = self.current_info(name)
+        if info is None:
+            raise FileNotFoundError(
+                f"table {name} has no committed version to migrate"
+            )
+        if "manifest" in info:
+            return info["path"]
+        carried = {
+            k: v
+            for k, v in info.items()
+            if k not in ("path", "committed_at", "restored")
+        }
+        return self.write_manifest(
+            spark.read.parquet(info["path"]),
+            name,
+            key,
+            n_buckets=n_buckets,
+            extra=dict(carried, migrated_from=info["path"]),
+            sort_cols=sort_cols,
+            max_file_rows=max_file_rows,
+        )
 
     def read_keys(self, spark: SparkSession, name: str, values) -> DataFrame:
         """Point lookup on a manifest table, O(matching buckets) not
@@ -690,11 +948,45 @@ class TableStore:
                 self._bucket_expr(key, n).alias("b")
             ).distinct().collect()
         )
-        paths = [
-            self._manifest_leaf(manifest[str(b)], b)
-            for b in buckets
-            if str(b) in manifest
-        ]
+        paths: list[str] = []
+        file_entries: list[tuple[int, list[list]]] = []
+        moduli = self._moduli(manifest)
+        seen_coarse: set[str] = set()
+        for b in buckets:
+            ck = self._covering_key(manifest, moduli, b)
+            if ck is None:
+                continue
+            e = manifest[ck]
+            if ck != str(b):
+                # coarse rebucketing remnant: read it whole (the value
+                # filter below keeps the result exact); file-range
+                # pruning resumes once the entry splits
+                if ck not in seen_coarse:
+                    seen_coarse.add(ck)
+                    paths.extend(self._entry_paths(e, ck))
+            elif isinstance(e, str):
+                paths.append(self._manifest_leaf(e, b))
+            else:
+                file_entries.append((b, e["files"]))
+        if file_entries:
+            # file-granular point read: inside each matched bucket,
+            # touch only the files whose key range can hold a
+            # requested value (nulls resolve via the null bucket's
+            # whole entry — a null never falls in a range)
+            nn = [v for v in vals if v is not None]
+            if any(v is None for v in vals):
+                paths.extend(
+                    p for _b, fs in file_entries for p, _mn, _mx in fs
+                )
+            elif nn:
+                probe_vals = spark.createDataFrame(
+                    [(v,) for v in nn],
+                    schema=f"`{key}` {ktype.simpleString()}",
+                )
+                hit = self._rewrite_files(
+                    spark, probe_vals, key, ktype, n, file_entries
+                )
+                paths.extend(sorted(hit))
         if not paths:
             return spark.createDataFrame([], st)
         df = spark.read.schema(st).parquet(*paths)
@@ -761,18 +1053,24 @@ class TableStore:
         manifest = payload["manifest"]
         st = self._schema_of(payload)
         backend = self._backend()
+        moduli = self._moduli(manifest)
+        want = sorted(set(int(x) for x in buckets))
         paths = []
-        for b in sorted(set(int(x) for x in buckets)):
-            vd = manifest.get(str(b))
-            if vd is None:
+        coarse_hit = False
+        seen: set[str] = set()
+        for b in want:
+            ck = self._covering_key(manifest, moduli, b)
+            if ck is None or ck in seen:
                 continue
-            leaf = self._manifest_leaf(vd, b)
-            if not backend.data_exists(leaf):
-                raise FileNotFoundError(
-                    f"table {name}: bucket {b} of the requested version "
-                    "was vacuumed — its carrier leaf is gone"
-                )
-            paths.append(leaf)
+            seen.add(ck)
+            coarse_hit = coarse_hit or ck != str(b)
+            for leaf in self._entry_paths(manifest[ck], ck):
+                if not backend.data_exists(leaf):
+                    raise FileNotFoundError(
+                        f"table {name}: bucket {b} of the requested "
+                        "version was vacuumed — its carrier data is gone"
+                    )
+                paths.append(leaf)
         if not paths:
             if st is not None:
                 return spark.createDataFrame([], st)
@@ -781,7 +1079,15 @@ class TableStore:
                 "the version records no schema"
             )
         reader = spark.read.schema(st) if st is not None else spark.read
-        return reader.parquet(*paths)
+        out = reader.parquet(*paths)
+        if coarse_hit:
+            # a coarse remnant holds neighbor fine buckets too — keep
+            # the contract exact with a cheap JVM-side hash filter
+            out = out.where(
+                self._bucket_expr(payload["bucket_key"], payload["n_buckets"])
+                .isin([int(b) for b in want])
+            )
+        return out
 
     def upsert_manifest(
         self,
@@ -832,18 +1138,61 @@ class TableStore:
             )
             bexpr = self._bucket_expr(key, n)
             st = self._schema_of(info)
+            file_cow = self._file_cow_active(info)
             dirty = sorted(
                 r["b"]
                 for r in batch.select(bexpr.alias("b")).distinct().collect()
             )
-            have = [k for k in dirty if str(k) in manifest]
-            if have:
+            # the slice to READ and rewrite: whole leaf dirs for
+            # dir-form entries; for file-form entries only the files
+            # whose key range intersects the batch (file-granular COW
+            # — the round-11 write-amplification fix: a dirty 6 GB
+            # bucket with one matched key rewrites ~one file, not 6 GB).
+            # A COARSE entry (b@m — a not-yet-split rebucketing
+            # remnant) rewrites and DISSOLVES whole: its rows land
+            # under the current fine modulus, an opportunistic split.
+            moduli = self._moduli(manifest)
+            read_paths: list[str] = []
+            carried_files: dict[int, list[list]] = {}
+            file_entries: list[tuple[int, list[list]]] = []
+            dissolved: set[str] = set()
+            for k in dirty:
+                ck = self._covering_key(manifest, moduli, k)
+                if ck is None:
+                    continue
+                e = manifest[ck]
+                if ck != str(k):
+                    if ck not in dissolved:
+                        dissolved.add(ck)
+                        read_paths.extend(self._entry_paths(e, ck))
+                elif isinstance(e, str):
+                    read_paths.append(self._manifest_leaf(e, k))
+                else:
+                    file_entries.append((k, e["files"]))
+            if file_entries:
+                ktype = st[key].dataType if st is not None else None
+                if ktype is None or not file_cow:
+                    # no recorded schema to cast ranges through (or the
+                    # table config dropped file COW): read the dirty
+                    # buckets whole — correct, coarser, self-healing
+                    # back to the config's entry form
+                    read_paths.extend(
+                        p for _b, fs in file_entries for p, _mn, _mx in fs
+                    )
+                else:
+                    hit = self._rewrite_files(
+                        spark, batch, key, ktype, n, file_entries
+                    )
+                    for b, fs in file_entries:
+                        keep = [f for f in fs if f[0] not in hit]
+                        read_paths.extend(f[0] for f in fs if f[0] in hit)
+                        if keep:
+                            carried_files[b] = keep
+            if read_paths:
                 # recorded-schema read: dirty carriers may predate a
                 # column the table has since gained (see _read_manifest)
                 reader = spark.read.schema(st) if st is not None else spark.read
-                existing = reader.parquet(
-                    *[self._manifest_leaf(manifest[str(k)], k) for k in have]
-                )
+                existing = reader.parquet(*read_paths)
             elif st is not None:
                 # brand-new buckets only (or an empty bootstrap —
                 # e.g. a stream whose first micro-batch was empty):
@@ -865,18 +1214,39 @@ class TableStore:
             )
             self._check_schema_evolution(st, merged.schema, name)
             vdir = store.new_version_path()
-            self._write_buckets(merged, bexpr, vdir, info.get("sort_cols"))
+            self._write_buckets(
+                merged, bexpr, vdir, info.get("sort_cols"),
+                info.get("max_file_rows"),
+            )
             new_manifest = dict(manifest)
-            for k in self._present_buckets(vdir):
-                new_manifest[str(k)] = vdir
+            for ck in dissolved:
+                new_manifest.pop(ck, None)
+            if file_cow:
+                stats = self._file_stats(spark, vdir, key)
+                for k in dirty:
+                    fs = carried_files.get(k, []) + stats.get(k, [])
+                    if fs:
+                        new_manifest[str(k)] = {"files": fs}
+                    else:
+                        new_manifest.pop(str(k), None)
+                # buckets beyond `dirty` appear only when a dissolved
+                # coarse entry's neighbor rows re-land under the fine
+                # modulus — give each its fine entry
+                for k in stats:
+                    if k not in dirty:
+                        new_manifest[str(k)] = {"files": stats[k]}
+            else:
+                for k in self._present_buckets(vdir):
+                    new_manifest[str(k)] = vdir
             payload = {
                 "manifest": new_manifest,
                 "n_buckets": n,
                 "bucket_key": key,
                 "schema": merged.schema.json(),
             }
-            if info.get("sort_cols"):
-                payload["sort_cols"] = info["sort_cols"]
+            for cfg in ("sort_cols", "max_file_rows"):
+                if info.get(cfg):
+                    payload[cfg] = info[cfg]
             try:
                 store.commit(vdir, extra=payload, expected=seq0)
                 return vdir
@@ -919,6 +1289,7 @@ class TableStore:
             )
             bexpr = self._bucket_expr(key, n)
             st = self._schema_of(info)
+            file_cow = self._file_cow_active(info)
             keys = affected_keys.select(F.col(key)).distinct()
             dirty = sorted(
                 {
@@ -932,12 +1303,52 @@ class TableStore:
                     ).distinct().collect()
                 }
             )
-            have = [k for k in dirty if str(k) in manifest]
-            if have:
+            # file-granular REPLACE: inside a dirty bucket, a carried
+            # file need only rewrite when an affected key's range test
+            # hits it — fragment-side keys count too (their files gain
+            # neighbors in the in-file sort order, so the write must
+            # merge them; a missed fragment key would be mere file
+            # overlap, but we keep ranges disjoint by construction)
+            moduli = self._moduli(manifest)
+            read_paths: list[str] = []
+            carried_files: dict[int, list[list]] = {}
+            file_entries: list[tuple[int, list[list]]] = []
+            dissolved: set[str] = set()
+            for k in dirty:
+                ck = self._covering_key(manifest, moduli, k)
+                if ck is None:
+                    continue
+                e = manifest[ck]
+                if ck != str(k):
+                    # coarse rebucketing remnant: rewrite + dissolve
+                    if ck not in dissolved:
+                        dissolved.add(ck)
+                        read_paths.extend(self._entry_paths(e, ck))
+                elif isinstance(e, str):
+                    read_paths.append(self._manifest_leaf(e, k))
+                else:
+                    file_entries.append((k, e["files"]))
+            if file_entries:
+                ktype = st[key].dataType if st is not None else None
+                if ktype is None or not file_cow:
+                    read_paths.extend(
+                        p for _b, fs in file_entries for p, _mn, _mx in fs
+                    )
+                else:
+                    probe = keys.unionByName(
+                        fragment.select(F.col(key))
+                    ).distinct()
+                    hit = self._rewrite_files(
+                        spark, probe, key, ktype, n, file_entries
+                    )
+                    for b, fs in file_entries:
+                        keep = [f for f in fs if f[0] not in hit]
+                        read_paths.extend(f[0] for f in fs if f[0] in hit)
+                        if keep:
+                            carried_files[b] = keep
+            if read_paths:
                 reader = spark.read.schema(st) if st is not None else spark.read
-                slice_df = reader.parquet(
-                    *[self._manifest_leaf(manifest[str(k)], k) for k in have]
-                )
+                slice_df = reader.parquet(*read_paths)
             elif st is not None:
                 slice_df = spark.createDataFrame([], st)
             else:
@@ -954,15 +1365,38 @@ class TableStore:
             out = kept.unionByName(fragment, allowMissingColumns=True)
             self._check_schema_evolution(st, out.schema, name)
             vdir = store.new_version_path()
-            self._write_buckets(out, bexpr, vdir, info.get("sort_cols"))
+            self._write_buckets(
+                out, bexpr, vdir, info.get("sort_cols"),
+                info.get("max_file_rows"),
+            )
             new_manifest = dict(manifest)
-            present = set(self._present_buckets(vdir))
-            for k in dirty:
-                if k in present:
-                    new_manifest[str(k)] = vdir
-                else:
-                    # the replace emptied this bucket entirely
-                    new_manifest.pop(str(k), None)
+            for ck in dissolved:
+                new_manifest.pop(ck, None)
+            if file_cow:
+                stats = self._file_stats(spark, vdir, key)
+                for k in dirty:
+                    fs = carried_files.get(k, []) + stats.get(k, [])
+                    if fs:
+                        new_manifest[str(k)] = {"files": fs}
+                    else:
+                        # the replace emptied this bucket entirely
+                        new_manifest.pop(str(k), None)
+                # dissolved coarse neighbors re-land under the fine
+                # modulus beyond `dirty`
+                for k in stats:
+                    if k not in dirty:
+                        new_manifest[str(k)] = {"files": stats[k]}
+            else:
+                present = set(self._present_buckets(vdir))
+                for k in dirty:
+                    if k in present:
+                        new_manifest[str(k)] = vdir
+                    else:
+                        # the replace emptied this bucket entirely
+                        new_manifest.pop(str(k), None)
+                for k in present:
+                    if k not in dirty:
+                        new_manifest[str(k)] = vdir
             payload = dict(
                 extra or {},
                 manifest=new_manifest,
@@ -970,8 +1404,9 @@ class TableStore:
                 bucket_key=key,
                 schema=out.schema.json(),
             )
-            if info.get("sort_cols"):
-                payload["sort_cols"] = info["sort_cols"]
+            for cfg in ("sort_cols", "max_file_rows"):
+                if info.get(cfg):
+                    payload[cfg] = info[cfg]
             try:
                 store.commit(vdir, extra=payload, expected=seq0)
                 return vdir
@@ -983,23 +1418,30 @@ class TableStore:
         spark: SparkSession,
         name: str,
         max_carriers: int = 16,
+        max_files_per_bucket: int | None = None,
     ) -> str | None:
-        """Consolidate CARRIER fragmentation, O(fragmentation) not
-        O(table): a bucket never accretes files (each upsert rewrites
-        its bucket whole), but every upsert adds one version dir and a
-        long-running table's manifest ends up scattered across up to
-        ``n_buckets`` carrier dirs — read fan-in, listing cost, and
-        vacuum's carrier bookkeeping all grow with that spread. When
-        the manifest references more than ``max_carriers`` distinct
-        dirs, the buckets homed in the SMALLEST carriers (fewest
-        buckets — the single-bucket upsert tail) are rewritten
-        together into one new dir until the spread fits; big carriers
-        (the bootstrap dir holding the cold majority) are carried
-        untouched, so bytes rewritten track the fragmentation, not the
-        table. ``max_carriers=1`` forces the full bucket-preserving
-        rewrite (what :meth:`compact` does for manifest heads).
-        Returns the new version dir, or None when the spread already
-        fits (no commit made). Commit CASes + retries on a concurrent
+        """Consolidate fragmentation, O(fragmentation) not O(table),
+        along BOTH axes a long-running manifest table fragments on:
+
+          * CARRIER SPREAD — every upsert adds one version dir, so the
+            manifest ends up scattered across up to ``n_buckets``
+            carrier dirs (read fan-in, listing cost, vacuum's carrier
+            bookkeeping). When the spread exceeds ``max_carriers``,
+            the buckets homed in the SMALLEST carriers (fewest
+            referencing buckets — the single-bucket upsert tail) are
+            rewritten together into one new dir until the spread
+            fits; big carriers (the bootstrap dir holding the cold
+            majority) carry untouched.
+          * FILE COUNT — under file-granular COW each upsert can add a
+            file to a bucket's entry; ``max_files_per_bucket`` (opt-in)
+            additionally rewrites any bucket whose entry lists more
+            files than that, folding its file tail back to
+            ``max_file_rows``-sized files.
+
+        ``max_carriers=1`` forces the full bucket-preserving rewrite
+        (what :meth:`compact` does for manifest heads). Returns the
+        new version dir, or None when nothing exceeds the thresholds
+        (no commit made). Commit CASes + retries on a concurrent
         manifest writer (see :meth:`upsert_manifest`)."""
         from .commitlog import CommitConflict
 
@@ -1014,18 +1456,37 @@ class TableStore:
             manifest, n, key = (
                 info["manifest"], info["n_buckets"], info["bucket_key"]
             )
-            by_carrier: dict[str, list[int]] = {}
-            for k, vd in manifest.items():
-                by_carrier.setdefault(vd, []).append(int(k))
-            if len(by_carrier) <= max_carriers and max_carriers > 1:
+            by_carrier: dict[str, list[str]] = {}
+            for k, e in manifest.items():
+                for vd in self._entry_carriers(e):
+                    by_carrier.setdefault(vd, []).append(k)
+            frag = {
+                k
+                for k, e in manifest.items()
+                if max_files_per_bucket
+                and not isinstance(e, str)
+                and len(e["files"]) > max_files_per_bucket
+            }
+            over_spread = (
+                len(by_carrier) > max_carriers or max_carriers <= 1
+            )
+            if not over_spread and not frag:
                 return None
-            # consolidate the smallest carriers first; the new dir
-            # itself becomes one carrier, so keep max_carriers-1 largest
-            ordered = sorted(by_carrier.items(), key=lambda kv: len(kv[1]))
-            keep_n = max(max_carriers - 1, 0)
-            moved = ordered[: len(ordered) - keep_n] if keep_n else ordered
-            dirty = sorted(k for _vd, ks in moved for k in ks)
-            if not dirty:
+            moved_keys = set(frag)
+            if over_spread:
+                # consolidate the smallest carriers first; the new dir
+                # itself becomes one carrier, so keep max_carriers-1
+                # largest
+                ordered = sorted(
+                    by_carrier.items(), key=lambda kv: len(kv[1])
+                )
+                keep_n = max(max_carriers - 1, 0)
+                moved = (
+                    ordered[: len(ordered) - keep_n] if keep_n else ordered
+                )
+                moved_keys |= {k for _vd, ks in moved for k in ks}
+            moved_keys = sorted(moved_keys)
+            if not moved_keys:
                 return None
             st = self._schema_of(info)
             # recorded-schema read: a consolidated carrier predating a
@@ -1035,17 +1496,29 @@ class TableStore:
             reader = spark.read.schema(st) if st is not None else spark.read
             rows = reader.parquet(
                 *[
-                    self._manifest_leaf(manifest[str(k)], k)
-                    for k in sorted(dirty)
+                    p
+                    for k in moved_keys
+                    for p in self._entry_paths(manifest[k], k)
                 ]
             )
             vdir = store.new_version_path()
             self._write_buckets(
-                rows, self._bucket_expr(key, n), vdir, info.get("sort_cols")
+                rows, self._bucket_expr(key, n), vdir,
+                info.get("sort_cols"), info.get("max_file_rows"),
             )
+            # every moved entry is re-homed whole (a moved COARSE
+            # rebucketing remnant dissolves into fine entries — the
+            # rewrite partitions at the current modulus either way)
             new_manifest = dict(manifest)
-            for k in self._present_buckets(vdir):
-                new_manifest[str(k)] = vdir
+            for k in moved_keys:
+                new_manifest.pop(k, None)
+            if self._file_cow_active(info):
+                stats = self._file_stats(spark, vdir, key)
+                for k, fs in stats.items():
+                    new_manifest[str(k)] = {"files": fs}
+            else:
+                for k in self._present_buckets(vdir):
+                    new_manifest[str(k)] = vdir
             # carry informational payload fields (e.g. the streaming
             # mart's built_from provenance) — compaction changes the
             # layout, not the table's meaning, and dropping them would
@@ -1069,6 +1542,123 @@ class TableStore:
                         n_buckets=n,
                         bucket_key=key,
                         compacted=True,
+                    ),
+                    expected=seq0,
+                )
+                return vdir
+            except CommitConflict:
+                continue  # concurrent manifest writer won; redo on new head
+
+    def split_buckets(
+        self,
+        spark: SparkSession,
+        name: str,
+        factor: int = 1,
+        max_splits: int | None = None,
+    ) -> str | None:
+        """Incremental REBUCKETING — grow ``n_buckets`` without a
+        full-table rewrite ("what's missing #3", round 10): a table
+        sized at 64 buckets that grew 100× can move to 1024 across a
+        few bounded calls instead of one write_manifest over
+        everything.
+
+        ``factor`` > 1 multiplies the table's bucket modulus (the new
+        write/read resolution takes effect IMMEDIATELY — the
+        refinement property pmod(h, n·f) mod n == pmod(h, n) lets
+        unsplit entries keep serving reads as COARSE remnants keyed
+        ``b@old_n``). Each call then rewrites up to ``max_splits``
+        remnants (coarsest first, biggest first within a modulus)
+        into fine entries; call again with ``factor=1`` until it
+        returns None to finish the migration at your own pace. Rows
+        rewritten per call = the chosen remnants' rows, never the
+        table. Writers touching a remnant meanwhile split it
+        opportunistically (upsert/replace/compact all dissolve coarse
+        entries whole), so the migration also completes itself under
+        write traffic. Time travel across the boundary keeps working:
+        old versions carry their own payloads.
+
+        Returns the new version dir, or None when nothing needed
+        splitting (every entry already at the current modulus and
+        ``factor`` == 1). Commit CASes + retries like every manifest
+        writer."""
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        from .commitlog import CommitConflict
+
+        store = self._store(name)
+        while True:
+            seq0 = store.current_seq()
+            info = self.current_info(name)
+            if info is None or "manifest" not in info:
+                raise FileNotFoundError(
+                    f"table {name} has no manifest version at head"
+                )
+            manifest, n, key = (
+                info["manifest"], info["n_buckets"], info["bucket_key"]
+            )
+            n2 = n * factor
+            backend = self._backend()
+
+            def _size(k, e) -> int:
+                return sum(
+                    backend.data_size(p) for p in self._entry_paths(e, k)
+                )
+
+            # remnants = entries coarser than the NEW modulus; under
+            # factor>1 that includes every currently-fine entry
+            remnants = []
+            for k, e in manifest.items():
+                b, m = self._parse_entry_key(k)
+                m = m if m is not None else n
+                if m < n2:
+                    remnants.append((m, k, e))
+            if not remnants:
+                return None
+            remnants.sort(key=lambda t: (t[0], -_size(t[1], t[2])))
+            chosen = remnants[:max_splits] if max_splits else remnants
+            st = self._schema_of(info)
+            reader = spark.read.schema(st) if st is not None else spark.read
+            rows = reader.parquet(
+                *[p for _m, k, e in chosen for p in self._entry_paths(e, k)]
+            )
+            vdir = store.new_version_path()
+            self._write_buckets(
+                rows, self._bucket_expr(key, n2), vdir,
+                info.get("sort_cols"), info.get("max_file_rows"),
+            )
+            chosen_keys = {k for _m, k, _e in chosen}
+            new_manifest: dict = {}
+            for k, e in manifest.items():
+                if k in chosen_keys:
+                    continue
+                b, m = self._parse_entry_key(k)
+                m = m if m is not None else n
+                # re-key carried entries against the NEW modulus
+                new_manifest[str(b) if m == n2 else f"{b}@{m}"] = e
+            if self._file_cow_active(info):
+                stats = self._file_stats(spark, vdir, key)
+                for k, fs in stats.items():
+                    new_manifest[str(k)] = {"files": fs}
+            else:
+                for k in self._present_buckets(vdir):
+                    new_manifest[str(k)] = vdir
+            carried = {
+                k: v
+                for k, v in info.items()
+                if k
+                not in (
+                    "path", "committed_at", "manifest", "n_buckets",
+                    "bucket_key", "compacted",
+                )
+            }
+            try:
+                store.commit(
+                    vdir,
+                    extra=dict(
+                        carried,
+                        manifest=new_manifest,
+                        n_buckets=n2,
+                        bucket_key=key,
                     ),
                     expected=seq0,
                 )
@@ -1132,9 +1722,12 @@ class TableStore:
                 continue
             deletable.append(v)
 
-        # buckets every KEPT version still needs, per carrier dir
+        # what every KEPT version still needs, per carrier dir: whole
+        # leaf dirs (dir-form entries, value True) or specific files
+        # within a leaf (file-form entries, value = filename set) —
+        # vacuum granularity matches write granularity
         deletable_paths = {_canon(v["path"]) for v in deletable}
-        needed: dict[str, set[str]] = {}
+        needed: dict[str, dict[str, object]] = {}
         for v in vs:
             p = v["path"]
             if _canon(p) in deletable_paths:
@@ -1142,22 +1735,48 @@ class TableStore:
             hit = first_commit.get(p)
             payload = hit[2] if hit else None
             if payload and "manifest" in payload:
-                for k, vd in payload["manifest"].items():
-                    needed.setdefault(_canon(vd), set()).add(
-                        f"{self._BUCKET_COL}={k}"
-                    )
+                for k, e in payload["manifest"].items():
+                    if isinstance(e, str):
+                        b, _m = self._parse_entry_key(k)
+                        needed.setdefault(_canon(e), {})[
+                            f"{self._BUCKET_COL}={b}"
+                        ] = True
+                    else:
+                        for fp, _mn, _mx in e["files"]:
+                            carrier = os.path.dirname(os.path.dirname(fp))
+                            leaf = os.path.basename(os.path.dirname(fp))
+                            byleaf = needed.setdefault(_canon(carrier), {})
+                            cur = byleaf.get(leaf)
+                            if cur is True:
+                                continue
+                            if cur is None:
+                                cur = set()
+                                byleaf[leaf] = cur
+                            cur.add(os.path.basename(fp))
 
         removed = []
         for v in deletable:
             p = v["path"]
-            need = needed.get(_canon(p), set())
+            need = needed.get(_canon(p), {})
             if not need:
                 backend.delete_data(p)
                 removed.append(p)
                 continue
             for leaf in backend.list_data(p):
-                if leaf.startswith(f"{self._BUCKET_COL}=") and leaf not in need:
-                    backend.delete_data(os.path.join(p, leaf))
+                if not leaf.startswith(f"{self._BUCKET_COL}="):
+                    continue
+                lv = need.get(leaf)
+                if lv is True:
+                    continue  # whole leaf still referenced
+                leafpath = os.path.join(p, leaf)
+                if lv is None:
+                    backend.delete_data(leafpath)
+                else:
+                    # file-granular reclaim: only this leaf's
+                    # unreferenced data files go
+                    for f in backend.list_data_files(leafpath):
+                        if f not in lv and not f.startswith(("_", ".")):
+                            backend.delete_data(os.path.join(leafpath, f))
 
         # bound the log: keep entries from the first commit of the
         # oldest RETAINED-AS-VERSION dir onward. Anchoring at surviving

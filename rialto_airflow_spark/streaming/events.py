@@ -490,6 +490,14 @@ def _merge_batch(
         if info is None:
             store.write_manifest(b, table, key, n_buckets=manifest_buckets)
         else:
+            if "manifest" not in info:
+                # a PLAIN head (table predates manifest_buckets, or
+                # the sink config just turned it on): one-time upgrade
+                # instead of raising per batch — history/snapshots
+                # survive, then this batch upserts O(changes)
+                store.migrate_to_manifest(
+                    spark, table, key, n_buckets=manifest_buckets
+                )
             store.upsert_manifest(spark, table, b, update_cols=update_cols)
         return
     try:

@@ -320,8 +320,10 @@ _WRITE_SETUP: dict = {}
 
 
 def _write_stores(spark, d):
-    """Per-scale bootstrap: one manifest table and one plain table,
-    both holding the documents corpus keyed by doc_id."""
+    """Per-scale bootstrap: a FILE-COW manifest table (sort_cols leads
+    with the key + small files — the round-11 write path), a
+    bucket-granular manifest table (the round-10 contrast), and a
+    plain table, all holding the documents corpus keyed by doc_id."""
     if d in _WRITE_SETUP:
         return _WRITE_SETUP[d]
     import tempfile
@@ -332,23 +334,142 @@ def _write_stores(spark, d):
     st = TableStore(root)
     base = _docs_table(spark, d)
     # 256 buckets and a 10-key delta: the weekly-delta RATIO a 100 TB
-    # table sees (~4% of buckets dirty), scaled down — with a delta
-    # that touches most buckets, manifest writes degrade to full
-    # rewrites by design (every bucket is dirty)
-    st.write_manifest(base, "m", "doc_id", n_buckets=256)
+    # table sees (~4% of buckets dirty), scaled down. max_file_rows=25
+    # gives multi-file buckets at the bigger scales, so file-granular
+    # COW has grain to prune at — the axis that makes the 10-key
+    # upsert's bytes ~FLAT as the table grows (bucket-granular bytes
+    # grow linearly: each dirty bucket rewrites whole)
+    st.write_manifest(
+        base, "m", "doc_id", n_buckets=256,
+        sort_cols=["doc_id"], max_file_rows=25,
+    )
+    st.write_manifest(base, "mb", "doc_id", n_buckets=256)
     st.write(base, "p")
     _WRITE_SETUP[d] = st
     return st
 
 
 def wop_upsert_manifest(spark, d):
-    """O(changes) write: 10-doc batch upserted into the manifest
-    table — only dirty buckets land on disk."""
+    """O(changed FILES) write: 10-doc batch upserted into the
+    file-COW manifest table — only the files whose key range covers a
+    batch key rewrite, even inside dirty buckets."""
     st = _write_stores(spark, d)
     vdir = st.upsert_manifest(
         spark, "m", _doc_batch(spark, d, n=10), updated_at_col="updated_at"
     )
     return _version_bytes(vdir)
+
+
+def wop_upsert_bucket_granular(spark, d):
+    """The round-10 contrast: same 10-doc batch against the
+    bucket-granular table — every dirty bucket rewrites WHOLE, so
+    bytes grow with table/n_buckets."""
+    st = _write_stores(spark, d)
+    vdir = st.upsert_manifest(
+        spark, "mb", _doc_batch(spark, d, n=10), updated_at_col="updated_at"
+    )
+    return _version_bytes(vdir)
+
+
+_DAG_SETUP: dict = {}
+
+
+def _dag_stores(spark, d):
+    """Per-scale bootstrap for the DAG-persistence pair (outside the
+    timers): publications keyed by id (file-COW layout) plus both
+    edge tables, the ``dag.complete`` store shape."""
+    if d in _DAG_SETUP:
+        return _DAG_SETUP[d]
+    import tempfile
+
+    from rialto_airflow_spark.dag import (
+        _persist_edge_table,
+        _persist_keyed_table,
+    )
+    from rialto_airflow_spark.storage import TableStore
+
+    root = tempfile.mkdtemp(prefix="rspark_dagscale_")
+    st = TableStore(root)
+    pubs = _docs_table(spark, d).withColumnRenamed("doc_id", "id")
+    edges = pubs.select(
+        F.col("id").alias("publication_id"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("author_id"),
+    )
+    _persist_keyed_table(
+        st, spark, "publications", pubs, "id",
+        n_buckets=256, compare_cols=None, is_full=False,
+        sort_cols=["id"], max_file_rows=25,
+    )
+    _persist_edge_table(
+        st, spark, "pub_author_edges", edges,
+        fan_key="publication_id",
+        key_cols=["publication_id", "author_id"],
+        n_buckets=256, is_full=False,
+    )
+    _persist_edge_table(
+        st, spark, "pub_funder_edges", edges.limit(0),
+        fan_key="publication_id",
+        key_cols=["publication_id", "author_id"],
+        n_buckets=256, is_full=False,
+    )
+    _DAG_SETUP[d] = (st, pubs, edges)
+    return _DAG_SETUP[d]
+
+
+def wop_dag_incremental_persist(spark, d):
+    """DAG-level pair (round-11 task 8): bytes landed by complete()'s
+    O(changes) persistence across publications + BOTH edge tables for
+    a fixed 10-doc incremental harvest, vs the table size. Bootstrap
+    (run 1) happens outside the measurement; the measured pass is the
+    run-2 shape: a keyed REPLACE on pubs (updated_at-thin diff) and a
+    presence-diff REPLACE on each edge table."""
+    from rialto_airflow_spark.dag import (
+        _persist_edge_table,
+        _persist_keyed_table,
+    )
+
+    st, pubs, edges = _dag_stores(spark, d)
+    new_pubs = pubs.withColumn(
+        "text",
+        F.when(F.col("id") < 10, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    ).withColumn(
+        "updated_at",
+        F.when(
+            F.col("id") < 10, F.to_timestamp(F.lit("2024-02-01"))
+        ).otherwise(F.col("updated_at")),
+    )
+    new_edges = edges.unionByName(
+        edges.where(F.col("publication_id") < 5).select(
+            "publication_id", (F.col("author_id") + 100).alias("author_id")
+        )
+    )
+    before = {
+        t: (st.current_info(t) or {}).get("path")
+        for t in ("publications", "pub_author_edges", "pub_funder_edges")
+    }
+    _persist_keyed_table(
+        st, spark, "publications", new_pubs, "id",
+        n_buckets=256, compare_cols=["updated_at"], is_full=False,
+    )
+    _persist_edge_table(
+        st, spark, "pub_author_edges", new_edges,
+        fan_key="publication_id",
+        key_cols=["publication_id", "author_id"],
+        n_buckets=256, is_full=False,
+    )
+    _persist_edge_table(
+        st, spark, "pub_funder_edges", edges.limit(0),
+        fan_key="publication_id",
+        key_cols=["publication_id", "author_id"],
+        n_buckets=256, is_full=False,
+    )
+    total = 0
+    for t, old in before.items():
+        cur = (st.current_info(t) or {}).get("path")
+        if cur and cur != old:
+            total += _version_bytes(cur)
+    return total
 
 
 def wop_full_rewrite(spark, d):
@@ -390,8 +511,10 @@ def wop_training_shards(spark, d):
 
 WRITE_OPS = {
     "write_upsert_manifest_10chg": wop_upsert_manifest,
+    "write_upsert_bucket_granular_10chg": wop_upsert_bucket_granular,
     "write_full_rewrite_10chg": wop_full_rewrite,
     "write_training_shards_64": wop_training_shards,
+    "write_dag_incremental_persist_10chg": wop_dag_incremental_persist,
 }
 
 
@@ -474,6 +597,7 @@ def main() -> None:
             print(f"skip {label}: {d} missing", file=sys.stderr)
             continue
         _force(op_gopher(spark, d))  # warm footers
+        _dag_stores(spark, d)
         _write_stores(spark, d)  # bootstrap OUTSIDE the timers: at
         # RUNS=1 the corpus write would otherwise land inside the
         # first read_keys timing and invert the point-read contrast

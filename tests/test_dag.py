@@ -915,3 +915,166 @@ def test_harvest_persists_pubs_as_manifest_replace(spark, tmp_path):
     got = {r["id"]: r for r in store.read(spark, "publications").collect()}
     assert set(got) == set(want)
     assert json.loads(got[100]["openalex_json"])["title"] == "Run2 OA"
+
+
+def test_persist_helpers_full_harvest_and_schema_evolution(spark, tmp_path):
+    """Round-10 ADVICE (both mediums): a full harvest RE-BOOTSTRAPS the
+    manifest table instead of diffing (a corpus-sized diff through the
+    keyed-REPLACE path is the slowest possible shape and its changed-set
+    broadcast is a driver hazard), and a run whose frame GAINED a column
+    also re-bootstraps (snapshot_diff only compares shared columns, so
+    new-column-only changes would silently miss the dirty set)."""
+    from rialto_airflow_spark.dag import _persist_edge_table, _persist_keyed_table
+    from rialto_airflow_spark.storage import TableStore
+
+    store = TableStore(str(tmp_path))
+    t1 = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "id long, v long"
+    )
+    _persist_keyed_table(
+        store, spark, "t", t1, "id",
+        n_buckets=8, compare_cols=None, is_full=False,
+    )
+    assert "manifest" in store.current_info("t")
+
+    # incremental: one changed row -> keyed replace, most entries carried
+    t2 = spark.createDataFrame(
+        [(i, i * 10 if i != 3 else -1) for i in range(50)], "id long, v long"
+    )
+    _persist_keyed_table(
+        store, spark, "t", t2, "id",
+        n_buckets=8, compare_cols=None, is_full=False,
+    )
+    info = store.current_info("t")
+    carriers = {
+        vd for e in info["manifest"].values()
+        for vd in ([e] if isinstance(e, str) else [])
+    }
+    assert len(carriers) == 2  # bootstrap + the one-dirty-bucket replace
+    assert {r["v"] for r in store.read_keys(spark, "t", [3]).collect()} == {-1}
+
+    # full harvest: same frame, is_full=True -> ONE fresh version holds all
+    _persist_keyed_table(
+        store, spark, "t", t2, "id",
+        n_buckets=8, compare_cols=None, is_full=True,
+    )
+    info = store.current_info("t")
+    assert len(set(info["manifest"].values())) == 1
+
+    # schema evolution: new column, SHARED columns unchanged -> must
+    # still land (re-bootstrap), and the stored table equals the frame
+    t3 = t2.withColumn("w", F.col("id") + 1000)
+    _persist_keyed_table(
+        store, spark, "t", t3, "id",
+        n_buckets=8, compare_cols=None, is_full=False,
+    )
+    got = store.read(spark, "t")
+    assert set(got.columns) == {"id", "v", "w"}
+    assert got.where(F.col("w").isNull()).count() == 0
+
+    # edge helper: presence diff -> replace of affected pubs only
+    e1 = spark.createDataFrame(
+        [(p, a) for p in range(20) for a in (1, 2)],
+        "publication_id long, author_id long",
+    )
+    _persist_edge_table(
+        store, spark, "edges", e1,
+        fan_key="publication_id",
+        key_cols=["publication_id", "author_id"],
+        n_buckets=8, is_full=False,
+    )
+    v_boot = store.current_info("edges")["path"]
+    # one edge added, one pub's edges wiped
+    e2 = e1.where(F.col("publication_id") != 7).unionByName(
+        spark.createDataFrame([(3, 9)], "publication_id long, author_id long")
+    )
+    _persist_edge_table(
+        store, spark, "edges", e2,
+        fan_key="publication_id",
+        key_cols=["publication_id", "author_id"],
+        n_buckets=8, is_full=False,
+    )
+    info = store.current_info("edges")
+    carried = [e for e in info["manifest"].values() if e == v_boot]
+    assert len(carried) >= 4  # most buckets untouched
+    got = {
+        (r["publication_id"], r["author_id"])
+        for r in store.read(spark, "edges").collect()
+    }
+    assert got == {
+        (r["publication_id"], r["author_id"]) for r in e2.collect()
+    }
+
+
+def test_harvest_dag_persists_edge_tables_o_changes(spark, tmp_path):
+    """Task-level check: with pubs_store set, the DAG's complete()
+    also lands BOTH edge tables as manifest versions; an incremental
+    run's new edge applies as a keyed replace carrying the rest."""
+    from rialto_airflow_spark.storage import TableStore
+
+    store = TableStore(str(tmp_path / "tables"))
+    pubs = spark.createDataFrame(
+        [mkpub(i, doi=f"10.1/p{i}", updated=1) for i in range(1, 30)],
+        PUB_SCHEMA,
+    )
+    authors = spark.createDataFrame(
+        [(10, "ada", None, "0-1", "Ada", "L", True, True, "faculty",
+          ["Eng"], ["CS"], "Eng", "CS", None, ts(1), ts(1))],
+        "id bigint, sunet string, cap_profile_id string, orcid string, "
+        "first_name string, last_name string, status boolean, "
+        "academic_council boolean, role string, schools array<string>, "
+        "departments array<string>, primary_school string, primary_dept string, "
+        "primary_division string, created_at timestamp, updated_at timestamp",
+    )
+    edges = spark.createDataFrame(
+        [(i, 10) for i in range(1, 30)],
+        "publication_id bigint, author_id bigint",
+    )
+    base_ctx = dict(
+        spark=spark,
+        authors=authors,
+        funder_edges=spark.createDataFrame(
+            [], "publication_id bigint, funder_id bigint"
+        ),
+        funders=spark.createDataFrame(
+            [], "grid_id string, name string, federal boolean, ror_id string, "
+                "openalex_id string, id bigint"
+        ),
+        dims={},
+        harvests=spark.createDataFrame(
+            [(1, ts(1), ts(2), False)],
+            "id bigint, created_at timestamp, finished_at timestamp, "
+            "is_full boolean",
+        ),
+        pubs_store=store,
+        pubs_manifest_buckets=8,
+    )
+    ctx1 = dict(base_ctx, pubs=pubs, author_edges=edges)
+    ctx1 = build_harvest_dag().run(ctx1)
+    for t in ("publications", "pub_author_edges", "pub_funder_edges"):
+        assert "manifest" in (store.current_info(t) or {}), t
+    v1 = store.current_info("pub_author_edges")["path"]
+
+    # run 2: one new edge (insert-if-absent) -> edge replace, carried rest
+    ctx2 = dict(
+        base_ctx,
+        pubs=store.read(spark, "publications"),
+        author_edges=store.read(spark, "pub_author_edges"),
+        incoming_edges=spark.createDataFrame(
+            [(2, 10), (3, 10)], "publication_id bigint, author_id bigint"
+        ),
+    )
+    ctx2 = build_harvest_dag().run(ctx2)
+    info = store.current_info("pub_author_edges")
+    assert info["path"] != v1
+    carried = [e for e in info["manifest"].values() if e == v1]
+    assert carried  # most buckets rode through by reference
+    got = {
+        (r["publication_id"], r["author_id"])
+        for r in store.read(spark, "pub_author_edges").collect()
+    }
+    want = {
+        (r["publication_id"], r["author_id"])
+        for r in ctx2["author_edges"].collect()
+    }
+    assert got == want

@@ -250,3 +250,49 @@ def test_cli_publications(spark, linked):
     assert set(r["funders"].split("|")) == {
         "National Institutes of Health (NIH)", "Acme Foundation"}
     assert r["sources"] == "dim|openalex"
+
+
+def test_cli_from_store_prunes_to_author_buckets(spark, linked, tmp_path):
+    """K4 against a persisted manifest pubs table: the store-backed
+    CLI variant path-selects only the author's publications' buckets
+    (read_keys) instead of scanning the table, and its output equals
+    the plain-path CLI bit-for-bit."""
+    import glob as _glob
+
+    from rialto_airflow_spark.plans.cli import (
+        publications_for_author_from_store,
+    )
+    from rialto_airflow_spark.storage import TableStore
+
+    pubs, authors, ae, fe, funders = linked
+    store = TableStore(str(tmp_path))
+    # pad the table with filler ids so the bucket spread is real (the
+    # fixture alone fills ~4 of 32 buckets); no edges point at filler,
+    # so the CLI result is unchanged
+    many = pubs
+    for off in (1000, 2000, 3000, 4000, 5000):
+        many = many.unionByName(pubs.withColumn("id", F.col("id") + off))
+    store.write_manifest(many, "publications", "id", n_buckets=32)
+
+    out = publications_for_author_from_store(
+        "ada", spark, store, "publications", ae, authors, fe, funders
+    )
+    want = publications_for_author(
+        "ada", store.read(spark, "publications"), ae, authors, fe, funders
+    )
+    assert sorted(
+        map(tuple, out.collect()), key=str
+    ) == sorted(map(tuple, want.collect()), key=str)
+    # plan evidence: the pubs scan touched <= (author's pubs) bucket
+    # dirs, a sliver of the 32-bucket table
+    n_ids = ae.join(
+        authors.where(F.col("sunet") == "ada").select(
+            F.col("id").alias("aid")
+        ),
+        F.col("author_id") == F.col("aid"),
+    ).select("publication_id").distinct().count()
+    touched = {p.rsplit("/", 2)[-2] for p in out.inputFiles()}
+    total_leaves = len(
+        _glob.glob(store.current_info("publications")["path"] + "/__bucket=*")
+    )
+    assert len(touched) <= n_ids < total_leaves

@@ -852,23 +852,29 @@ def test_manifest_lifecycle_model(spark, tmp_path):
     )
 
     @settings(
-        max_examples=6,
+        max_examples=8,
         deadline=None,
         suppress_health_check=[HealthCheck.too_slow],
     )
-    @given(ops=st.lists(OP, min_size=1, max_size=5))
-    def run(ops):
+    @given(ops=st.lists(OP, min_size=1, max_size=5), file_cow=st.booleans())
+    def run(ops, file_cow):
         import shutil
         import uuid
 
         root = str(tmp_path / uuid.uuid4().hex[:12])
         st_ = TableStore(root)
         model = {k: k * 10 for k in range(8)}
+        # file_cow=True exercises the round-11 file-granular entries
+        # end to end (sort_cols leading with the key + small files);
+        # False keeps the original whole-bucket dir entries covered
+        kw = (
+            {"sort_cols": ["id"], "max_file_rows": 3} if file_cow else {}
+        )
         st_.write_manifest(
             spark.createDataFrame(
                 [(k, v) for k, v in model.items()], "id long, v long"
             ),
-            "t", "id", n_buckets=4,
+            "t", "id", n_buckets=4, **kw,
         )
         step = 0
         for op in ops:
@@ -893,7 +899,10 @@ def test_manifest_lifecycle_model(spark, tmp_path):
                     model.pop(k, None)
                 model.update(dict(frag))
             elif op[0] == "compact":
-                st_.compact_buckets(spark, "t", max_carriers=2)
+                st_.compact_buckets(
+                    spark, "t", max_carriers=2,
+                    max_files_per_bucket=4 if file_cow else None,
+                )
             elif op[0] == "vacuum":
                 st_.vacuum("t", keep=1, orphan_grace_s=0)
             got = {
@@ -903,3 +912,353 @@ def test_manifest_lifecycle_model(spark, tmp_path):
         shutil.rmtree(root, ignore_errors=True)
 
     run()
+
+
+def _cow_table(spark, tmp_path, n=2000, n_buckets=4, max_file_rows=100):
+    """A file-COW manifest table: sort_cols leads with the key and
+    max_file_rows splits each bucket into ~n/(n_buckets·mfr) files."""
+    st = TableStore(str(tmp_path))
+    df = _base(spark, n=n)
+    v1 = st.write_manifest(
+        df, "t", "id", n_buckets=n_buckets,
+        sort_cols=["id"], max_file_rows=max_file_rows,
+    )
+    return st, df, v1
+
+
+def test_file_cow_upsert_rewrites_only_matching_files(spark, tmp_path):
+    """Round-11 headline: inside a DIRTY bucket only the files whose
+    key range covers a batch key rewrite; the bucket's other files
+    carry by reference. Bytes written per upsert ≈ O(files containing
+    matched keys), not O(bucket); values equal the full MERGE oracle;
+    entries are file-form with ranges."""
+    from rialto_airflow_spark.operators.merge import merge_on_key
+
+    st, df, v1 = _cow_table(spark, tmp_path)
+    info1 = st.current_info("t")
+    e0 = info1["manifest"]
+    assert all(not isinstance(e, str) for e in e0.values())
+    files_per_bucket = {k: len(e["files"]) for k, e in e0.items()}
+    assert all(n >= 4 for n in files_per_bucket.values()), files_per_bucket
+
+    batch = spark.createDataFrame(
+        [(5, 999, 0), (9999, 1, 1)], "id long, v long, grp int"
+    )
+    v2 = st.upsert_manifest(spark, "t", batch)
+
+    want = merge_on_key(df, batch, "id")
+    got = st.read(spark, "t")
+    assert got.exceptAll(want).unionAll(want.exceptAll(got)).count() == 0
+
+    # the new version holds ~2 small files (one matched file rewritten
+    # + one insert file), a sliver of even ONE bucket's bytes
+    bucket_bytes = _bytes(v1) / 4
+    assert _bytes(v2) < bucket_bytes / 2, (_bytes(v2), bucket_bytes)
+
+    # dirty buckets' entries mix carried old-version files with new
+    # ones; clean buckets' entries untouched
+    info2 = st.current_info("t")
+    changed = {
+        k for k in info2["manifest"]
+        if info2["manifest"][k] != e0.get(k)
+    }
+    assert 1 <= len(changed) <= 2
+    for k in changed:
+        dirs = {
+            os.path.dirname(os.path.dirname(p))
+            for p, _mn, _mx in info2["manifest"][k]["files"]
+        }
+        if k in e0:  # the update bucket: carried + new files
+            assert v1 in dirs and v2 in dirs, dirs
+
+    # old files referenced by the new manifest are literally the same
+    # paths (carry-by-reference down to the file)
+    carried = {
+        p
+        for e in info2["manifest"].values()
+        for p, _mn, _mx in e["files"]
+        if p.startswith(v1)
+    }
+    assert carried and carried <= _files(v1)
+
+
+def test_file_cow_point_reads_prune_to_files(spark, tmp_path):
+    """read_keys on a file-COW table touches only the files whose
+    range can hold the requested values — file-level pruning on top
+    of bucket-level path selection."""
+    st, df, v1 = _cow_table(spark, tmp_path)
+    got = st.read_keys(spark, "t", [7])
+    assert {r["v"] for r in got.collect()} == {14}
+    files = got.inputFiles()
+    assert len(files) == 1, files  # ONE file, not one bucket
+    # and the whole-bucket contrast reads more
+    info = st.current_info("t")
+    b = st.batch_buckets(
+        "t", spark.createDataFrame([(7,)], "id long")
+    )
+    assert len(info["manifest"][str(b[0])]["files"]) > 1
+
+
+def test_file_cow_replace_and_emptied_buckets(spark, tmp_path):
+    """Keyed REPLACE under file COW: affected keys' files rewrite,
+    fragment rows land as new files, an entry whose rows all vanish
+    drops out of the manifest."""
+    st, df, v1 = _cow_table(spark, tmp_path, n=40, max_file_rows=5)
+    # wipe every key of one bucket (no fragment): entry must vanish
+    b0 = st.batch_buckets("t", df.select("id"))
+    info = st.current_info("t")
+    victims = [
+        r["id"]
+        for r in st.read_buckets(spark, "t", [b0[0]]).select("id").collect()
+    ]
+    st.replace_keys_manifest(
+        spark, "t",
+        spark.createDataFrame([(k,) for k in victims], "id long"),
+        spark.createDataFrame([], st.read(spark, "t").schema).limit(0),
+    )
+    info2 = st.current_info("t")
+    assert str(b0[0]) not in info2["manifest"]
+    assert st.read(spark, "t").count() == 40 - len(victims)
+    # untouched buckets carried bit-for-bit
+    for k, e in info2["manifest"].items():
+        assert e == info["manifest"][k]
+
+
+def test_file_cow_vacuum_reclaims_unreferenced_files_only(
+    spark, tmp_path
+):
+    """File-granular vacuum: after upserts + vacuum(keep=1), an old
+    version dir survives as a carrier holding ONLY the files the head
+    manifest still references — rewritten files are physically gone,
+    carried ones remain, and the head reads back intact."""
+    st, df, v1 = _cow_table(spark, tmp_path)
+    before = _files(v1)
+    batch = spark.createDataFrame([(5, 999, 0)], "id long, v long, grp int")
+    st.upsert_manifest(spark, "t", batch)
+    st.upsert_manifest(
+        spark, "t",
+        spark.createDataFrame([(5, 1000, 0)], "id long, v long, grp int"),
+    )
+    st.vacuum("t", keep=1, orphan_grace_s=0)
+    head = st.current_info("t")
+    referenced = {
+        p for e in head["manifest"].values() for p, _mn, _mx in e["files"]
+    }
+    remaining_v1 = _files(v1)
+    assert remaining_v1 == {p for p in referenced if p.startswith(v1)}
+    assert remaining_v1 < before  # something WAS reclaimed
+    got = {r["id"]: r["v"] for r in st.read(spark, "t").collect()}
+    assert got[5] == 1000 and len(got) == 2000
+
+
+def test_file_cow_compact_folds_file_tail(spark, tmp_path):
+    """max_files_per_bucket: a bucket that accreted files over many
+    upserts folds back to max_file_rows-sized files; values and the
+    file-form entries survive."""
+    st, df, v1 = _cow_table(spark, tmp_path, n=200, max_file_rows=50)
+    for i in range(6):
+        st.upsert_manifest(
+            spark, "t",
+            spark.createDataFrame(
+                [(10_000 + i, i, 0)], "id long, v long, grp int"
+            ),
+        )
+    info = st.current_info("t")
+    worst = max(len(e["files"]) for e in info["manifest"].values())
+    assert worst >= 3
+    out = st.compact_buckets(
+        spark, "t", max_carriers=64, max_files_per_bucket=2
+    )
+    assert out is not None
+    info2 = st.current_info("t")
+    assert all(
+        len(e["files"]) <= 2 or k not in _frag_keys(info)
+        for k, e in info2["manifest"].items()
+        for _ in [0]
+    )
+    assert max(
+        len(e["files"])
+        for k, e in info2["manifest"].items()
+        if k in _frag_keys(info)
+    ) <= 2 + 200 // 50  # folded to ~max_file_rows-sized files
+    assert st.read(spark, "t").count() == 206
+    # time travel across the compaction boundary still resolves
+    got5 = st.read_keys(spark, "t", [10_000])
+    assert got5.collect()[0]["v"] == 0
+
+
+def _frag_keys(info):
+    return {
+        k
+        for k, e in info["manifest"].items()
+        if not isinstance(e, str) and len(e["files"]) > 2
+    }
+
+
+def test_migrate_plain_head_to_manifest(spark, tmp_path):
+    """The one-call plain→manifest upgrade: history and snapshot pins
+    survive, time travel across the boundary works, the migrated head
+    takes O(changes) upserts, and a stream configured with
+    manifest_buckets against a pre-existing plain table upgrades it on
+    first contact instead of raising per batch."""
+    import datetime
+
+    from rialto_airflow_spark.streaming import events as SE
+
+    st = TableStore(str(tmp_path / "store"))
+    df1 = _base(spark, n=300)
+    st.write(df1, "t")
+    df2 = _base(spark, n=300).withColumn("v", F.col("v") + 1)
+    v2 = st.write(df2, "t")
+    st.publish_snapshot({"t": None})  # pin the plain head
+    pre = [os.path.basename(v["path"]) for v in st.versions("t")]
+
+    out = st.migrate_to_manifest(
+        spark, "t", "id", n_buckets=8, sort_cols=["id"], max_file_rows=64
+    )
+    info = st.current_info("t")
+    assert "manifest" in info and info.get("migrated_from") == v2
+    # idempotent ensure-manifest
+    assert st.migrate_to_manifest(spark, "t", "id") == out
+
+    got = {r["id"]: r["v"] for r in st.read(spark, "t").collect()}
+    assert got == {r["id"]: r["v"] for r in df2.collect()}
+    # time travel across the boundary: both plain versions resolve
+    for ver, src in zip(pre, (df1, df2)):
+        old = st.read_version(spark, "t", ver)
+        assert old.count() == 300
+    # the pinned snapshot still reads the PLAIN version
+    assert st.read_snapshot(spark, "t").count() == 300
+    # O(changes) upsert works immediately, file-granular (sort_cols)
+    v3 = st.upsert_manifest(
+        spark, "t",
+        spark.createDataFrame([(5, -1, 0)], "id long, v long, grp int"),
+    )
+    assert _bytes(v3) < _bytes(out) / 4
+    assert st.read_keys(spark, "t", [5]).collect()[0]["v"] == -1
+
+    # streaming sink against a plain head: upgrades, then upserts
+    st2 = TableStore(str(tmp_path / "s2"))
+    st2.write(
+        spark.createDataFrame(
+            [(1, datetime.datetime(2024, 1, 1), 10, "view", 1.0, "{}")],
+            SE.EVENTS_DDL,
+        ),
+        "ev",
+    )
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(2, datetime.datetime(2024, 1, 1, 1), 11, "click", 2.0, "{}")],
+        SE.EVENTS_DDL,
+    ).coalesce(1).write.parquet(in_dir)
+    SE.stream_upsert(
+        SE.read_event_stream(spark, in_dir),
+        st2, "ev", "event_id", str(tmp_path / "ck"),
+        manifest_buckets=4,
+    )
+    info2 = st2.current_info("ev")
+    assert "manifest" in info2
+    assert st2.read(spark, "ev").count() == 2
+
+
+def test_split_buckets_incremental_rebucketing(spark, tmp_path):
+    """Round-11 rebucketing: a table grown past its bucket sizing
+    moves 8 → 32 buckets across a few bounded calls — never a
+    full-table rewrite in one go. During the migration, reads /
+    point reads / upserts against still-coarse remnants stay correct
+    (and an upsert opportunistically dissolves the remnant it
+    touches); after it, every entry is fine-moduled, point reads are
+    back to per-bucket bounds, and time travel to a pre-split version
+    still resolves."""
+    from rialto_airflow_spark.operators.merge import merge_on_key
+
+    st = TableStore(str(tmp_path))
+    df = _base(spark, n=400)
+    v1 = st.write_manifest(df, "t", "id", n_buckets=8)
+    pre_split_version = os.path.basename(v1)
+
+    def whole() -> dict:
+        return {r["id"]: r["v"] for r in st.read(spark, "t").collect()}
+
+    model = {r["id"]: r["v"] for r in df.collect()}
+
+    # raise the modulus and split only 3 entries
+    out = st.split_buckets(spark, "t", factor=4, max_splits=3)
+    assert out is not None
+    info = st.current_info("t")
+    assert info["n_buckets"] == 32
+    coarse = [k for k in info["manifest"] if "@" in k]
+    fine = [k for k in info["manifest"] if "@" not in k]
+    assert len(coarse) == 5 and all(k.endswith("@8") for k in coarse)
+    assert fine and all(0 <= int(k) < 32 for k in fine)
+    assert whole() == model
+
+    # point read THROUGH a coarse remnant stays exact
+    some_coarse_b = int(coarse[0].split("@")[0])
+    probe_id = next(
+        k for k in model if k % 1009 is not None
+    )  # any key; exactness checked by value
+    got = st.read_keys(spark, "t", [probe_id])
+    assert {r["v"] for r in got.collect()} == {model[probe_id]}
+
+    # read_buckets stays exact across the boundary: every returned
+    # row hashes into a requested fine bucket (coarse neighbor rows
+    # filtered out) and the probe key is present
+    bks = st.batch_buckets(
+        "t", spark.createDataFrame([(probe_id,)], "id long")
+    )
+    sl = st.read_buckets(spark, "t", bks)
+    stray = sl.where(
+        ~F.pmod(F.xxhash64(F.col("id")), F.lit(32)).cast("int").isin(bks)
+    ).count()
+    assert stray == 0
+    assert probe_id in {r["id"] for r in sl.collect()}
+
+    # an upsert touching a coarse remnant dissolves it
+    victim = next(
+        k for k in model
+        if st._covering_key(
+            st.current_info("t")["manifest"],
+            st._moduli(st.current_info("t")["manifest"]),
+            bucket_of(spark, st, k),
+        ).endswith("@8")
+    )
+    batch = spark.createDataFrame(
+        [(victim, -5, 0)], "id long, v long, grp int"
+    )
+    st.upsert_manifest(spark, "t", batch)
+    model[victim] = -5
+    assert whole() == model
+    info = st.current_info("t")
+    assert len([k for k in info["manifest"] if "@" in k]) == 4  # one gone
+
+    # finish the migration with factor=1 calls
+    steps = 0
+    while st.split_buckets(spark, "t", max_splits=2) is not None:
+        steps += 1
+        assert whole() == model
+    assert steps >= 2  # it really was incremental
+    info = st.current_info("t")
+    assert all("@" not in k for k in info["manifest"])
+    assert info["n_buckets"] == 32
+
+    # merge oracle still holds end-to-end after the whole dance
+    want = merge_on_key(df, batch, "id")
+    got_df = st.read(spark, "t")
+    assert got_df.exceptAll(want).unionAll(want.exceptAll(got_df)).count() == 0
+
+    # time travel to the pre-split version still resolves (8 buckets)
+    old = st.read_version(spark, "t", pre_split_version)
+    assert {r["id"]: r["v"] for r in old.collect()} == {
+        r["id"]: r["v"] for r in df.collect()
+    }
+
+    # vacuum across the boundary: head + remnant-free reads intact
+    st.vacuum("t", keep=1, orphan_grace_s=0)
+    assert whole() == model
+
+
+def bucket_of(spark, st, key_val) -> int:
+    return st.batch_buckets(
+        "t", spark.createDataFrame([(key_val,)], "id long")
+    )[0]
