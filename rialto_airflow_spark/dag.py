@@ -350,10 +350,22 @@ def _persist_keyed_table(
     from rialto_airflow_spark.operators.merge import snapshot_diff
 
     info = store.current_info(table)
-    if info is None or "manifest" not in info or is_full:
+    if info is None or "manifest" not in info:
         store.write_manifest(
             new, table, key, n_buckets=n_buckets,
             sort_cols=sort_cols, max_file_rows=max_file_rows,
+        )
+        return
+    if is_full:
+        # full harvest re-bootstraps, PRESERVING the stored table's
+        # recorded layout (bucket sizing may have grown via
+        # split_buckets; sort_cols/max_file_rows carry the file-COW
+        # behavior) — taking the ctx defaults here would silently
+        # degrade every later incremental run to whole-bucket rewrites
+        store.write_manifest(
+            new, table, key, n_buckets=info["n_buckets"],
+            sort_cols=info.get("sort_cols"),
+            max_file_rows=info.get("max_file_rows"),
         )
         return
     old = store.read(spark, table)
@@ -386,13 +398,22 @@ def _persist_edge_table(
     edge groups. Full-harvest runs re-bootstrap: M5 resets the edge
     table wholesale, the presence diff would BE the table."""
     info = store.current_info(table)
-    if info is None or "manifest" not in info or is_full:
+    if info is None or "manifest" not in info:
         store.write_manifest(new, table, fan_key, n_buckets=n_buckets)
+        return
+    if is_full:
+        store.write_manifest(
+            new, table, fan_key, n_buckets=info["n_buckets"],
+            sort_cols=info.get("sort_cols"),
+            max_file_rows=info.get("max_file_rows"),
+        )
         return
     old = store.read(spark, table)
     if set(old.columns) != set(new.columns):
         store.write_manifest(
-            new, table, fan_key, n_buckets=info["n_buckets"]
+            new, table, fan_key, n_buckets=info["n_buckets"],
+            sort_cols=info.get("sort_cols"),
+            max_file_rows=info.get("max_file_rows"),
         )
         return
     o = old.select(*key_cols)

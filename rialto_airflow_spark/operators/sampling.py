@@ -383,18 +383,11 @@ def training_order(
 def _local_fs_path(path: str) -> str | None:
     """The plain filesystem path behind ``path``, or None when it
     lives on a non-local store (hdfs://, s3a://, …) a driver-side
-    footer reader can't open directly."""
-    if path.startswith("file:"):
-        rest = path[len("file:"):]
-        # file:///p and file:/p both mean local /p; file://host/p doesn't
-        if rest.startswith("///"):
-            return rest[2:]
-        if rest.startswith("//"):
-            return None
-        return rest
-    if "://" in path:
-        return None
-    return path
+    footer reader can't open directly — the shared storage-layer
+    helper (one implementation for every file-URI consumer)."""
+    from rialto_airflow_spark.storage import local_path_from_file_uri
+
+    return local_path_from_file_uri(path)
 
 
 def _footer_shard_stats(

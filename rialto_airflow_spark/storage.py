@@ -30,6 +30,29 @@ from pyspark.sql import functions as F
 from .commitlog import CommitBackend, VersionedStore, _canon, default_backend
 
 
+def local_path_from_file_uri(path: str) -> str | None:
+    """The plain filesystem path behind a (possibly ``file:``-scheme,
+    possibly percent-encoded) path string, or None when it lives on a
+    non-local store (hdfs://, s3a://, file://host/…) that a
+    driver-side reader can't open directly. The ONE implementation —
+    Spark hands back several spellings (``file:/p``, ``file:///p``,
+    percent-encoded) and ad-hoc stripping at each call site has
+    already diverged once."""
+    from urllib.parse import unquote
+
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        # file:///p and file:/p both mean local /p; file://host/p doesn't
+        if rest.startswith("///"):
+            return unquote(rest[2:])
+        if rest.startswith("//"):
+            return None
+        return unquote(rest)
+    if "://" in path:
+        return None
+    return path
+
+
 class TableStore:
     """Versioned parquet tables under a root directory.
 
@@ -94,6 +117,16 @@ class TableStore:
         ``extra`` fields recorded at :meth:`write` time), or None for
         an uncommitted table."""
         return self._store(name).current()
+
+    def version_info(self, name: str, version: str) -> dict | None:
+        """The CREATING commit's payload for a retained version (as
+        listed by :meth:`versions`) — metadata only, no data read.
+        None when the version has no surviving commit entry (a
+        demoted carrier or a never-committed dir). Callers use this
+        to decide HOW to read a version (e.g. whether it carries a
+        manifest to bucket-prune against) without exception-driven
+        control flow."""
+        return self._payload_for(name, os.path.join(self.root, name, version))
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         info = self.current_info(name)
@@ -517,6 +550,51 @@ class TableStore:
             return v
         return str(v)
 
+    @staticmethod
+    def _range_proj(col: Column, dtype_simple: str) -> Column | None:
+        """ORDER-PRESERVING projection of a bucket-key column into a
+        JSON-safe, SESSION-INDEPENDENT domain for file ranges.
+        Temporal types must NOT round-trip through session-timezone
+        string casts (a later upsert under a different
+        spark.sql.session.timeZone would shift the parsed range and
+        break the 'a missed overlap is impossible' guarantee):
+        timestamps project to epoch micros, dates to epoch days,
+        timestamp_ntz to its fixed-format string (lexicographic ==
+        chronological). Numerics/strings/booleans pass through.
+        Returns None for types with no safe projection (binary) —
+        callers skip file pruning there (whole-bucket rewrites,
+        correct and coarse)."""
+        if dtype_simple == "timestamp":
+            return F.unix_micros(col)
+        if dtype_simple == "date":
+            return F.unix_date(col)
+        if dtype_simple == "timestamp_ntz":
+            return col.cast("string")
+        if dtype_simple == "binary":
+            return None
+        return col
+
+    @staticmethod
+    def _range_cast(dtype_simple: str) -> str:
+        """The Spark type the recorded range values cast back to for
+        the pruning comparison (must match :meth:`_range_proj`'s
+        output domain)."""
+        if dtype_simple in ("timestamp", "date"):
+            return "long"
+        if dtype_simple == "timestamp_ntz":
+            return "string"
+        if dtype_simple == "boolean":
+            return "boolean"
+        if dtype_simple in (
+            "tinyint", "smallint", "int", "bigint",
+        ) or dtype_simple.startswith("decimal"):
+            return "decimal(38,18)" if dtype_simple.startswith(
+                "decimal"
+            ) else "long"
+        if dtype_simple in ("float", "double"):
+            return "double"
+        return "string"
+
     # -- manifest ENTRY keys ------------------------------------------
     #
     # An entry key is "b" (bucket b under the payload's CURRENT
@@ -607,17 +685,36 @@ class TableStore:
         """Per-file (path, min(key), max(key)) for a just-written
         version dir, grouped by bucket — ONE column-pruned scan of the
         new files only (O(bytes just written), the write-time cost
-        that buys read/write-time file pruning forever after)."""
+        that buys read/write-time file pruning forever after).
+
+        Ranges are recorded in the :meth:`_range_proj` domain (epoch
+        micros for timestamps etc.), so pruning is immune to session
+        timezone changes. Paths are RECONSTRUCTED from the caller's
+        ``vdir`` string + bucket + decoded basename rather than taken
+        from ``input_file_name()`` verbatim: Spark returns qualified,
+        percent-encoded URIs (``file:/data/my%20tables/…``,
+        ``hdfs://host:port/…``) that would never compare equal to the
+        store-rooted strings every other path in the commit log uses
+        — vacuum's needed-map would miskey and reclaim LIVE files."""
+        from urllib.parse import unquote
+
         if not any(
             d.startswith(f"{self._BUCKET_COL}=")
             for d in self._backend().list_data(vdir)
         ):
             return {}  # the write landed no rows (e.g. a full delete)
+        df = spark.read.parquet(vdir)
+        dtype = df.schema[key].dataType.simpleString()
+        proj = self._range_proj(F.col(key), dtype)
+        if proj is None:
+            # no order-safe range domain (binary keys): record the
+            # file list without ranges — pruning degrades to
+            # whole-bucket rewrites, never to a missed overlap
+            proj = F.lit(None).cast("string")
         rows = (
-            spark.read.parquet(vdir)
-            .select(
+            df.select(
                 F.col(self._BUCKET_COL).cast("int").alias("b"),
-                F.col(key).alias("k"),
+                proj.alias("k"),
                 F.input_file_name().alias("f"),
             )
             .groupBy("b", "f")
@@ -626,13 +723,12 @@ class TableStore:
         )
         out: dict[int, list[list]] = {}
         for r in rows:
-            f = r["f"]
-            if f.startswith("file:"):
-                f = f[len("file:"):]
-                if f.startswith("///"):
-                    f = f[2:]
+            fname = unquote(r["f"].rstrip("/").rsplit("/", 1)[-1])
+            p = os.path.join(
+                self._manifest_leaf(vdir, int(r["b"])), fname
+            )
             out.setdefault(int(r["b"]), []).append(
-                [f, self._jval(r["mn"]), self._jval(r["mx"])]
+                [p, self._jval(r["mn"]), self._jval(r["mx"])]
             )
         for fs in out.values():
             fs.sort(key=lambda x: x[0])
@@ -650,8 +746,19 @@ class TableStore:
         """Which carried files a change set actually touches: join the
         (path, bucket, min, max) ranges (O(dirty-bucket files), a
         local frame) against the change keys on bucket + range
-        containment. Conservative by construction — a missed overlap
-        is impossible, a spurious one only costs a rewrite."""
+        containment, all in the :meth:`_range_proj` domain.
+        Conservative by construction — a missed overlap is impossible,
+        a spurious one only costs a rewrite. Files with NULL ranges
+        (all-null keys, or a binary key with no safe range domain)
+        are returned as hits when the domain is unavailable — see
+        callers — and never match a non-null probe otherwise."""
+        dtype = ktype.simpleString()
+        proj = self._range_proj(F.col("k"), dtype)
+        if proj is None:
+            # no safe range domain: every file in a dirty bucket is a
+            # hit (whole-bucket rewrite — correct, coarse)
+            return {p for _b, fs in file_entries for p, _mn, _mx in fs}
+        cast_t = self._range_cast(dtype)
         rngs = [
             (p, b, None if mn is None else str(mn),
              None if mx is None else str(mx))
@@ -666,13 +773,13 @@ class TableStore:
         probe = keys_df.where(F.col(key).isNotNull()).select(
             F.col(key).alias("k"),
             self._bucket_expr(key, n_buckets).alias("b"),
-        )
+        ).select(proj.alias("k"), "b")
         hits = (
             rdf.join(
                 F.broadcast(probe),
                 (rdf["b"] == probe["b"])
                 & probe["k"].between(
-                    rdf["mn"].cast(ktype), rdf["mx"].cast(ktype)
+                    rdf["mn"].cast(cast_t), rdf["mx"].cast(cast_t)
                 ),
                 "left_semi",
             )
@@ -1021,6 +1128,7 @@ class TableStore:
         name: str,
         buckets,
         version: str | None = None,
+        of_n_buckets: int | None = None,
     ) -> DataFrame:
         """Read ONLY the named buckets of a manifest version (default:
         the head) under its commit-recorded schema — the bucket-pruned
@@ -1031,7 +1139,20 @@ class TableStore:
         nothing (an empty frame with the recorded schema when none are
         present). ``version`` is a version name as listed by
         :meth:`versions`; a vacuumed version raises, same contract as
-        :meth:`read_version`."""
+        :meth:`read_version`.
+
+        ``of_n_buckets`` names the modulus the ids are EXPRESSED in
+        (default: the target version's own). A caller holding
+        head-modulus ids but reading an OLDER version must pass the
+        head's n_buckets: after :meth:`split_buckets` the version's
+        modulus is coarser, and resolving fine ids against a coarse
+        manifest directly would silently miss every bucket (the
+        streaming change-detection consumer hits exactly this). Ids
+        refine down when the moduli divide; otherwise (a rebootstrap
+        at an unrelated n) the read falls back to the full version —
+        correct, pruning lost for that call. The result is always
+        EXACT: rows are filtered to the requested ids at their own
+        modulus."""
         if version is None:
             payload = self.current_info(name)
             if payload is None:
@@ -1051,19 +1172,41 @@ class TableStore:
                 "version — there is no bucket metadata to prune with"
             )
         manifest = payload["manifest"]
+        n_v = payload["n_buckets"]
         st = self._schema_of(payload)
         backend = self._backend()
         moduli = self._moduli(manifest)
         want = sorted(set(int(x) for x in buckets))
+        of_n = of_n_buckets or n_v
+        if of_n == n_v:
+            lookup = want
+        elif of_n % n_v == 0:
+            # fine ids refine onto the coarser version modulus
+            lookup = sorted({b % n_v for b in want})
+        elif n_v % of_n == 0:
+            # coarse ids expand onto a finer version modulus
+            lookup = sorted(
+                {b + k * of_n for b in want for k in range(n_v // of_n)}
+            )
+        else:
+            # unrelated moduli (rebootstrap at an arbitrary n): no
+            # pruning possible — read the version whole, filter below
+            lookup = None
+        exact_filter = of_n != n_v or any(
+            "@" in str(k) for k in manifest
+        )
+        if lookup is None:
+            out = self._read_manifest(spark, payload)
+            return out.where(
+                self._bucket_expr(payload["bucket_key"], of_n).isin(want)
+            )
         paths = []
-        coarse_hit = False
         seen: set[str] = set()
-        for b in want:
+        for b in lookup:
             ck = self._covering_key(manifest, moduli, b)
             if ck is None or ck in seen:
                 continue
             seen.add(ck)
-            coarse_hit = coarse_hit or ck != str(b)
             for leaf in self._entry_paths(manifest[ck], ck):
                 if not backend.data_exists(leaf):
                     raise FileNotFoundError(
@@ -1080,12 +1223,12 @@ class TableStore:
             )
         reader = spark.read.schema(st) if st is not None else spark.read
         out = reader.parquet(*paths)
-        if coarse_hit:
-            # a coarse remnant holds neighbor fine buckets too — keep
-            # the contract exact with a cheap JVM-side hash filter
+        if exact_filter:
+            # coarse remnants / modulus translation pull in neighbor
+            # buckets — keep the contract exact with a cheap JVM-side
+            # hash filter at the CALLER's modulus
             out = out.where(
-                self._bucket_expr(payload["bucket_key"], payload["n_buckets"])
-                .isin([int(b) for b in want])
+                self._bucket_expr(payload["bucket_key"], of_n).isin(want)
             )
         return out
 
@@ -1341,6 +1484,30 @@ class TableStore:
                     hit = self._rewrite_files(
                         spark, probe, key, ktype, n, file_entries
                     )
+                    # REPLACE deletes null-GROUP rows too (eqNullSafe
+                    # anti-join), but file ranges ignore nulls — a
+                    # null affected key would silently carry the old
+                    # null rows past the delete. Rewrite the null
+                    # bucket whole whenever the probe contains a null.
+                    if probe.where(F.col(key).isNull()).limit(1).count():
+                        null_b = (
+                            spark.range(1)
+                            .select(
+                                F.pmod(
+                                    F.xxhash64(
+                                        F.lit(None).cast(ktype)
+                                    ),
+                                    F.lit(n),
+                                ).cast("int").alias("b")
+                            )
+                            .collect()[0]["b"]
+                        )
+                        hit = hit | {
+                            f[0]
+                            for b, fs in file_entries
+                            if b == null_b
+                            for f in fs
+                        }
                     for b, fs in file_entries:
                         keep = [f for f in fs if f[0] not in hit]
                         read_paths.extend(f[0] for f in fs if f[0] in hit)

@@ -626,6 +626,17 @@ def stream_upsert(
         if not batch.columns:
             return
         spark = batch.sparkSession
+        # one micro-batch feeds several jobs per trigger (merge dedup,
+        # dirty-bucket collects, changed-key broadcasts) — pin it once
+        # instead of re-evaluating the source lineage each time (the
+        # foreachBatch-reuse pattern Spark's docs recommend)
+        batch = batch.persist()
+        try:
+            _apply_inner(batch, batch_id, spark)
+        finally:
+            batch.unpersist()
+
+    def _apply_inner(batch: DataFrame, batch_id: int, spark) -> None:
         _merge_batch(
             store, table, key, batch,
             update_cols=update_cols, manifest_buckets=manifest_buckets,
@@ -671,34 +682,45 @@ def stream_upsert(
             old_changed = new_changed = None
             if built_from is not None:
                 bv = _os.path.basename(built_from)
+                # explicit payload check, NOT exception control flow:
+                # a recurring error on the pruned path must surface,
+                # never silently degrade every trigger to full-version
+                # reads (the cost curve this path exists to avoid)
+                bv_payload = store.version_info(table, bv)
+                head_info = store.current_info(table) or {}
+                pruned_ok = (
+                    manifest_buckets is not None
+                    and bv_payload is not None
+                    and "manifest" in bv_payload
+                    and "manifest" in head_info
+                )
                 try:
-                    if manifest_buckets is not None:
+                    if pruned_ok:
                         # bucket-pruned slice reads: O(dirty buckets)
                         # bytes from each version, never a full scan.
-                        # ValueError = built_from predates the table's
-                        # manifest bootstrap (plain version) → full
-                        # reads below, one trigger only.
+                        # Ids are head-modulus; the built_from read
+                        # translates them (rebucketing-safe).
                         bks = store.batch_buckets(
                             table, batch.where(F.col(key).isNotNull())
                         )
+                        head_n = head_info["n_buckets"]
                         old_changed = store.read_buckets(
-                            spark, table, bks, version=bv
+                            spark, table, bks, version=bv,
+                            of_n_buckets=head_n,
                         ).join(F.broadcast(changed), key, "left_semi")
                         new_changed = store.read_buckets(
                             spark, table, bks
                         ).join(F.broadcast(changed), key, "left_semi")
                     else:
-                        raise ValueError  # plain table: full-read path
-                except ValueError:
-                    try:
+                        # plain table, or built_from predates the
+                        # manifest bootstrap: full-version reads
+                        # (one-trigger shape on the migration path)
                         old_changed = store.read_version(
                             spark, table, bv
                         ).join(F.broadcast(changed), key, "left_semi")
                         new_changed = new_tbl.join(
                             F.broadcast(changed), key, "left_semi"
                         )
-                    except FileNotFoundError:
-                        old_changed = None  # vacuumed → repair below
                 except FileNotFoundError:
                     # vacuumed → full-refresh repair. ONLY the missing-
                     # version case: a broader catch would turn any

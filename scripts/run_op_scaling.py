@@ -523,14 +523,15 @@ WRITE_OPS = {
 # change detection is O(dirty buckets), not O(two full versions)
 
 def _input_bytes(df) -> int:
+    from rialto_airflow_spark.storage import local_path_from_file_uri
+
     total = 0
     for p in df.inputFiles():
-        if p.startswith("file:"):
-            p = p[len("file:"):]
-            if p.startswith("///"):
-                p = p[2:]
+        lp = local_path_from_file_uri(p)
+        if lp is None:
+            continue
         try:
-            total += os.path.getsize(p)
+            total += os.path.getsize(lp)
         except OSError:
             pass
     return total

@@ -1078,3 +1078,37 @@ def test_harvest_dag_persists_edge_tables_o_changes(spark, tmp_path):
         for r in ctx2["author_edges"].collect()
     }
     assert got == want
+
+
+def test_persist_full_harvest_preserves_recorded_layout(spark, tmp_path):
+    """Self-review fix: an is_full re-bootstrap must carry the STORED
+    table's layout (bucket sizing grown via split_buckets, file-COW
+    sort_cols/max_file_rows), not the ctx defaults — otherwise one
+    full harvest silently degrades every later incremental run to
+    whole-bucket rewrites."""
+    from rialto_airflow_spark.dag import _persist_keyed_table
+    from rialto_airflow_spark.storage import TableStore
+
+    store = TableStore(str(tmp_path))
+    t1 = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "id long, v long"
+    )
+    _persist_keyed_table(
+        store, spark, "t", t1, "id",
+        n_buckets=8, compare_cols=None, is_full=False,
+        sort_cols=["id"], max_file_rows=10,
+    )
+    store.split_buckets(spark, "t", factor=2)
+    assert store.current_info("t")["n_buckets"] == 16
+
+    # full harvest with DIFFERENT ctx defaults (the default 64 / no
+    # sort_cols) — the stored layout must survive
+    _persist_keyed_table(
+        store, spark, "t", t1, "id",
+        n_buckets=64, compare_cols=None, is_full=True,
+    )
+    info = store.current_info("t")
+    assert info["n_buckets"] == 16
+    assert info.get("sort_cols") == ["id"]
+    assert info.get("max_file_rows") == 10
+    assert all(not isinstance(e, str) for e in info["manifest"].values())

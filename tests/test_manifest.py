@@ -1262,3 +1262,122 @@ def bucket_of(spark, st, key_val) -> int:
     return st.batch_buckets(
         "t", spark.createDataFrame([(key_val,)], "id long")
     )[0]
+
+
+def test_file_cow_replace_null_group(spark, tmp_path):
+    """Self-review fix: REPLACE promises null-GROUP deletion
+    (eqNullSafe), but file ranges ignore nulls — a null affected key
+    must force the null bucket's files into the rewrite set or old
+    null rows silently survive next to the fragment's replacements."""
+    st = TableStore(str(tmp_path))
+    df = _base(spark, n=60).unionByName(
+        spark.createDataFrame(
+            [(None, -1, 0), (None, -2, 1)], "id long, v long, grp int"
+        )
+    )
+    st.write_manifest(
+        df, "t", "id", n_buckets=8, sort_cols=["id"], max_file_rows=10
+    )
+    st.replace_keys_manifest(
+        spark, "t",
+        spark.createDataFrame([(None,)], "id long"),
+        spark.createDataFrame([(None, -9, 9)], "id long, v long, grp int"),
+    )
+    nulls = st.read(spark, "t").where(F.col("id").isNull()).collect()
+    assert [(r["v"], r["grp"]) for r in nulls] == [(-9, 9)]
+    assert st.read(spark, "t").count() == 61
+
+
+def test_file_cow_timestamp_key_immune_to_session_timezone(
+    spark, tmp_path
+):
+    """Self-review fix: file ranges for temporal bucket keys are
+    recorded as epoch numbers, not session-timezone strings — an
+    upsert under a DIFFERENT spark.sql.session.timeZone must still
+    hit the right files (a missed overlap would duplicate the key)."""
+    import datetime
+
+    st = TableStore(str(tmp_path))
+    rows = [
+        (datetime.datetime(2024, 6, 1, h), h) for h in range(24)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v int")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        st.write_manifest(
+            df, "t", "ts", n_buckets=4, sort_cols=["ts"], max_file_rows=3
+        )
+        spark.conf.set(
+            "spark.sql.session.timeZone", "America/Los_Angeles"
+        )
+        st.upsert_manifest(
+            spark, "t",
+            spark.createDataFrame(
+                [(datetime.datetime(2024, 6, 1, 13), 999)],
+                "ts timestamp, v int",
+            ),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    got = st.read(spark, "t")
+    assert got.count() == 24  # updated, NOT duplicated
+    assert got.where(F.col("v") == 999).count() == 1
+
+
+def test_file_cow_store_root_with_space(spark, tmp_path):
+    """Self-review fix: input_file_name() returns percent-encoded
+    URIs; recorded manifest paths must be store-rooted plain strings
+    or existence checks and vacuum's needed-map silently break on a
+    root containing a space."""
+    root = str(tmp_path / "my tables")
+    st = TableStore(root)
+    df = _base(spark, n=100)
+    st.write_manifest(
+        df, "t", "id", n_buckets=4, sort_cols=["id"], max_file_rows=20
+    )
+    info = st.current_info("t")
+    for e in info["manifest"].values():
+        for p, _mn, _mx in e["files"]:
+            assert "%20" not in p and os.path.isfile(p), p
+    st.upsert_manifest(
+        spark, "t",
+        spark.createDataFrame([(5, -1, 0)], "id long, v long, grp int"),
+    )
+    st.vacuum("t", keep=1, orphan_grace_s=0)
+    got = {r["id"]: r["v"] for r in st.read(spark, "t").collect()}
+    assert got[5] == -1 and len(got) == 100
+    # time travel / restore checks resolve the decoded paths too
+    assert st.read_keys(spark, "t", [7]).collect()[0]["v"] == 14
+
+
+def test_read_buckets_of_n_buckets_across_split(spark, tmp_path):
+    """Self-review fix: head-modulus bucket ids against an OLDER
+    (coarser) version must refine onto that version's modulus — the
+    streaming change-detection consumer reads built_from with ids
+    computed at head after a split_buckets call in between."""
+    st = TableStore(str(tmp_path))
+    df = _base(spark, n=200)
+    v1 = st.write_manifest(df, "t", "id", n_buckets=8)
+    st.split_buckets(spark, "t", factor=4)  # head now 32, all fine
+    head_n = st.current_info("t")["n_buckets"]
+    assert head_n == 32
+
+    probe = spark.createDataFrame([(7,), (123,)], "id long")
+    bks = st.batch_buckets("t", probe)  # ids under 32
+    old_slice = st.read_buckets(
+        spark, "t", bks, version=os.path.basename(v1), of_n_buckets=head_n
+    )
+    got = {r["id"] for r in old_slice.collect()}
+    assert {7, 123} <= got
+    # exactness at the CALLER's modulus: every row hashes to a
+    # requested fine bucket
+    stray = old_slice.where(
+        ~F.pmod(F.xxhash64(F.col("id")), F.lit(32)).cast("int").isin(bks)
+    ).count()
+    assert stray == 0
+    # WITHOUT the modulus hint the coarse manifest can't resolve fine
+    # ids — documented miss, which is why the consumer must pass it
+    assert st.read_buckets(
+        spark, "t", bks, version=os.path.basename(v1)
+    ).count() >= 0
