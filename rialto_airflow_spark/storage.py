@@ -1129,6 +1129,7 @@ class TableStore:
         buckets,
         version: str | None = None,
         of_n_buckets: int | None = None,
+        prune_keys: DataFrame | None = None,
     ) -> DataFrame:
         """Read ONLY the named buckets of a manifest version (default:
         the head) under its commit-recorded schema — the bucket-pruned
@@ -1152,7 +1153,16 @@ class TableStore:
         at an unrelated n) the read falls back to the full version —
         correct, pruning lost for that call. The result is always
         EXACT: rows are filtered to the requested ids at their own
-        modulus."""
+        modulus.
+
+        ``prune_keys`` (a one-column DataFrame named like the bucket
+        key — the streaming change detector's changed-key set) prunes
+        FILE-form entries further to the files whose recorded key
+        range can hold one of those keys, making the slice read
+        O(files containing the keys) instead of O(dirty buckets).
+        With it the result is complete only FOR THOSE KEYS (other
+        rows of the same buckets may be skipped) — callers semi-join
+        by the same keys downstream."""
         if version is None:
             payload = self.current_info(name)
             if payload is None:
@@ -1202,18 +1212,44 @@ class TableStore:
             )
         paths = []
         seen: set[str] = set()
+        prune_entries: list[tuple[int, list[list]]] = []
         for b in lookup:
             ck = self._covering_key(manifest, moduli, b)
             if ck is None or ck in seen:
                 continue
             seen.add(ck)
-            for leaf in self._entry_paths(manifest[ck], ck):
+            e = manifest[ck]
+            if (
+                prune_keys is not None
+                and ck == str(b)
+                and not isinstance(e, str)
+                and st is not None
+            ):
+                # fine file-form entry + a key set: file-prune below
+                prune_entries.append((b, e["files"]))
+                continue
+            for leaf in self._entry_paths(e, ck):
                 if not backend.data_exists(leaf):
                     raise FileNotFoundError(
                         f"table {name}: bucket {b} of the requested "
                         "version was vacuumed — its carrier data is gone"
                     )
                 paths.append(leaf)
+        if prune_entries:
+            kcol = payload["bucket_key"]
+            hit = self._rewrite_files(
+                spark, prune_keys, kcol, st[kcol].dataType, n_v,
+                prune_entries,
+            )
+            for _b, fs in prune_entries:
+                for p, _mn, _mx in fs:
+                    if p in hit:
+                        if not backend.data_exists(p):
+                            raise FileNotFoundError(
+                                f"table {name}: a requested file of the "
+                                "version was vacuumed"
+                            )
+                        paths.append(p)
         if not paths:
             if st is not None:
                 return spark.createDataFrame([], st)

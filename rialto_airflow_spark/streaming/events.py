@@ -449,7 +449,8 @@ def enrich_stream(
 
 def _merge_batch(
     store, table: str, key: str, batch, update_cols=None,
-    manifest_buckets=None,
+    manifest_buckets=None, manifest_sort_cols=None,
+    manifest_max_file_rows=None,
 ) -> None:
     """Shared foreachBatch MERGE body for the streaming upsert sinks:
     collapse duplicate keys to ONE row via a FULLY deterministic
@@ -488,7 +489,11 @@ def _merge_batch(
         # biggest remaining scale gap
         info = store.current_info(table)
         if info is None:
-            store.write_manifest(b, table, key, n_buckets=manifest_buckets)
+            store.write_manifest(
+                b, table, key, n_buckets=manifest_buckets,
+                sort_cols=manifest_sort_cols,
+                max_file_rows=manifest_max_file_rows,
+            )
         else:
             if "manifest" not in info:
                 # a PLAIN head (table predates manifest_buckets, or
@@ -496,7 +501,9 @@ def _merge_batch(
                 # instead of raising per batch — history/snapshots
                 # survive, then this batch upserts O(changes)
                 store.migrate_to_manifest(
-                    spark, table, key, n_buckets=manifest_buckets
+                    spark, table, key, n_buckets=manifest_buckets,
+                    sort_cols=manifest_sort_cols,
+                    max_file_rows=manifest_max_file_rows,
                 )
             store.upsert_manifest(spark, table, b, update_cols=update_cols)
         return
@@ -523,6 +530,9 @@ def stream_upsert(
     manifest_buckets: int | None = None,
     compact_every: int | None = None,
     compact_max_carriers: int = 16,
+    manifest_sort_cols: list[str] | None = None,
+    manifest_max_file_rows: int | None = None,
+    compact_max_files_per_bucket: int | None = None,
 ) -> None:
     """Streaming MERGE sink via ``foreachBatch``: every micro-batch
     upserts into a versioned :class:`~rialto_airflow_spark.storage.
@@ -618,6 +628,11 @@ def stream_upsert(
     every N batches, ``compact_buckets`` consolidates the small-
     carrier tail once the spread exceeds ``compact_max_carriers`` — consolidation cost tracks the fragmentation, not
     the table — and runs on the mart too when it is manifest-shaped.
+    ``manifest_sort_cols=[key]`` (+ ``manifest_max_file_rows``)
+    upgrades the table to FILE-granular COW — per-trigger bytes become
+    O(files containing matched keys) even inside dirty buckets; pair
+    with ``compact_max_files_per_bucket`` so the per-bucket file tail
+    an indefinitely-running stream accretes folds on the same cadence.
     Schema note: manifest versions span carrier dirs, so writes must
     be schema-stable (same columns/types every batch) — the normal
     streaming contract anyway.
@@ -640,6 +655,8 @@ def stream_upsert(
         _merge_batch(
             store, table, key, batch,
             update_cols=update_cols, manifest_buckets=manifest_buckets,
+            manifest_sort_cols=manifest_sort_cols,
+            manifest_max_file_rows=manifest_max_file_rows,
         )
         if mart:
             from rialto_airflow_spark.operators.merge import (
@@ -706,10 +723,10 @@ def stream_upsert(
                         head_n = head_info["n_buckets"]
                         old_changed = store.read_buckets(
                             spark, table, bks, version=bv,
-                            of_n_buckets=head_n,
+                            of_n_buckets=head_n, prune_keys=changed,
                         ).join(F.broadcast(changed), key, "left_semi")
                         new_changed = store.read_buckets(
-                            spark, table, bks
+                            spark, table, bks, prune_keys=changed,
                         ).join(F.broadcast(changed), key, "left_semi")
                     else:
                         # plain table, or built_from predates the
@@ -796,7 +813,8 @@ def stream_upsert(
             # accretes carriers just the same
             if manifest_buckets is not None:
                 store.compact_buckets(
-                    spark, table, max_carriers=compact_max_carriers
+                    spark, table, max_carriers=compact_max_carriers,
+                    max_files_per_bucket=compact_max_files_per_bucket,
                 )
             if mart and mart.get("manifest_buckets") is not None:
                 minfo = store.current_info(mart["table"]) or {}
@@ -804,6 +822,7 @@ def stream_upsert(
                     store.compact_buckets(
                         spark, mart["table"],
                         max_carriers=compact_max_carriers,
+                        max_files_per_bucket=compact_max_files_per_bucket,
                     )
         if retention:
             store.vacuum(table, keep=retention)

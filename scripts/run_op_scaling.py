@@ -551,9 +551,14 @@ def rop_mart_change_detection(spark, d):
     old_v = os.path.basename(st.current_version("m"))
     st.upsert_manifest(spark, "m", batch, updated_at_col="updated_at")
     bks = st.batch_buckets("m", batch)
+    changed = batch.select("doc_id").distinct()
     pruned = _input_bytes(
-        st.read_buckets(spark, "m", bks, version=old_v)
-    ) + _input_bytes(st.read_buckets(spark, "m", bks))
+        st.read_buckets(
+            spark, "m", bks, version=old_v, prune_keys=changed
+        )
+    ) + _input_bytes(
+        st.read_buckets(spark, "m", bks, prune_keys=changed)
+    )
     full = _input_bytes(st.read_version(spark, "m", old_v)) + _input_bytes(
         st.read(spark, "m")
     )

@@ -1381,3 +1381,83 @@ def test_read_buckets_of_n_buckets_across_split(spark, tmp_path):
     assert st.read_buckets(
         spark, "t", bks, version=os.path.basename(v1)
     ).count() >= 0
+
+
+def test_stream_upsert_file_cow_layout_and_compaction(spark, tmp_path):
+    """The streaming sink's file-COW opt-in: manifest_sort_cols +
+    manifest_max_file_rows land file-form entries from the bootstrap
+    batch on, per-trigger versions carry untouched files by
+    reference, and the compaction cadence folds the per-bucket file
+    tail via compact_max_files_per_bucket — all while converging to
+    the same table as a plain merge."""
+    import datetime
+
+    from rialto_airflow_spark.streaming import events as SE
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    st = TableStore(str(tmp_path / "store"))
+
+    def mk(rows):
+        return spark.createDataFrame(rows, SE.EVENTS_DDL)
+
+    def drain():
+        SE.stream_upsert(
+            SE.read_event_stream(spark, in_dir),
+            st, "ev", "event_id", ckpt,
+            manifest_buckets=4,
+            manifest_sort_cols=["event_id"],
+            manifest_max_file_rows=8,
+            compact_every=3,
+            compact_max_carriers=64,
+            compact_max_files_per_bucket=2,
+        )
+
+    mk([
+        (i, t0, 10 + i, "view", float(i), "{}") for i in range(40)
+    ]).coalesce(1).write.parquet(in_dir)
+    drain()
+    info = st.current_info("ev")
+    assert all(not isinstance(e, str) for e in info["manifest"].values())
+    assert info.get("sort_cols") == ["event_id"]
+
+    # two more single-row triggers: file-form carry + the 3rd batch
+    # trips the compaction cadence and folds any file tail
+    for j, eid in enumerate((1, 2)):
+        mk([
+            (eid, t0 + datetime.timedelta(minutes=j + 1), 99, "click",
+             -float(eid), "{}"),
+        ]).coalesce(1).write.parquet(in_dir, mode="append")
+        drain()
+    info = st.current_info("ev")
+    assert all(
+        len(e["files"]) <= 2 for e in info["manifest"].values()
+    ), {k: len(e["files"]) for k, e in info["manifest"].items()}
+    got = {r["event_id"]: r["value"] for r in st.read(spark, "ev").collect()}
+    assert len(got) == 40 and got[1] == -1.0 and got[2] == -2.0
+
+
+def test_read_buckets_prune_keys_file_granular(spark, tmp_path):
+    """prune_keys makes the slice read file-granular: on a file-COW
+    table, reading one changed key's buckets touches ONE file, not
+    the whole bucket — and the result still contains every requested
+    key's rows (the streaming change-detector contract)."""
+    st = TableStore(str(tmp_path))
+    df = _base(spark, n=2000)
+    st.write_manifest(
+        df, "t", "id", n_buckets=4, sort_cols=["id"], max_file_rows=50
+    )
+    probe = spark.createDataFrame([(7,)], "id long")
+    bks = st.batch_buckets("t", probe)
+    pruned = st.read_buckets(spark, "t", bks, prune_keys=probe)
+    assert {r["v"] for r in pruned.where(F.col("id") == 7).collect()} == {14}
+    assert len(pruned.inputFiles()) == 1
+    whole = st.read_buckets(spark, "t", bks)
+    assert len(whole.inputFiles()) > 3  # the bucket really is multi-file
+    # an inserted-later key absent from the version: empty, no error
+    ghost = spark.createDataFrame([(999_999,)], "id long")
+    gb = st.batch_buckets("t", ghost)
+    assert st.read_buckets(
+        spark, "t", gb, prune_keys=ghost
+    ).where(F.col("id") == 999_999).count() == 0
