@@ -1461,3 +1461,77 @@ def test_read_buckets_prune_keys_file_granular(spark, tmp_path):
     assert st.read_buckets(
         spark, "t", gb, prune_keys=ghost
     ).where(F.col("id") == 999_999).count() == 0
+
+
+def test_stream_mart_correct_across_split_between_triggers(
+    spark, tmp_path, monkeypatch
+):
+    """The review's sharpest scenario: an operator runs split_buckets
+    BETWEEN two triggers, so the next trigger's change detection holds
+    head-modulus bucket ids against a coarser built_from version. The
+    modulus translation in read_buckets must keep the mart exact —
+    including re-pointing a row whose GROUP changed in that batch —
+    with snapshot_diff still poisoned."""
+    import datetime
+
+    from rialto_airflow_spark.operators import merge as M
+    from rialto_airflow_spark.streaming import events as SE
+
+    monkeypatch.setattr(
+        M, "snapshot_diff",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("diff ran")),
+    )
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    st = TableStore(str(tmp_path / "store"))
+    mart = {
+        "table": "by_type",
+        "group_col": "event_type",
+        "agg_exprs": [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        ],
+    }
+
+    def mk(rows):
+        return spark.createDataFrame(rows, SE.EVENTS_DDL)
+
+    def drain():
+        SE.stream_upsert(
+            SE.read_event_stream(spark, in_dir),
+            st, "ev", "event_id", ckpt,
+            mart=mart, manifest_buckets=4,
+        )
+
+    mk([
+        (i, t0, 10 + i, "view" if i % 2 else "click", float(i), "{}")
+        for i in range(30)
+    ]).coalesce(1).write.parquet(in_dir)
+    drain()
+
+    # operator-initiated rebucketing between triggers: 4 -> 16, split
+    # only half the entries so coarse remnants remain in play
+    st.split_buckets(spark, "ev", factor=4, max_splits=2)
+    assert st.current_info("ev")["n_buckets"] == 16
+    assert any("@" in k for k in st.current_info("ev")["manifest"])
+
+    # next trigger: event 3 migrates view->purchase (old group must
+    # re-point through the COARSER built_from version), event 99 inserts
+    mk([
+        (3, t0 + datetime.timedelta(minutes=5), 13, "purchase", 9.0, "{}"),
+        (99, t0 + datetime.timedelta(minutes=1), 99, "click", 4.0, "{}"),
+    ]).coalesce(1).write.parquet(in_dir, mode="append")
+    drain()
+
+    final = st.read(spark, "ev")
+    want = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in final.groupBy("event_type").agg(*mart["agg_exprs"]).collect()
+    }
+    got = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in st.read(spark, "by_type").collect()
+    }
+    assert got == want
+    assert got["purchase"] == (1, 9.0)
