@@ -591,6 +591,18 @@ def stream_upsert(
     versions runs on this path
     (``operators.merge.incremental_mart_parts_from_changes``).
 
+    Adding ``"cluster_buckets": N`` to the mart config makes the
+    FRAGMENT RE-FOLD O(affected groups) too: the sink maintains a
+    fan-key CLUSTERED PROJECTION of the table (same rows bucketed by
+    the mart's group column, ``{mart_table}__cluster`` by default,
+    updated per trigger by the same keyed REPLACE that writes the
+    mart), and rebuilds affected groups from its bucket-pruned slice
+    instead of a per-trigger scan of the whole table — the last
+    O(table) read on the streaming mart path. Cost: one extra copy of
+    the table (clustered differently) and one extra O(changes) write
+    per trigger; rows with a NULL merge key are excluded from the
+    projection (they never trigger refreshes on any path).
+
     The first batch computes the mart in full. Adding
     ``"manifest_buckets": N`` to either shape makes the mart itself a
     MANIFEST table: each refresh applies the (affected groups,
@@ -748,6 +760,8 @@ def stream_upsert(
                     old_changed = None
             mkey = mart["fan_key"] if "build" in mart else mart["group_col"]
             m_buckets = mart.get("manifest_buckets")
+            c_buckets = mart.get("cluster_buckets")
+            cname = mart.get("cluster_table", mart["table"] + "__cluster")
             incremental_ok = (
                 old_changed is not None
                 and old_mart is not None
@@ -761,6 +775,13 @@ def stream_upsert(
                     refreshed = new_tbl.groupBy(mart["group_col"]).agg(
                         *mart["agg_exprs"]
                     )
+                if c_buckets is not None:
+                    # bootstrap the fan-key CLUSTERED PROJECTION with
+                    # the same full pass the mart build pays anyway
+                    store.write_manifest(
+                        new_tbl.where(F.col(key).isNotNull()),
+                        cname, mkey, n_buckets=c_buckets,
+                    )
                 if m_buckets is not None:
                     store.write_manifest(
                         refreshed, mart["table"], mkey,
@@ -773,14 +794,73 @@ def stream_upsert(
                         extra={"built_from": new_path},
                     )
             else:
-                affected, fragment = incremental_mart_parts_from_changes(
-                    old_changed,
-                    new_changed,
-                    new_tbl,
-                    mkey,
-                    build=mart.get("build"),
-                    agg_exprs=mart.get("agg_exprs"),
+                cinfo = (
+                    store.current_info(cname)
+                    if c_buckets is not None
+                    else None
                 )
+                if c_buckets is not None and (
+                    cinfo is None or "manifest" not in cinfo
+                ):
+                    # cluster enabled on an existing mart: one-time
+                    # bootstrap from head (the migration-shaped pass)
+                    store.write_manifest(
+                        new_tbl.where(F.col(key).isNotNull()),
+                        cname, mkey, n_buckets=c_buckets,
+                    )
+                    cinfo = store.current_info(cname)
+                if c_buckets is not None:
+                    # O(affected groups) FRAGMENT RE-FOLD: without the
+                    # projection, rebuilding an affected group scans
+                    # new_tbl once per trigger (a group's rows scatter
+                    # across key-buckets whenever fan_key != key).
+                    # The cluster table holds the same rows bucketed
+                    # BY fan_key, maintained O(changes) by the same
+                    # keyed-REPLACE machinery: the affected groups'
+                    # rows read via bucket path selection, the new
+                    # group state derives from (old group rows minus
+                    # changed keys) ∪ the changed keys' head rows —
+                    # nothing full-table anywhere. Contract: rows with
+                    # a NULL merge key are excluded from the cluster
+                    # (they never trigger refreshes anyway — both
+                    # detection paths key on non-null merge keys).
+                    affected = (
+                        old_changed.select(mkey)
+                        .unionByName(new_changed.select(mkey))
+                        .distinct()
+                    )
+                    cbks = store.batch_buckets(cname, affected)
+                    cslice = store.read_buckets(spark, cname, cbks)
+                    group_rows = cslice.join(
+                        F.broadcast(
+                            affected.withColumnRenamed(mkey, "__af")
+                        ),
+                        cslice[mkey].eqNullSafe(F.col("__af")),
+                        "left_semi",
+                    )
+                    fragment_input = group_rows.join(
+                        F.broadcast(changed), key, "left_anti"
+                    ).unionByName(
+                        new_changed.where(F.col(key).isNotNull())
+                    )
+                    if "build" in mart:
+                        fragment = mart["build"](fragment_input)
+                    else:
+                        fragment = fragment_input.groupBy(mkey).agg(
+                            *mart["agg_exprs"]
+                        )
+                    store.replace_keys_manifest(
+                        spark, cname, affected, fragment_input
+                    )
+                else:
+                    affected, fragment = incremental_mart_parts_from_changes(
+                        old_changed,
+                        new_changed,
+                        new_tbl,
+                        mkey,
+                        build=mart.get("build"),
+                        agg_exprs=mart.get("agg_exprs"),
+                    )
                 if m_buckets is not None:
                     # O(changes) mart WRITE: the affected groups +
                     # rebuilt fragment apply as a keyed REPLACE on the
@@ -824,10 +904,27 @@ def stream_upsert(
                         max_carriers=compact_max_carriers,
                         max_files_per_bucket=compact_max_files_per_bucket,
                     )
+            if mart and mart.get("cluster_buckets") is not None:
+                cn = mart.get(
+                    "cluster_table", mart["table"] + "__cluster"
+                )
+                if "manifest" in (store.current_info(cn) or {}):
+                    store.compact_buckets(
+                        spark, cn,
+                        max_carriers=compact_max_carriers,
+                        max_files_per_bucket=compact_max_files_per_bucket,
+                    )
         if retention:
             store.vacuum(table, keep=retention)
             if mart:
                 store.vacuum(mart["table"], keep=retention)
+                if mart.get("cluster_buckets") is not None:
+                    store.vacuum(
+                        mart.get(
+                            "cluster_table", mart["table"] + "__cluster"
+                        ),
+                        keep=retention,
+                    )
 
     q = (
         events.writeStream.foreachBatch(_apply)

@@ -345,6 +345,13 @@ def _write_stores(spark, d):
     )
     st.write_manifest(base, "mb", "doc_id", n_buckets=256)
     st.write(base, "p")
+    # fan-key clustered projection (the streaming mart's
+    # cluster_buckets shape): same rows bucketed by a high-cardinality
+    # group column, so affected-group re-folds read pruned slices
+    st.write_manifest(
+        base.withColumn("fan", F.pmod(F.col("doc_id"), F.lit(997))),
+        "cl", "fan", n_buckets=256,
+    )
     _WRITE_SETUP[d] = st
     return st
 
@@ -565,8 +572,25 @@ def rop_mart_change_detection(spark, d):
     return {"bytes_read_pruned": pruned, "bytes_read_full_diff": full}
 
 
+def rop_mart_refold(spark, d):
+    """Fragment re-fold input bytes (round-11 cluster_buckets): the
+    10 affected groups' rows via the fan-key clustered projection's
+    bucket-pruned slice vs the full-table scan the un-clustered path
+    pays. Pruned bytes track GROUP sizes (inherent — re-folding a
+    group needs its rows), full bytes track the table."""
+    st = _write_stores(spark, d)
+    affected = _doc_batch(spark, d, n=10).select(
+        F.pmod(F.col("doc_id"), F.lit(997)).alias("fan")
+    ).distinct()
+    cbks = st.batch_buckets("cl", affected)
+    pruned = _input_bytes(st.read_buckets(spark, "cl", cbks))
+    full = _input_bytes(st.read(spark, "m"))
+    return {"bytes_read_pruned": pruned, "bytes_read_full_scan": full}
+
+
 READ_BYTES_OPS = {
     "stream_mart_change_detect_10chg": rop_mart_change_detection,
+    "mart_refold_10groups": rop_mart_refold,
 }
 
 

@@ -1535,3 +1535,98 @@ def test_stream_mart_correct_across_split_between_triggers(
     }
     assert got == want
     assert got["purchase"] == (1, 9.0)
+
+
+def test_stream_mart_cluster_projection_refolds_without_table_scan(
+    spark, tmp_path, monkeypatch
+):
+    """cluster_buckets: the fragment re-fold reads the fan-key
+    clustered projection's pruned slice, never the table — proven by
+    poisoning BOTH snapshot_diff AND the full-table read after
+    bootstrap. Three drains (insert, cross-group migration, new
+    group) converge to the full recompute; the projection table
+    tracks the table's rows for every touched group."""
+    import datetime
+
+    from rialto_airflow_spark.operators import merge as M
+    from rialto_airflow_spark.storage import TableStore
+    from rialto_airflow_spark.streaming import events as SE
+
+    monkeypatch.setattr(
+        M, "snapshot_diff",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("diff ran")),
+    )
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    st = TableStore(str(tmp_path / "store"))
+    mart = {
+        "table": "by_type",
+        "group_col": "event_type",
+        "agg_exprs": [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        ],
+        "manifest_buckets": 4,
+        "cluster_buckets": 4,
+    }
+
+    def mk(rows):
+        return spark.createDataFrame(rows, SE.EVENTS_DDL)
+
+    def drain():
+        SE.stream_upsert(
+            SE.read_event_stream(spark, in_dir),
+            st, "ev", "event_id", ckpt,
+            mart=mart, manifest_buckets=8,
+        )
+
+    mk([
+        (i, t0, 10 + i, "view" if i % 2 else "click", float(i), "{}")
+        for i in range(20)
+    ]).coalesce(1).write.parquet(in_dir)
+    drain()
+    assert "manifest" in (st.current_info("by_type__cluster") or {})
+
+    # after bootstrap, no JOB may consume the full table: poison the
+    # handle store.read builds for it — any action over it raises at
+    # execution time (the lazy handle itself is built per trigger,
+    # which is free; read_buckets does not go through TableStore.read)
+    real_read = TableStore.read
+
+    def poisoned_read(self, spark_, name):
+        df = real_read(self, spark_, name)
+        if name == "ev":
+            return df.where(
+                F.raise_error(F.lit("full-table scan on the ev read"))
+                .cast("string").isNull()
+            )
+        return df
+
+    monkeypatch.setattr(TableStore, "read", poisoned_read)
+
+    mk([
+        (3, t0 + datetime.timedelta(minutes=5), 13, "purchase", 9.0, "{}"),
+        (99, t0 + datetime.timedelta(minutes=1), 99, "signup", 4.0, "{}"),
+    ]).coalesce(1).write.parquet(in_dir, mode="append")
+    drain()
+    monkeypatch.setattr(TableStore, "read", real_read)
+    final = st.read(spark, "ev")
+    want = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in final.groupBy("event_type").agg(*mart["agg_exprs"]).collect()
+    }
+    got = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in st.read(spark, "by_type").collect()
+    }
+    assert got == want
+    assert got["purchase"] == (1, 9.0) and got["signup"] == (1, 4.0)
+    # the projection mirrors the table for touched groups (the
+    # migrated-away 'view' group lost event 3)
+    cl = st.read(spark, "by_type__cluster")
+    assert cl.where(
+        (F.col("event_type") == "view") & (F.col("event_id") == 3)
+    ).count() == 0
+    assert cl.where(F.col("event_type") == "purchase").count() == 1
+    assert cl.count() == final.count()
