@@ -65,7 +65,7 @@ def dedup_pass(
     funder_edges: DataFrame,
     key_expr: str,
     id_col: str = "id",
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """One platform-key dedup pass (A2 detect + A3 merge).
 
     Scope: rows with null DOI and a non-null key (deduplicate.py:
@@ -76,6 +76,11 @@ def dedup_pass(
 
     One shuffle on the key for the window + one broadcast-able join
     per edge table (the old->survivor map is tiny relative to edges).
+
+    Returns (pubs, author_edges, funder_edges, losers) — ``losers``
+    is the (loser_id, survivor_id) map of this pass, the run's delete
+    set plus the survivors whose edge groups it re-pointed (the
+    O(changes) persistence threads both into its changed-key set).
     """
     key = F.expr(key_expr)
     scoped = pubs.where(F.col("doi").isNull() & key.isNotNull()).select(
@@ -108,17 +113,32 @@ def dedup_pass(
     pubs_out = pubs.join(
         F.broadcast(losers), pubs[id_col] == losers["__old"], "left_anti"
     )
-    return pubs_out, repoint(author_edges), repoint(funder_edges)
+    loser_map = losers.select(
+        F.col("__old").alias("loser_id"),
+        F.col("__survivor").alias("survivor_id"),
+    )
+    return pubs_out, repoint(author_edges), repoint(funder_edges), loser_map
 
 
 def remove_duplicates(
-    pubs: DataFrame, author_edges: DataFrame, funder_edges: DataFrame
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """A2/A3 — all five platform-key passes in reference order."""
+    pubs: DataFrame,
+    author_edges: DataFrame,
+    funder_edges: DataFrame,
+    return_losers: bool = False,
+):
+    """A2/A3 — all five platform-key passes in reference order.
+    ``return_losers=True`` appends the union of every pass's
+    (loser_id, survivor_id) map as a fourth element."""
+    all_losers: DataFrame | None = None
     for _, key_expr in PLATFORM_KEYS:
-        pubs, author_edges, funder_edges = dedup_pass(
+        pubs, author_edges, funder_edges, losers = dedup_pass(
             pubs, author_edges, funder_edges, key_expr
         )
+        all_losers = (
+            losers if all_losers is None else all_losers.unionByName(losers)
+        )
+    if return_losers:
+        return pubs, author_edges, funder_edges, all_losers
     return pubs, author_edges, funder_edges
 
 

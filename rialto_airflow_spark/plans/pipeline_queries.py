@@ -687,14 +687,29 @@ def q41_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE round(o_totalprice + 1000.0, 2) END AS o_totalprice,
              o_orderstatus
       FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    ),
+    merged AS (
+      SELECT COALESCE(b.o_orderkey, e.o_orderkey) AS k,
+             COALESCE(b.o_totalprice, e.o_totalprice) AS tp
+      FROM (SELECT * FROM existing WHERE o_orderkey % 20 = 0) e
+      FULL OUTER JOIN (SELECT * FROM batch WHERE o_orderkey % 20 = 0) b
+        ON e.o_orderkey = b.o_orderkey
+    ),
+    probe AS (
+      SELECT round(sum(tp), 2) AS store_probe_sum,
+             count(*) AS store_probe_n
+      FROM merged WHERE k % 1000 = 0
     )
     SELECT CASE WHEN e.o_orderkey IS NULL THEN 'new'
                 WHEN b.o_totalprice IS DISTINCT FROM e.o_totalprice
                      OR b.o_orderstatus IS DISTINCT FROM e.o_orderstatus
                 THEN 'updated'
                 ELSE 'noop' END AS status,
-           count(*) AS n
+           count(*) AS n,
+           max(p.store_probe_sum) AS store_probe_sum,
+           max(p.store_probe_n) AS store_probe_n
     FROM batch b LEFT JOIN existing e ON b.o_orderkey = e.o_orderkey
+    CROSS JOIN probe p
     GROUP BY 1
     """,
 )
@@ -702,8 +717,22 @@ def q42_merge_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 — merge load counters as a distributed query
     (operators.merge.merge_status_counts): new / updated / noop
     classification with null-safe column comparison, the counters the
-    reference tallies row-at-a-time (authors.py:34-66)."""
+    reference tallies row-at-a-time (authors.py:34-66).
+
+    Round-12 slot-merge (registry capped at 50): the
+    ``store_probe_*`` column family hash-gates the MANIFEST TABLE
+    machinery end-to-end against DuckDB — a file-COW
+    ``write_manifest`` bootstrap of the existing slice, an
+    ``upsert_manifest`` MERGE of the batch slice (update-on-match,
+    insert-on-miss), and a ``read_keys`` point read of the probe keys
+    served through bucket + file-range pruning. The oracle replays
+    the same merge as a full-outer COALESCE, so one wrong row through
+    the store (a missed rewrite, a stale carried file, a mis-pruned
+    point read) breaks the hash."""
+    import tempfile
+
     from rialto_airflow_spark.operators.merge import merge_status_counts
+    from rialto_airflow_spark.storage import TableStore
 
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     existing = orders.where(
@@ -718,7 +747,31 @@ def q42_merge_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_totalprice"),
         "o_orderstatus",
     )
-    return merge_status_counts(existing, batch, "o_orderkey")
+    counts = merge_status_counts(existing, batch, "o_orderkey")
+
+    # store leg: bootstrap + MERGE + point read, all through the
+    # manifest machinery (a 5% key slice keeps the bench cost small;
+    # the probe keys are its every-1000th subset — driver-small)
+    store = TableStore(tempfile.mkdtemp(prefix="rspark_q42_store_"))
+    store.write_manifest(
+        existing.where(F.col("o_orderkey") % 20 == 0),
+        "orders_ms", "o_orderkey",
+        n_buckets=8, sort_cols=["o_orderkey"], max_file_rows=250,
+    )
+    store.upsert_manifest(
+        spark, "orders_ms", batch.where(F.col("o_orderkey") % 20 == 0)
+    )
+    probe_keys = [
+        r["o_orderkey"]
+        for r in orders.where(F.col("o_orderkey") % 1000 == 0)
+        .select("o_orderkey")
+        .collect()
+    ]
+    probe = store.read_keys(spark, "orders_ms", probe_keys).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("store_probe_sum"),
+        F.count(F.lit(1)).alias("store_probe_n"),
+    )
+    return counts.crossJoin(F.broadcast(probe))
 
 
 @register(

@@ -626,9 +626,10 @@ class TableStore:
 
     @classmethod
     def _covering_key(cls, manifest: dict, moduli: list[int], j: int):
-        """The unique entry key whose range contains fine bucket ``j``
-        (the fine key itself, or the coarse remnant covering it), or
-        None when the table holds no rows there."""
+        """The fine key for bucket ``j``, or the first coarse remnant
+        covering it (split-only compatibility helper — prefer
+        :meth:`_covering_keys`, which also finds FINER remnants left
+        by :meth:`merge_buckets`)."""
         if str(j) in manifest:
             return str(j)
         for m in moduli:
@@ -636,6 +637,34 @@ class TableStore:
             if ck in manifest:
                 return ck
         return None
+
+    @classmethod
+    def _covering_keys(
+        cls, manifest: dict, moduli: list[int], j: int, n: int
+    ) -> list[str]:
+        """EVERY entry key holding rows of bucket ``j`` at modulus
+        ``n``. Entry row-sets are disjoint (each row lives in exactly
+        one entry — every rewrite dissolves the entries it touches
+        whole), but after a :meth:`merge_buckets` shrink one coarse
+        bucket's rows can be SPREAD across several entries: the fine
+        key, coarse remnants (``m < n``, unfinished splits), and
+        FINER remnants (``m > n``, ``n`` divides ``m`` — unfinished
+        merges, each a pure subset of ``j``). The union — in that
+        order — is the complete, duplicate-free coverage."""
+        out = []
+        if str(j) in manifest:
+            out.append(str(j))
+        for m in moduli:
+            if m < n:
+                ck = f"{j % m}@{m}"
+                if ck in manifest:
+                    out.append(ck)
+            elif m > n and m % n == 0:
+                for b in range(j, m, n):
+                    ck = f"{b}@{m}"
+                    if ck in manifest:
+                        out.append(ck)
+        return out
 
     def _entry_paths(self, entry, bucket) -> list[str]:
         """The parquet paths an entry resolves to (leaf dir for the
@@ -924,6 +953,7 @@ class TableStore:
         extra: dict | None = None,
         sort_cols: list[str] | None = None,
         max_file_rows: int | None = None,
+        auto_compact_files: int | None = None,
     ) -> str:
         """Full (re)write of a bucketed manifest table: every row lands
         in its key-bucket dir inside one new version; the manifest maps
@@ -941,7 +971,16 @@ class TableStore:
         ``max_file_rows`` (recorded, preserved by every writer) so a
         bucket spans several files and the pruning has grain to work
         with. The range-recording pass is one column-pruned scan of
-        what was just written."""
+        what was just written.
+
+        ``auto_compact_files`` (recorded, preserved) is the table's
+        file-tail PRESSURE threshold: whenever an upsert leaves a
+        dirty bucket's entry listing more files than this,
+        :meth:`upsert_manifest` itself triggers a targeted
+        :meth:`compact_buckets` — so an indefinitely-running stream
+        bounds its per-bucket tail with no compaction cadence
+        configured at all (the compaction cost tracks fragmentation,
+        not table size)."""
         store = self._store(name)
         vdir = store.new_version_path()
         self._write_buckets(
@@ -958,6 +997,8 @@ class TableStore:
             payload["sort_cols"] = list(sort_cols)
         if max_file_rows:
             payload["max_file_rows"] = max_file_rows
+        if auto_compact_files:
+            payload["auto_compact_files"] = auto_compact_files
         if self._file_cow_active(payload):
             stats = self._file_stats(df.sparkSession, vdir, key)
             payload["manifest"] = {
@@ -978,6 +1019,7 @@ class TableStore:
         n_buckets: int = 64,
         sort_cols: list[str] | None = None,
         max_file_rows: int | None = None,
+        auto_compact_files: int | None = None,
     ) -> str:
         """Upgrade a PLAIN-head table to manifest versions in one call
         ("what's wrong #3", round 10): reads the current head and
@@ -1009,6 +1051,7 @@ class TableStore:
             extra=dict(carried, migrated_from=info["path"]),
             sort_cols=sort_cols,
             max_file_rows=max_file_rows,
+            auto_compact_files=auto_compact_files,
         )
 
     def read_keys(self, spark: SparkSession, name: str, values) -> DataFrame:
@@ -1060,21 +1103,20 @@ class TableStore:
         moduli = self._moduli(manifest)
         seen_coarse: set[str] = set()
         for b in buckets:
-            ck = self._covering_key(manifest, moduli, b)
-            if ck is None:
-                continue
-            e = manifest[ck]
-            if ck != str(b):
-                # coarse rebucketing remnant: read it whole (the value
-                # filter below keeps the result exact); file-range
-                # pruning resumes once the entry splits
-                if ck not in seen_coarse:
-                    seen_coarse.add(ck)
-                    paths.extend(self._entry_paths(e, ck))
-            elif isinstance(e, str):
-                paths.append(self._manifest_leaf(e, b))
-            else:
-                file_entries.append((b, e["files"]))
+            for ck in self._covering_keys(manifest, moduli, b, n):
+                e = manifest[ck]
+                if ck != str(b):
+                    # coarse or finer rebucketing remnant: read it
+                    # whole (the value filter below keeps the result
+                    # exact); file-range pruning resumes once the
+                    # entry re-lands at the current modulus
+                    if ck not in seen_coarse:
+                        seen_coarse.add(ck)
+                        paths.extend(self._entry_paths(e, ck))
+                elif isinstance(e, str):
+                    paths.append(self._manifest_leaf(e, b))
+                else:
+                    file_entries.append((b, e["files"]))
         if file_entries:
             # file-granular point read: inside each matched bucket,
             # touch only the files whose key range can hold a
@@ -1122,6 +1164,32 @@ class TableStore:
             r["b"] for r in batch.select(bexpr.alias("b")).distinct().collect()
         )
 
+    def null_bucket(self, spark: SparkSession, name: str) -> int:
+        """The bucket id null keys hash into under ``name``'s CURRENT
+        manifest parameters (xxhash64 of a typed NULL — must run
+        through Spark to match the writers bit-for-bit). Null rows of
+        a manifest table live ONLY here, so a consumer that needs
+        them (e.g. the streaming mart's null-group re-fold) reads one
+        bucket, never the table."""
+        info = self.current_info(name)
+        if info is None or "manifest" not in info:
+            raise FileNotFoundError(
+                f"table {name} has no manifest version at head"
+            )
+        st = self._schema_of(info)
+        key = info["bucket_key"]
+        ktype = st[key].dataType if st is not None else None
+        lit = F.lit(None).cast(ktype) if ktype is not None else F.lit(None)
+        return (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(lit), F.lit(info["n_buckets"]))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()[0]["b"]
+        )
+
     def read_buckets(
         self,
         spark: SparkSession,
@@ -1162,7 +1230,10 @@ class TableStore:
         O(files containing the keys) instead of O(dirty buckets).
         With it the result is complete only FOR THOSE KEYS (other
         rows of the same buckets may be skipped) — callers semi-join
-        by the same keys downstream."""
+        by the same keys downstream. A NULL in ``prune_keys`` is
+        honored: file ranges never cover a null, so the null bucket's
+        files are read WHOLE in that case (mirroring ``read_keys``)
+        instead of silently returning an incomplete slice."""
         if version is None:
             payload = self.current_info(name)
             if payload is None:
@@ -1213,28 +1284,47 @@ class TableStore:
         paths = []
         seen: set[str] = set()
         prune_entries: list[tuple[int, list[list]]] = []
-        for b in lookup:
-            ck = self._covering_key(manifest, moduli, b)
-            if ck is None or ck in seen:
-                continue
-            seen.add(ck)
-            e = manifest[ck]
-            if (
-                prune_keys is not None
-                and ck == str(b)
-                and not isinstance(e, str)
-                and st is not None
-            ):
-                # fine file-form entry + a key set: file-prune below
-                prune_entries.append((b, e["files"]))
-                continue
-            for leaf in self._entry_paths(e, ck):
-                if not backend.data_exists(leaf):
-                    raise FileNotFoundError(
-                        f"table {name}: bucket {b} of the requested "
-                        "version was vacuumed — its carrier data is gone"
+        prune_null_b = None
+        if prune_keys is not None and st is not None:
+            kcol0 = payload["bucket_key"]
+            if prune_keys.where(F.col(kcol0).isNull()).limit(1).count():
+                # a requested NULL key: file ranges never cover a
+                # null, so its bucket's files must read whole
+                prune_null_b = (
+                    spark.range(1)
+                    .select(
+                        F.pmod(
+                            F.xxhash64(
+                                F.lit(None).cast(st[kcol0].dataType)
+                            ),
+                            F.lit(n_v),
+                        ).cast("int").alias("b")
                     )
-                paths.append(leaf)
+                    .collect()[0]["b"]
+                )
+        for b in lookup:
+            for ck in self._covering_keys(manifest, moduli, b, n_v):
+                if ck in seen:
+                    continue
+                seen.add(ck)
+                e = manifest[ck]
+                if (
+                    prune_keys is not None
+                    and ck == str(b)
+                    and b != prune_null_b
+                    and not isinstance(e, str)
+                    and st is not None
+                ):
+                    # fine file-form entry + a key set: file-prune below
+                    prune_entries.append((b, e["files"]))
+                    continue
+                for leaf in self._entry_paths(e, ck):
+                    if not backend.data_exists(leaf):
+                        raise FileNotFoundError(
+                            f"table {name}: bucket {b} of the requested "
+                            "version was vacuumed — its carrier data is gone"
+                        )
+                    paths.append(leaf)
         if prune_entries:
             kcol = payload["bucket_key"]
             hit = self._rewrite_files(
@@ -1275,6 +1365,7 @@ class TableStore:
         batch: DataFrame,
         update_cols: list[str] | None = None,
         updated_at_col: str | None = None,
+        delete_keys: DataFrame | None = None,
     ) -> str:
         """MERGE ``batch`` into a manifest table writing ONLY dirty
         buckets — the O(changes) write path. Plan shape: the batch's
@@ -1297,7 +1388,15 @@ class TableStore:
         append markers closed). The orphaned loser dir is vacuumable.
         Null-key batch rows insert into the fixed null bucket (see
         ``_bucket_expr``). MERGE semantics are merge_on_key's M2
-        contract (update_cols / updated_at_col behave identically)."""
+        contract (update_cols / updated_at_col behave identically).
+
+        ``delete_keys`` (one non-null ``key`` column — the streaming
+        tombstone path) additionally DELETES those keys' rows in the
+        same version: their buckets/files join the dirty set, the
+        merged slice anti-joins them out, and a bucket the deletes
+        emptied drops from the manifest. A key in both ``batch`` and
+        ``delete_keys`` ends deleted (the tombstone is the batch's
+        final word — callers collapse duplicates before the call)."""
         from rialto_airflow_spark.operators.merge import merge_on_key
 
         from .commitlog import CommitConflict
@@ -1318,9 +1417,14 @@ class TableStore:
             bexpr = self._bucket_expr(key, n)
             st = self._schema_of(info)
             file_cow = self._file_cow_active(info)
+            probe = batch.select(key)
+            if delete_keys is not None:
+                probe = probe.unionByName(
+                    delete_keys.select(key).where(F.col(key).isNotNull())
+                )
             dirty = sorted(
                 r["b"]
-                for r in batch.select(bexpr.alias("b")).distinct().collect()
+                for r in probe.select(bexpr.alias("b")).distinct().collect()
             )
             # the slice to READ and rewrite: whole leaf dirs for
             # dir-form entries; for file-form entries only the files
@@ -1336,18 +1440,19 @@ class TableStore:
             file_entries: list[tuple[int, list[list]]] = []
             dissolved: set[str] = set()
             for k in dirty:
-                ck = self._covering_key(manifest, moduli, k)
-                if ck is None:
-                    continue
-                e = manifest[ck]
-                if ck != str(k):
-                    if ck not in dissolved:
-                        dissolved.add(ck)
-                        read_paths.extend(self._entry_paths(e, ck))
-                elif isinstance(e, str):
-                    read_paths.append(self._manifest_leaf(e, k))
-                else:
-                    file_entries.append((k, e["files"]))
+                for ck in self._covering_keys(manifest, moduli, k, n):
+                    e = manifest[ck]
+                    if ck != str(k):
+                        # coarse OR finer rebucketing remnant: rewrite
+                        # + dissolve whole (rows re-land at the current
+                        # modulus — an opportunistic split/merge)
+                        if ck not in dissolved:
+                            dissolved.add(ck)
+                            read_paths.extend(self._entry_paths(e, ck))
+                    elif isinstance(e, str):
+                        read_paths.append(self._manifest_leaf(e, k))
+                    else:
+                        file_entries.append((k, e["files"]))
             if file_entries:
                 ktype = st[key].dataType if st is not None else None
                 if ktype is None or not file_cow:
@@ -1360,7 +1465,7 @@ class TableStore:
                     )
                 else:
                     hit = self._rewrite_files(
-                        spark, batch, key, ktype, n, file_entries
+                        spark, probe, key, ktype, n, file_entries
                     )
                     for b, fs in file_entries:
                         keep = [f for f in fs if f[0] not in hit]
@@ -1391,6 +1496,14 @@ class TableStore:
                 updated_at_col=updated_at_col,
                 broadcast_batch=True,
             )
+            if delete_keys is not None:
+                merged = merged.join(
+                    F.broadcast(
+                        delete_keys.select(key).where(F.col(key).isNotNull())
+                    ),
+                    key,
+                    "left_anti",
+                )
             self._check_schema_evolution(st, merged.schema, name)
             vdir = store.new_version_path()
             self._write_buckets(
@@ -1415,22 +1528,52 @@ class TableStore:
                     if k not in dirty:
                         new_manifest[str(k)] = {"files": stats[k]}
             else:
-                for k in self._present_buckets(vdir):
-                    new_manifest[str(k)] = vdir
+                present = set(self._present_buckets(vdir))
+                for k in dirty:
+                    if k in present:
+                        new_manifest[str(k)] = vdir
+                    else:
+                        # the deletes emptied this bucket entirely (a
+                        # pure upsert always re-lands its dirty
+                        # buckets; only a tombstone can vacate one)
+                        new_manifest.pop(str(k), None)
+                for k in present:
+                    if k not in dirty:
+                        new_manifest[str(k)] = vdir
             payload = {
                 "manifest": new_manifest,
                 "n_buckets": n,
                 "bucket_key": key,
                 "schema": merged.schema.json(),
             }
-            for cfg in ("sort_cols", "max_file_rows"):
+            for cfg in ("sort_cols", "max_file_rows", "auto_compact_files"):
                 if info.get(cfg):
                     payload[cfg] = info[cfg]
             try:
                 store.commit(vdir, extra=payload, expected=seq0)
-                return vdir
             except CommitConflict:
                 continue  # concurrent manifest writer won; redo on new head
+            # file-tail pressure release (recorded table policy, see
+            # write_manifest): when this upsert left a dirty bucket
+            # listing more files than the threshold, fold the tail NOW
+            # — a targeted compact_buckets over just the fragmented
+            # entries, so a stream with no compact_every cadence still
+            # bounds what it accretes. Runs after the commit (the
+            # upsert's version is complete either way) and never
+            # consolidates carriers (max_carriers huge) — only the
+            # file-count axis.
+            thresh = info.get("auto_compact_files")
+            if thresh and file_cow and any(
+                not isinstance(new_manifest.get(str(k)), (str, type(None)))
+                and len(new_manifest[str(k)]["files"]) > thresh
+                for k in dirty
+            ):
+                self.compact_buckets(
+                    spark, name,
+                    max_carriers=1 << 30,
+                    max_files_per_bucket=thresh,
+                )
+            return vdir
 
     def replace_keys_manifest(
         self,
@@ -1494,19 +1637,19 @@ class TableStore:
             file_entries: list[tuple[int, list[list]]] = []
             dissolved: set[str] = set()
             for k in dirty:
-                ck = self._covering_key(manifest, moduli, k)
-                if ck is None:
-                    continue
-                e = manifest[ck]
-                if ck != str(k):
-                    # coarse rebucketing remnant: rewrite + dissolve
-                    if ck not in dissolved:
-                        dissolved.add(ck)
-                        read_paths.extend(self._entry_paths(e, ck))
-                elif isinstance(e, str):
-                    read_paths.append(self._manifest_leaf(e, k))
-                else:
-                    file_entries.append((k, e["files"]))
+                for ck in self._covering_keys(manifest, moduli, k, n):
+                    e = manifest[ck]
+                    if ck != str(k):
+                        # coarse OR finer rebucketing remnant: rewrite
+                        # + dissolve whole (rows re-land at the current
+                        # modulus — an opportunistic split/merge)
+                        if ck not in dissolved:
+                            dissolved.add(ck)
+                            read_paths.extend(self._entry_paths(e, ck))
+                    elif isinstance(e, str):
+                        read_paths.append(self._manifest_leaf(e, k))
+                    else:
+                        file_entries.append((k, e["files"]))
             if file_entries:
                 ktype = st[key].dataType if st is not None else None
                 if ktype is None or not file_cow:
@@ -1607,7 +1750,7 @@ class TableStore:
                 bucket_key=key,
                 schema=out.schema.json(),
             )
-            for cfg in ("sort_cols", "max_file_rows"):
+            for cfg in ("sort_cols", "max_file_rows", "auto_compact_files"):
                 if info.get(cfg):
                     payload[cfg] = info[cfg]
             try:
@@ -1830,6 +1973,155 @@ class TableStore:
                 info.get("sort_cols"), info.get("max_file_rows"),
             )
             chosen_keys = {k for _m, k, _e in chosen}
+            new_manifest: dict = {}
+            for k, e in manifest.items():
+                if k in chosen_keys:
+                    continue
+                b, m = self._parse_entry_key(k)
+                m = m if m is not None else n
+                # re-key carried entries against the NEW modulus
+                new_manifest[str(b) if m == n2 else f"{b}@{m}"] = e
+            if self._file_cow_active(info):
+                stats = self._file_stats(spark, vdir, key)
+                for k, fs in stats.items():
+                    new_manifest[str(k)] = {"files": fs}
+            else:
+                for k in self._present_buckets(vdir):
+                    new_manifest[str(k)] = vdir
+            carried = {
+                k: v
+                for k, v in info.items()
+                if k
+                not in (
+                    "path", "committed_at", "manifest", "n_buckets",
+                    "bucket_key", "compacted",
+                )
+            }
+            try:
+                store.commit(
+                    vdir,
+                    extra=dict(
+                        carried,
+                        manifest=new_manifest,
+                        n_buckets=n2,
+                        bucket_key=key,
+                    ),
+                    expected=seq0,
+                )
+                return vdir
+            except CommitConflict:
+                continue  # concurrent manifest writer won; redo on new head
+
+    def merge_buckets(
+        self,
+        spark: SparkSession,
+        name: str,
+        factor: int = 1,
+        max_merges: int | None = None,
+    ) -> str | None:
+        """Incremental bucket SHRINK — :meth:`split_buckets`' inverse
+        (round-11 "what's missing #5": the growth story was
+        one-directional). A table over-bucketed at bootstrap, or
+        hollowed out by deletes, coalesces to ``n_buckets // factor``
+        without a full-table rewrite.
+
+        ``factor`` must divide ``n_buckets``; the modulus drops
+        IMMEDIATELY (new writes/reads resolve at the coarse modulus),
+        and not-yet-merged entries keep serving reads as FINER
+        remnants keyed ``b@old_m`` — pmod refinement works in both
+        directions when the moduli divide, and a finer remnant is a
+        pure subset of exactly one coarse bucket. Each call then
+        folds up to ``max_merges`` coarse buckets (all finer entries
+        covering one target bucket rewrite TOGETHER, merged with any
+        rows the target already holds — most-fragmented first); call
+        again with ``factor=1`` until it returns None to finish at
+        your own pace. Writers touching a remnant meanwhile dissolve
+        it opportunistically, so the migration also completes itself
+        under traffic. Time travel across the boundary keeps working
+        (old versions carry their own payloads).
+
+        Moduli from an UNFINISHED split that neither divide nor are
+        divided by the target modulus are rejected up front — finish
+        that migration first (a remnant whose rows straddle two
+        coarse buckets could not serve pruned reads correctly).
+
+        Returns the new version dir, or None when nothing needed
+        merging (``factor`` == 1 and no finer remnants). Commit CASes
+        + retries like every manifest writer."""
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        from .commitlog import CommitConflict
+
+        store = self._store(name)
+        while True:
+            seq0 = store.current_seq()
+            info = self.current_info(name)
+            if info is None or "manifest" not in info:
+                raise FileNotFoundError(
+                    f"table {name} has no manifest version at head"
+                )
+            manifest, n, key = (
+                info["manifest"], info["n_buckets"], info["bucket_key"]
+            )
+            if n % factor:
+                raise ValueError(
+                    f"factor {factor} does not divide n_buckets {n}"
+                )
+            n2 = n // factor
+            for k in manifest:
+                _b, m = self._parse_entry_key(k)
+                m = m if m is not None else n
+                if m % n2 and n2 % m:
+                    raise ValueError(
+                        f"table {name}: entry {k} at modulus {m} is "
+                        f"incompatible with target modulus {n2} — "
+                        "finish the outstanding migration "
+                        "(split_buckets/merge_buckets with factor=1) "
+                        "before re-sharding"
+                    )
+            # finer entries grouped by the coarse bucket they refine
+            # onto; the target's own rows (an entry AT n2) must merge
+            # into the same rewrite or the new fine entry would
+            # silently shadow them
+            groups: dict[int, list[str]] = {}
+            at_target: dict[int, str] = {}
+            for k in manifest:
+                b, m = self._parse_entry_key(k)
+                m = m if m is not None else n
+                if m > n2:
+                    groups.setdefault(b % n2, []).append(k)
+                elif m == n2:
+                    at_target[b] = k
+            if not groups and n2 == n:
+                return None
+            ordered = sorted(
+                groups.items(), key=lambda kv: (-len(kv[1]), kv[0])
+            )
+            chosen = ordered[:max_merges] if max_merges else ordered
+            chosen_keys: set[str] = set()
+            for j, ks in chosen:
+                chosen_keys.update(ks)
+                if j in at_target:
+                    chosen_keys.add(at_target[j])
+            st = self._schema_of(info)
+            reader = spark.read.schema(st) if st is not None else spark.read
+            vdir = store.new_version_path()
+            if chosen_keys:
+                rows = reader.parquet(
+                    *[
+                        p
+                        for k in sorted(chosen_keys)
+                        for p in self._entry_paths(manifest[k], k)
+                    ]
+                )
+            elif st is not None:
+                rows = spark.createDataFrame([], st)
+            else:
+                return None  # nothing to move, no schema to stamp
+            self._write_buckets(
+                rows, self._bucket_expr(key, n2), vdir,
+                info.get("sort_cols"), info.get("max_file_rows"),
+            )
             new_manifest: dict = {}
             for k, e in manifest.items():
                 if k in chosen_keys:

@@ -450,7 +450,8 @@ def enrich_stream(
 def _merge_batch(
     store, table: str, key: str, batch, update_cols=None,
     manifest_buckets=None, manifest_sort_cols=None,
-    manifest_max_file_rows=None,
+    manifest_max_file_rows=None, delete_col=None,
+    manifest_auto_compact_files=None,
 ) -> None:
     """Shared foreachBatch MERGE body for the streaming upsert sinks:
     collapse duplicate keys to ONE row via a FULLY deterministic
@@ -460,7 +461,15 @@ def _merge_batch(
     insert, then merge_on_key into the versioned store. The merge
     plan reads the CURRENT version while the write lands a NEW
     version dir; the pointer swap publishes atomically — readers
-    never see a partial batch."""
+    never see a partial batch.
+
+    ``delete_col`` (round-12: tombstones) names a boolean batch
+    column: a key whose LATEST row in the batch flags true DELETES
+    from the table instead of merging (the CDC-feed shape — a
+    replayed delete is a no-op, so convergence is unchanged). The
+    column never lands in the table. A delete needs a key: null-key
+    tombstones are dropped (null keys are insert-only on every
+    path)."""
     from pyspark.sql.window import Window
 
     from rialto_airflow_spark.operators.merge import merge_on_key
@@ -480,7 +489,19 @@ def _merge_batch(
         )
     else:
         keyed = keyed.dropDuplicates([key])
-    b = keyed.unionByName(batch.where(F.col(key).isNull()))
+    deletes = None
+    if delete_col is not None:
+        is_del = F.coalesce(F.col(delete_col), F.lit(False))
+        deletes = keyed.where(is_del).select(key)
+        keyed = keyed.where(~is_del).drop(delete_col)
+        nullkey = (
+            batch.where(F.col(key).isNull())
+            .where(~is_del)
+            .drop(delete_col)
+        )
+    else:
+        nullkey = batch.where(F.col(key).isNull())
+    b = keyed.unionByName(nullkey)
     if manifest_buckets is not None:
         # O(changes) WRITES: the per-batch merge rewrites only the
         # buckets the batch touches (TableStore manifest versions) —
@@ -493,6 +514,7 @@ def _merge_batch(
                 b, table, key, n_buckets=manifest_buckets,
                 sort_cols=manifest_sort_cols,
                 max_file_rows=manifest_max_file_rows,
+                auto_compact_files=manifest_auto_compact_files,
             )
         else:
             if "manifest" not in info:
@@ -505,7 +527,10 @@ def _merge_batch(
                     sort_cols=manifest_sort_cols,
                     max_file_rows=manifest_max_file_rows,
                 )
-            store.upsert_manifest(spark, table, b, update_cols=update_cols)
+            store.upsert_manifest(
+                spark, table, b, update_cols=update_cols,
+                delete_keys=deletes,
+            )
         return
     try:
         existing = store.read(spark, table)
@@ -515,6 +540,8 @@ def _merge_batch(
         merged = merge_on_key(
             existing, b, key, update_cols=update_cols, broadcast_batch=True
         )
+    if deletes is not None:
+        merged = merged.join(F.broadcast(deletes), key, "left_anti")
     store.write(merged, table)
 
 
@@ -533,6 +560,8 @@ def stream_upsert(
     manifest_sort_cols: list[str] | None = None,
     manifest_max_file_rows: int | None = None,
     compact_max_files_per_bucket: int | None = None,
+    delete_col: str | None = None,
+    manifest_auto_compact_files: int | None = None,
 ) -> None:
     """Streaming MERGE sink via ``foreachBatch``: every micro-batch
     upserts into a versioned :class:`~rialto_airflow_spark.storage.
@@ -591,17 +620,37 @@ def stream_upsert(
     versions runs on this path
     (``operators.merge.incremental_mart_parts_from_changes``).
 
-    Adding ``"cluster_buckets": N`` to the mart config makes the
-    FRAGMENT RE-FOLD O(affected groups) too: the sink maintains a
-    fan-key CLUSTERED PROJECTION of the table (same rows bucketed by
-    the mart's group column, ``{mart_table}__cluster`` by default,
-    updated per trigger by the same keyed REPLACE that writes the
-    mart), and rebuilds affected groups from its bucket-pruned slice
-    instead of a per-trigger scan of the whole table — the last
-    O(table) read on the streaming mart path. Cost: one extra copy of
-    the table (clustered differently) and one extra O(changes) write
-    per trigger; rows with a NULL merge key are excluded from the
-    projection (they never trigger refreshes on any path).
+    ``delete_col`` (opt-in, round 12) makes the sink DELETE-capable
+    (the CDC/tombstone shape): a boolean batch column; a key whose
+    latest batch row flags true is deleted from the table (an
+    O(matched files) rewrite on manifest tables) instead of merged,
+    and its key joins the changed set so the mart re-folds the groups
+    it leaves — a delete that empties a group removes the group's
+    mart row. Replayed deletes are no-ops; the column never lands in
+    the table. Null-key tombstones are dropped (null keys are
+    insert-only everywhere).
+
+    The fragment re-fold is O(affected groups) BY DEFAULT when the
+    mart's group column IS the merge key (``fan_key == key`` /
+    ``group_col == key``): a group's rows are then exactly its key's
+    head rows, already read bucket- and file-pruned — no projection,
+    no extra copy (``cluster_buckets`` is ignored there as
+    redundant). When they differ, adding ``"cluster_buckets": N``
+    makes the re-fold O(affected groups) too: the sink maintains a
+    fan-key CLUSTERED PROJECTION of the table (the head's
+    non-null-key rows bucketed by the mart's group column,
+    ``{mart_table}__cluster`` by default, updated per trigger by the
+    same keyed REPLACE that writes the mart), and rebuilds affected
+    groups from its bucket-pruned slice instead of a per-trigger scan
+    of the whole table — the last O(table) read on the streaming mart
+    path. Cost: one extra copy of the table (clustered differently)
+    and one extra O(changes) write per trigger. A group's null-merge-
+    key member rows are sourced fresh from the table's null bucket at
+    each re-fold (one pruned read), so the projection stays null-free
+    and replay-simple. Without either (``fan_key != key`` and no
+    ``cluster_buckets``) the re-fold scans the table once per trigger
+    — correct, and the sink warns once so the table-sized read is
+    never silent.
 
     The first batch computes the mart in full. Adding
     ``"manifest_buckets": N`` to either shape makes the mart itself a
@@ -663,18 +712,18 @@ def stream_upsert(
         finally:
             batch.unpersist()
 
+    _warned_table_refold: list = []
+
     def _apply_inner(batch: DataFrame, batch_id: int, spark) -> None:
         _merge_batch(
             store, table, key, batch,
             update_cols=update_cols, manifest_buckets=manifest_buckets,
             manifest_sort_cols=manifest_sort_cols,
             manifest_max_file_rows=manifest_max_file_rows,
+            delete_col=delete_col,
+            manifest_auto_compact_files=manifest_auto_compact_files,
         )
         if mart:
-            from rialto_airflow_spark.operators.merge import (
-                incremental_mart_parts_from_changes,
-            )
-
             # Replay safety (round-9 ADVICE, medium): refresh against
             # the source version the CURRENT mart was built from —
             # recorded in the mart's own commit payload — never a
@@ -760,7 +809,12 @@ def stream_upsert(
                     old_changed = None
             mkey = mart["fan_key"] if "build" in mart else mart["group_col"]
             m_buckets = mart.get("manifest_buckets")
-            c_buckets = mart.get("cluster_buckets")
+            fan_is_key = mkey == key
+            # fan_key == bucket key: the TABLE is already clustered by
+            # the mart's group column — its own pruned reads serve the
+            # re-fold, so a projection would be a redundant copy
+            # (round-11 verdict #3); cluster_buckets is ignored there
+            c_buckets = None if fan_is_key else mart.get("cluster_buckets")
             cname = mart.get("cluster_table", mart["table"] + "__cluster")
             incremental_ok = (
                 old_changed is not None
@@ -794,41 +848,69 @@ def stream_upsert(
                         extra={"built_from": new_path},
                     )
             else:
-                cinfo = (
-                    store.current_info(cname)
-                    if c_buckets is not None
-                    else None
+                # non-tombstone null-key batch rows insert into the
+                # table, so their GROUPS' aggregates change — they must
+                # re-fold even though null keys never appear in
+                # `changed` (round-11 ADVICE, medium)
+                null_batch = batch.where(F.col(key).isNull())
+                if delete_col is not None:
+                    null_batch = null_batch.where(
+                        ~F.coalesce(F.col(delete_col), F.lit(False))
+                    ).drop(delete_col)
+                has_null = bool(null_batch.limit(1).count())
+                affected = old_changed.select(mkey).unionByName(
+                    new_changed.select(mkey)
                 )
-                if c_buckets is not None and (
-                    cinfo is None or "manifest" not in cinfo
-                ):
-                    # cluster enabled on an existing mart: one-time
-                    # bootstrap from head (the migration-shaped pass)
-                    store.write_manifest(
-                        new_tbl.where(F.col(key).isNotNull()),
-                        cname, mkey, n_buckets=c_buckets,
-                    )
+                if has_null:
+                    affected = affected.unionByName(null_batch.select(mkey))
+                affected = affected.distinct()
+
+                def _head_null_rows():
+                    # the head's null-MERGE-key rows: on a manifest
+                    # table they live only in the null bucket — one
+                    # pruned read, never a table scan
+                    if "manifest" in (store.current_info(table) or {}):
+                        nb0 = store.null_bucket(spark, table)
+                        return store.read_buckets(
+                            spark, table, [nb0]
+                        ).where(F.col(key).isNull())
+                    return new_tbl.where(F.col(key).isNull())
+
+                if fan_is_key:
+                    # O(changes) re-fold from the table's own buckets:
+                    # a group's rows ARE its key's head rows, already
+                    # read bucket- and file-pruned above. The null
+                    # group (insert-only) re-folds from the null
+                    # bucket when the batch touched it.
+                    fragment_input = new_changed
+                    if has_null:
+                        fragment_input = fragment_input.unionByName(
+                            _head_null_rows()
+                        )
+                elif c_buckets is not None:
                     cinfo = store.current_info(cname)
-                if c_buckets is not None:
+                    if cinfo is None or "manifest" not in cinfo:
+                        # cluster enabled on an existing mart: one-time
+                        # bootstrap from head (the migration-shaped pass)
+                        store.write_manifest(
+                            new_tbl.where(F.col(key).isNotNull()),
+                            cname, mkey, n_buckets=c_buckets,
+                        )
                     # O(affected groups) FRAGMENT RE-FOLD: without the
                     # projection, rebuilding an affected group scans
                     # new_tbl once per trigger (a group's rows scatter
                     # across key-buckets whenever fan_key != key).
-                    # The cluster table holds the same rows bucketed
-                    # BY fan_key, maintained O(changes) by the same
-                    # keyed-REPLACE machinery: the affected groups'
-                    # rows read via bucket path selection, the new
-                    # group state derives from (old group rows minus
-                    # changed keys) ∪ the changed keys' head rows —
-                    # nothing full-table anywhere. Contract: rows with
-                    # a NULL merge key are excluded from the cluster
-                    # (they never trigger refreshes anyway — both
-                    # detection paths key on non-null merge keys).
-                    affected = (
-                        old_changed.select(mkey)
-                        .unionByName(new_changed.select(mkey))
-                        .distinct()
-                    )
+                    # The cluster table holds the head's NON-NULL-key
+                    # rows bucketed BY fan_key, maintained O(changes)
+                    # by the same keyed-REPLACE machinery: the
+                    # affected groups' rows read via bucket path
+                    # selection, the new group state derives from
+                    # (old group rows minus changed keys) ∪ the
+                    # changed keys' head rows ∪ the groups' null-key
+                    # head rows (sourced fresh from the table's null
+                    # bucket each re-fold, so the projection stays
+                    # null-free and replay-simple) — nothing
+                    # full-table anywhere.
                     cbks = store.batch_buckets(cname, affected)
                     cslice = store.read_buckets(spark, cname, cbks)
                     group_rows = cslice.join(
@@ -838,28 +920,55 @@ def stream_upsert(
                         cslice[mkey].eqNullSafe(F.col("__af")),
                         "left_semi",
                     )
-                    fragment_input = group_rows.join(
+                    keyed_rows = group_rows.join(
                         F.broadcast(changed), key, "left_anti"
                     ).unionByName(
                         new_changed.where(F.col(key).isNotNull())
                     )
-                    if "build" in mart:
-                        fragment = mart["build"](fragment_input)
-                    else:
-                        fragment = fragment_input.groupBy(mkey).agg(
-                            *mart["agg_exprs"]
-                        )
+                    group_null_rows = _head_null_rows().join(
+                        F.broadcast(
+                            affected.withColumnRenamed(mkey, "__af")
+                        ),
+                        F.col(mkey).eqNullSafe(F.col("__af")),
+                        "left_semi",
+                    )
+                    fragment_input = keyed_rows.unionByName(
+                        group_null_rows
+                    )
+                    # the projection carries only keyed rows — null
+                    # rows re-read from the head each time
                     store.replace_keys_manifest(
-                        spark, cname, affected, fragment_input
+                        spark, cname, affected, keyed_rows
                     )
                 else:
-                    affected, fragment = incremental_mart_parts_from_changes(
-                        old_changed,
-                        new_changed,
-                        new_tbl,
-                        mkey,
-                        build=mart.get("build"),
-                        agg_exprs=mart.get("agg_exprs"),
+                    # no projection and fan_key != key: the re-fold
+                    # scans the table once per trigger — correct, but
+                    # the one remaining table-sized read on this path
+                    if not _warned_table_refold:
+                        _warned_table_refold.append(True)
+                        import warnings
+
+                        warnings.warn(
+                            f"streaming mart {mart['table']!r}: the "
+                            "fragment re-fold scans the whole table "
+                            "each trigger because fan_key != merge "
+                            "key and no cluster_buckets is set — add "
+                            "'cluster_buckets': N to the mart config "
+                            "for O(affected groups) re-folds",
+                            stacklevel=2,
+                        )
+                    fragment_input = new_tbl.join(
+                        F.broadcast(
+                            affected.withColumnRenamed(mkey, "__chg_fan")
+                        ),
+                        new_tbl[mkey].eqNullSafe(F.col("__chg_fan")),
+                        "left_semi",
+                    )
+                if "build" in mart:
+                    fragment = mart["build"](fragment_input)
+                else:
+                    fragment = fragment_input.groupBy(mkey).agg(
+                        *mart["agg_exprs"]
                     )
                 if m_buckets is not None:
                     # O(changes) mart WRITE: the affected groups +

@@ -1112,3 +1112,293 @@ def test_persist_full_harvest_preserves_recorded_layout(spark, tmp_path):
     assert info.get("sort_cols") == ["id"]
     assert info.get("max_file_rows") == 10
     assert all(not isinstance(e, str) for e in info["manifest"].values())
+
+
+def test_persist_helpers_changed_keys_skip_stored_read(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 task #1 (helper level): with a threaded changed-key
+    set, BOTH persist helpers never read the stored head at all — the
+    replace rewrites only the files containing those keys. Pinned by
+    poisoning snapshot_diff AND TableStore.read for the whole call."""
+    from rialto_airflow_spark import storage as storage_mod
+    from rialto_airflow_spark.dag import _persist_edge_table, _persist_keyed_table
+    from rialto_airflow_spark.operators import merge as merge_mod
+    from rialto_airflow_spark.storage import TableStore
+
+    store = TableStore(str(tmp_path))
+    t1 = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "id long, v long"
+    )
+    _persist_keyed_table(
+        store, spark, "t", t1, "id",
+        n_buckets=8, compare_cols=None, is_full=False,
+        sort_cols=["id"], max_file_rows=10,
+    )
+    e1 = spark.createDataFrame(
+        [(p, a) for p in range(20) for a in (1, 2)]
+        + [(None, 77)],  # a null-pub edge group must round-trip
+        "publication_id long, author_id long",
+    )
+    _persist_edge_table(
+        store, spark, "edges", e1,
+        fan_key="publication_id",
+        key_cols=["publication_id", "author_id"],
+        n_buckets=8, is_full=False,
+    )
+    v_pub_boot = store.current_info("t")["path"]
+    v_edge_boot = store.current_info("edges")["path"]
+
+    def _poison(*a, **k):
+        raise AssertionError("stored-head read on the threaded path")
+
+    monkeypatch.setattr(merge_mod, "snapshot_diff", _poison)
+    monkeypatch.setattr(storage_mod.TableStore, "read", _poison)
+
+    # run 2: row 3 updated, row 7 deleted, row 60 inserted, plus a
+    # null-id insert (payload batches carry no id column)
+    rows2 = [
+        (i, i * 10 if i != 3 else -1) for i in range(50) if i != 7
+    ] + [(60, 600), (None, 999)]
+    t2 = spark.createDataFrame(rows2, "id long, v long")
+    changed = spark.createDataFrame(
+        [(3,), (7,), (60,), (None,)], "id long"
+    )
+    _persist_keyed_table(
+        store, spark, "t", t2, "id",
+        n_buckets=8, compare_cols=None, is_full=False,
+        changed_keys=changed,
+    )
+    monkeypatch.undo()
+    got = {(r["id"], r["v"]) for r in store.read(spark, "t").collect()}
+    assert got == set(rows2)
+    info = store.current_info("t")
+    # O(changes): most file entries carried from the bootstrap dir
+    carried = [
+        f[0]
+        for e in info["manifest"].values()
+        for f in e["files"]
+        if f[0].startswith(v_pub_boot)
+    ]
+    assert len(carried) >= 4
+
+    # an EMPTY changed set is a no-op — no version churn
+    v_before = store.current_info("t")["path"]
+    monkeypatch.setattr(merge_mod, "snapshot_diff", _poison)
+    monkeypatch.setattr(storage_mod.TableStore, "read", _poison)
+    _persist_keyed_table(
+        store, spark, "t", t2, "id",
+        n_buckets=8, compare_cols=None, is_full=False,
+        changed_keys=changed.limit(0),
+    )
+    assert store.current_info("t")["path"] == v_before
+
+    # edge helper: pub 3 gains an edge, pub 7's group vanishes, the
+    # null group gains one — all threaded, no stored read
+    e2 = (
+        e1.where(
+            F.col("publication_id").isNull()
+            | (F.col("publication_id") != 7)
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(3, 9), (None, 78)], "publication_id long, author_id long"
+            )
+        )
+    )
+    changed_e = spark.createDataFrame(
+        [(3,), (7,), (None,)], "publication_id long"
+    )
+    _persist_edge_table(
+        store, spark, "edges", e2,
+        fan_key="publication_id",
+        key_cols=["publication_id", "author_id"],
+        n_buckets=8, is_full=False,
+        changed_keys=changed_e,
+    )
+    monkeypatch.undo()
+    got_e = {
+        (r["publication_id"], r["author_id"])
+        for r in store.read(spark, "edges").collect()
+    }
+    assert got_e == {
+        (r["publication_id"], r["author_id"]) for r in e2.collect()
+    }
+    info_e = store.current_info("edges")
+    assert any(
+        e == v_edge_boot for e in info_e["manifest"].values()
+    )  # untouched buckets carried
+
+
+def test_persist_edge_fallback_single_read_null_safe(spark, tmp_path):
+    """Round-12 task #7 + ADVICE: the presence-diff FALLBACK (no key
+    set in hand) reads the stored edge table ONCE (one null-safe
+    full-outer join), identical null-pub edges stop churning through
+    `affected`, and a null-pub edge group survives the replace."""
+    from rialto_airflow_spark.dag import _persist_edge_table
+    from rialto_airflow_spark.storage import TableStore
+
+    store = TableStore(str(tmp_path))
+    e1 = spark.createDataFrame(
+        [(p, a) for p in range(10) for a in (1, 2)] + [(None, 50)],
+        "publication_id long, author_id long",
+    )
+    _persist_edge_table(
+        store, spark, "edges", e1,
+        fan_key="publication_id",
+        key_cols=["publication_id", "author_id"],
+        n_buckets=8, is_full=False,
+    )
+    v1 = store.current_info("edges")["path"]
+
+    # identical frame → presence diff finds nothing; the null edge
+    # must NOT land in affected (the old anti-join pair re-replaced
+    # the null group every run, and its inner-equality fragment
+    # dropped the rows — silent data loss)
+    _persist_edge_table(
+        store, spark, "edges", e1,
+        fan_key="publication_id",
+        key_cols=["publication_id", "author_id"],
+        n_buckets=8, is_full=False,
+    )
+    got = {
+        (r["publication_id"], r["author_id"])
+        for r in store.read(spark, "edges").collect()
+    }
+    assert (None, 50) in got and len(got) == 21
+
+    # a real change incl. a new null-pub edge round-trips
+    e2 = e1.unionByName(
+        spark.createDataFrame(
+            [(None, 51), (3, 9)], "publication_id long, author_id long"
+        )
+    )
+    _persist_edge_table(
+        store, spark, "edges", e2,
+        fan_key="publication_id",
+        key_cols=["publication_id", "author_id"],
+        n_buckets=8, is_full=False,
+    )
+    got = {
+        (r["publication_id"], r["author_id"])
+        for r in store.read(spark, "edges").collect()
+    }
+    assert got == {
+        (r["publication_id"], r["author_id"]) for r in e2.collect()
+    }
+    assert any(
+        e == v1 for e in store.current_info("edges")["manifest"].values()
+    )
+
+
+def test_harvest_dag_threads_changed_keys(spark, tmp_path, monkeypatch):
+    """Round-12 task #1 (DAG level): a tracked incremental run's
+    complete() persists pubs + both edge tables WITHOUT ever reading
+    the stored head (snapshot_diff and TableStore.read poisoned for
+    run 2), covering every change class at once: a payload update, a
+    new-doi insert, an edge insert, and an orphan delete."""
+    from rialto_airflow_spark import storage as storage_mod
+    from rialto_airflow_spark.operators import merge as merge_mod
+    from rialto_airflow_spark.storage import TableStore
+
+    store = TableStore(str(tmp_path / "tables"))
+    oa1 = tmp_path / "oa_run1"
+    oa1.mkdir()
+    (oa1 / "batch.jsonl").write_text(
+        json.dumps({"doi": "https://doi.org/10.1/A", "title": "Run1 OA",
+                    "type": "article", "id": "https://openalex.org/W77"})
+    )
+    pubs = spark.createDataFrame(
+        [mkpub(i, doi=f"10.1/p{i}", updated=1) for i in range(1, 40)]
+        + [mkpub(100, doi="10.1/a", updated=2)],
+        PUB_SCHEMA,
+    )
+    authors = spark.createDataFrame(
+        [(10, "ada", None, "0-1", "Ada", "L", True, True, "faculty",
+          ["Eng"], ["CS"], "Eng", "CS", None, ts(1), ts(1))],
+        "id bigint, sunet string, cap_profile_id string, orcid string, "
+        "first_name string, last_name string, status boolean, "
+        "academic_council boolean, role string, schools array<string>, "
+        "departments array<string>, primary_school string, primary_dept string, "
+        "primary_division string, created_at timestamp, updated_at timestamp",
+    )
+    edges = spark.createDataFrame(
+        [(i, 10) for i in range(1, 40)] + [(100, 10)],
+        "publication_id bigint, author_id bigint",
+    )
+    base_ctx = dict(
+        spark=spark,
+        authors=authors,
+        funder_edges=spark.createDataFrame(
+            [], "publication_id bigint, funder_id bigint"
+        ),
+        funders=spark.createDataFrame(
+            [], "grid_id string, name string, federal boolean, ror_id string, "
+                "openalex_id string, id bigint"
+        ),
+        dims={},
+        harvests=spark.createDataFrame(
+            [(1, ts(1), ts(2), True)],
+            "id bigint, created_at timestamp, finished_at timestamp, "
+            "is_full boolean",
+        ),
+        pubs_store=store,
+        pubs_manifest_buckets=16,
+    )
+    ctx1 = dict(
+        base_ctx, pubs=pubs, author_edges=edges,
+        landing_dirs={"openalex": str(oa1)},
+    )
+    ctx1 = build_harvest_dag().run(ctx1)
+    stored1 = store.read(spark, "publications")
+    stored1_edges = store.read(spark, "pub_author_edges")
+
+    # run 2: pub 100 updated + a brand-new doi (null-id insert — it
+    # orphans out by design, exercising the null changed key); pub 39
+    # loses its edge (orphan delete); pub 2 gains an edge
+    oa2 = tmp_path / "oa_run2"
+    oa2.mkdir()
+    (oa2 / "batch.jsonl").write_text(
+        "\n".join([
+            json.dumps({"doi": "https://doi.org/10.1/A", "title": "Run2 OA",
+                        "type": "article", "id": "https://openalex.org/W88"}),
+            json.dumps({"doi": "https://doi.org/10.1/NEW", "title": "Fresh",
+                        "type": "article", "id": "https://openalex.org/W99"}),
+        ])
+    )
+    def _poison(*a, **k):
+        raise AssertionError("stored-head read on the threaded path")
+
+    ctx2 = dict(
+        base_ctx,
+        pubs=stored1,
+        author_edges=stored1_edges.where(F.col("publication_id") != 39),
+        incoming_edges=spark.createDataFrame(
+            [(2, 10)], "publication_id bigint, author_id bigint"
+        ),
+        harvests=spark.createDataFrame(
+            [(2, ts(3), ts(4), False)],
+            "id bigint, created_at timestamp, finished_at timestamp, "
+            "is_full boolean",
+        ),
+        landing_dirs={"openalex": str(oa2)},
+    )
+    monkeypatch.setattr(merge_mod, "snapshot_diff", _poison)
+    monkeypatch.setattr(storage_mod.TableStore, "read", _poison)
+    ctx2 = build_harvest_dag().run(ctx2)
+    monkeypatch.undo()
+
+    want = {r["id"]: r for r in ctx2["pubs"].collect()}
+    got = {r["id"]: r for r in store.read(spark, "publications").collect()}
+    assert set(got) == set(want)
+    assert 39 not in got and 100 in got
+    assert json.loads(got[100]["openalex_json"])["title"] == "Run2 OA"
+    got_e = {
+        (r["publication_id"], r["author_id"])
+        for r in store.read(spark, "pub_author_edges").collect()
+    }
+    assert got_e == {
+        (r["publication_id"], r["author_id"])
+        for r in ctx2["author_edges"].collect()
+    }
+    assert (39, 10) not in got_e and (2, 10) in got_e

@@ -1630,3 +1630,221 @@ def test_stream_mart_cluster_projection_refolds_without_table_scan(
     ).count() == 0
     assert cl.where(F.col("event_type") == "purchase").count() == 1
     assert cl.count() == final.count()
+
+
+def test_merge_buckets_incremental_shrink(spark, tmp_path):
+    """Round-12 task #6: split_buckets' inverse — 32 → 8 buckets
+    across bounded calls; reads / point reads / upserts stay correct
+    MID-migration (finer remnants serve coverage), an upsert
+    dissolves the finer remnants it touches, and time travel to a
+    pre-merge version still resolves."""
+    st = TableStore(str(tmp_path))
+    df = _base(spark, n=400)
+    v1 = st.write_manifest(df, "t", "id", n_buckets=32)
+    pre_merge_version = os.path.basename(v1)
+
+    def whole() -> dict:
+        return {r["id"]: r["v"] for r in st.read(spark, "t").collect()}
+
+    model = {r["id"]: r["v"] for r in df.collect()}
+
+    # drop the modulus 32 -> 8, folding only 3 target buckets
+    out = st.merge_buckets(spark, "t", factor=4, max_merges=3)
+    assert out is not None
+    info = st.current_info("t")
+    assert info["n_buckets"] == 8
+    finer = [k for k in info["manifest"] if "@" in k]
+    fine = [k for k in info["manifest"] if "@" not in k]
+    assert finer and all(k.endswith("@32") for k in finer)
+    assert fine and all(0 <= int(k) < 8 for k in fine)
+    assert whole() == model
+
+    # point read THROUGH finer remnants stays exact
+    probe_id = next(iter(model))
+    got = st.read_keys(spark, "t", [probe_id])
+    assert {r["v"] for r in got.collect()} == {model[probe_id]}
+
+    # read_buckets at the new modulus returns exactly the requested
+    # bucket's rows
+    bks = st.batch_buckets(
+        "t", spark.createDataFrame([(probe_id,)], "id long")
+    )
+    sl = st.read_buckets(spark, "t", bks)
+    stray = sl.where(
+        ~F.pmod(F.xxhash64(F.col("id")), F.lit(8)).cast("int").isin(bks)
+    ).count()
+    assert stray == 0
+    assert probe_id in {r["id"] for r in sl.collect()}
+
+    # an upsert touching a finer remnant dissolves it (and every
+    # other entry covering that coarse bucket)
+    victim = next(
+        k for k in model
+        if any(
+            ck.endswith("@32")
+            for ck in st._covering_keys(
+                st.current_info("t")["manifest"],
+                st._moduli(st.current_info("t")["manifest"]),
+                bucket_of(spark, st, k),
+                8,
+            )
+        )
+    )
+    st.upsert_manifest(
+        spark, "t",
+        spark.createDataFrame([(victim, -5, 0)], "id long, v long, grp int"),
+    )
+    model[victim] = -5
+    assert whole() == model
+    info = st.current_info("t")
+    vb = bucket_of(spark, st, victim)
+    assert st._covering_keys(
+        info["manifest"], st._moduli(info["manifest"]), vb, 8
+    ) == [str(vb)]
+
+    # finish the migration
+    while st.merge_buckets(spark, "t", max_merges=2) is not None:
+        pass
+    info = st.current_info("t")
+    assert all("@" not in k for k in info["manifest"])
+    assert info["n_buckets"] == 8
+    assert whole() == model
+
+    # time travel across the merge boundary
+    old = st.read_version(spark, "t", pre_merge_version)
+    assert {r["id"]: r["v"] for r in old.collect()} == {
+        r["id"]: r["v"] for r in df.collect()
+    }
+
+
+def test_merge_buckets_file_cow_and_incompatible_moduli(spark, tmp_path):
+    """merge_buckets under the file-COW layout keeps per-file ranges;
+    a modulus from an unfinished SPLIT that doesn't divide the target
+    is rejected loudly instead of corrupting coverage."""
+    st = TableStore(str(tmp_path))
+    st.write_manifest(
+        _base(spark, n=300), "t", "id",
+        n_buckets=16, sort_cols=["id"], max_file_rows=20,
+    )
+    st.merge_buckets(spark, "t", factor=2, max_merges=2)
+    info = st.current_info("t")
+    assert info["n_buckets"] == 8
+    # fine entries are file-form with ranges
+    assert all(
+        not isinstance(e, str)
+        for k, e in info["manifest"].items()
+        if "@" not in k
+    )
+    got = {r["id"]: r["v"] for r in st.read(spark, "t").collect()}
+    assert got == {i: i * 2 for i in range(300)}
+    # point read stays file-pruned on the merged entries
+    assert {r["v"] for r in st.read_keys(spark, "t", [7]).collect()} == {14}
+
+    # a split to x3 leaves @8 remnants; merging to a modulus they
+    # don't refine onto must raise
+    st2 = TableStore(str(tmp_path / "b"))
+    st2.write_manifest(_base(spark, n=100), "t", "id", n_buckets=8)
+    st2.split_buckets(spark, "t", factor=3, max_splits=1)  # n=24, @8 left
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="incompatible"):
+        st2.merge_buckets(spark, "t", factor=4)  # 24/4=6; 8 % 6 != 0
+
+
+def test_upsert_manifest_delete_keys(spark, tmp_path):
+    """Round-12 task #2 (storage layer): delete_keys removes rows in
+    the same O(changes) version as the merge — dirty set includes the
+    deletes' buckets/files, an emptied bucket drops from the manifest
+    on BOTH entry forms, and replays are no-ops."""
+    for layout in ({}, {"sort_cols": ["id"], "max_file_rows": 10}):
+        st = TableStore(str(tmp_path / f"l{len(layout)}"))
+        st.write_manifest(_base(spark, n=80), "t", "id", n_buckets=8, **layout)
+        v1 = st.current_info("t")["path"]
+        batch = spark.createDataFrame([(3, -3, 0)], "id long, v long, grp int")
+        dels = spark.createDataFrame([(5,), (13,)], "id long")
+        st.upsert_manifest(spark, "t", batch, delete_keys=dels)
+        got = {r["id"]: r["v"] for r in st.read(spark, "t").collect()}
+        want = {i: i * 2 for i in range(80) if i not in (5, 13)}
+        want[3] = -3
+        assert got == want
+        # carried entries still reference the bootstrap version
+        info = st.current_info("t")
+        assert any(
+            (e == v1 if isinstance(e, str) else e["files"][0][0].startswith(v1))
+            for e in info["manifest"].values()
+        )
+        # replayed delete converges (no row to delete -> same table)
+        st.upsert_manifest(spark, "t", batch, delete_keys=dels)
+        assert {r["id"]: r["v"] for r in st.read(spark, "t").collect()} == want
+
+    # a delete set that EMPTIES a bucket pops its manifest entry
+    st = TableStore(str(tmp_path / "empty"))
+    one = spark.createDataFrame([(1, 2, 0), (2, 4, 0)], "id long, v long, grp int")
+    st.write_manifest(one, "t", "id", n_buckets=8)
+    n_entries = len(st.current_info("t")["manifest"])
+    st.upsert_manifest(
+        spark, "t",
+        one.limit(0),
+        delete_keys=spark.createDataFrame([(1,)], "id long"),
+    )
+    info = st.current_info("t")
+    assert len(info["manifest"]) < n_entries or st.read(
+        spark, "t"
+    ).count() == 1
+    assert {r["id"] for r in st.read(spark, "t").collect()} == {2}
+
+
+def test_upsert_manifest_auto_compacts_file_tail(spark, tmp_path):
+    """Round-12 task #8: with auto_compact_files recorded on the
+    table, a long run of upserts holds every bucket's file count
+    bounded with NO compaction cadence configured — the upsert itself
+    folds the tail when pressure crosses the threshold."""
+    st = TableStore(str(tmp_path))
+    # floor: ~50 rows/bucket at max_file_rows=10 -> >=5 files/bucket;
+    # the pressure threshold sits above the floor so folding can land
+    st.write_manifest(
+        _base(spark, n=100), "t", "id",
+        n_buckets=2, sort_cols=["id"], max_file_rows=10,
+        auto_compact_files=8,
+    )
+    for i in range(20):
+        st.upsert_manifest(
+            spark, "t",
+            spark.createDataFrame(
+                [(1000 + i, i, 0)], "id long, v long, grp int"
+            ),
+        )
+        info = st.current_info("t")
+        assert info.get("auto_compact_files") == 8  # carried
+        assert all(
+            len(e["files"]) <= 8
+            for e in info["manifest"].values()
+            if not isinstance(e, str)
+        ), {k: len(e["files"]) for k, e in info["manifest"].items()}
+    got = {r["id"]: r["v"] for r in st.read(spark, "t").collect()}
+    want = {i: i * 2 for i in range(100)} | {1000 + i: i for i in range(20)}
+    assert got == want
+
+
+def test_read_buckets_prune_keys_null_reads_null_bucket_whole(
+    spark, tmp_path
+):
+    """Round-11 ADVICE (low): a NULL in prune_keys no longer returns
+    a silently-incomplete slice — the null bucket's files are read
+    whole (ranges never cover a null), and the null rows come back."""
+    st = TableStore(str(tmp_path))
+    df = _base(spark, n=200).unionByName(
+        spark.createDataFrame(
+            [(None, -1, 0), (None, -2, 1)], "id long, v long, grp int"
+        )
+    )
+    st.write_manifest(
+        df, "t", "id", n_buckets=4, sort_cols=["id"], max_file_rows=20
+    )
+    nb = st.null_bucket(spark, "t")
+    probe = spark.createDataFrame([(7,), (None,)], "id long")
+    bks = sorted(set(st.batch_buckets("t", probe)) | {nb})
+    sl = st.read_buckets(spark, "t", bks, prune_keys=probe)
+    vals = {r["v"] for r in sl.where(F.col("id").isNull()).collect()}
+    assert vals == {-1, -2}
+    assert {r["v"] for r in sl.where(F.col("id") == 7).collect()} == {14}

@@ -1302,3 +1302,475 @@ def test_extract_features_with_stdlib_decoder(spark):
     assert feats[2][0] == 12  # 4x3 pixels from the real BMP decode
     assert feats[2][1].startswith("bmp:4x3 rgb=(10.0,200.0,30.0)")
     assert feats[3][1].startswith("text:")  # stub seam retained
+
+
+DEL_DDL = SE.EVENTS_DDL + ", is_deleted boolean"
+
+
+def _del_stream(spark, path):
+    return spark.readStream.schema(DEL_DDL).parquet(path)
+
+
+def test_stream_upsert_delete_col_tombstones_manifest(spark, tmp_path):
+    """Round-12 task #2: a delete-flagged key vanishes from the
+    MANIFEST table (O(matched files) rewrite), the mart re-folds the
+    groups the deletes leave — including a group the delete EMPTIES —
+    and a checkpointed replay converges to the same state."""
+    import datetime
+
+    from rialto_airflow_spark.storage import TableStore
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    store = TableStore(str(tmp_path / "store"))
+    mart = {
+        "table": "by_type",
+        "group_col": "event_type",
+        "agg_exprs": [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        ],
+        "manifest_buckets": 4,
+        "cluster_buckets": 4,
+    }
+
+    def mk(rows):
+        return spark.createDataFrame(rows, DEL_DDL)
+
+    def drain():
+        SE.stream_upsert(
+            _del_stream(spark, in_dir), store, "ev", "event_id", ckpt,
+            mart=mart, manifest_buckets=8, delete_col="is_deleted",
+        )
+
+    rows1 = [
+        (i, t0, 10 + i, "view" if i % 2 else "click", float(i), "{}", False)
+        for i in range(20)
+    ] + [(100, t0, 50, "purchase", 7.0, "{}", False)]
+    mk(rows1).coalesce(1).write.parquet(in_dir)
+    drain()
+    assert store.read(spark, "ev").count() == 21
+
+    # trigger 2: update key 2, DELETE key 3 (view shrinks), DELETE
+    # key 100 (purchase group EMPTIES), insert key 200, and a
+    # within-batch key whose latest row is a tombstone (key 4)
+    rows2 = [
+        (2, t0 + datetime.timedelta(minutes=1), 12, "click", 20.0, "{}", False),
+        (3, t0 + datetime.timedelta(minutes=1), 13, "view", 0.0, "{}", True),
+        (100, t0 + datetime.timedelta(minutes=1), 50, "purchase", 0.0, "{}", True),
+        (200, t0 + datetime.timedelta(minutes=1), 60, "signup", 5.0, "{}", False),
+        (4, t0 + datetime.timedelta(minutes=1), 14, "click", 44.0, "{}", False),
+        (4, t0 + datetime.timedelta(minutes=2), 14, "click", 0.0, "{}", True),
+    ]
+    mk(rows2).coalesce(1).write.parquet(in_dir, mode="append")
+    drain()
+
+    final = store.read(spark, "ev")
+    assert "is_deleted" not in final.columns
+    ids = {r["event_id"] for r in final.select("event_id").collect()}
+    assert 3 not in ids and 4 not in ids and 100 not in ids
+    assert 200 in ids and 2 in ids
+    want = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in final.groupBy("event_type").agg(*mart["agg_exprs"]).collect()
+    }
+    got = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in store.read(spark, "by_type").collect()
+    }
+    assert got == want
+    assert "purchase" not in got  # emptied group's mart row removed
+
+    # replay: a fresh checkpoint re-applies everything — same state
+    ckpt2 = str(tmp_path / "ck2")
+    store2 = TableStore(str(tmp_path / "store2"))
+    SE.stream_upsert(
+        _del_stream(spark, in_dir), store2, "ev", "event_id", ckpt2,
+        mart=mart, manifest_buckets=8, delete_col="is_deleted",
+    )
+    got2 = {
+        r["event_id"] for r in store2.read(spark, "ev").collect()
+    }
+    assert got2 == ids
+
+
+def test_stream_upsert_delete_col_plain_table(spark, tmp_path):
+    """Tombstones on the PLAIN (non-manifest) path: the per-batch
+    full-version rewrite applies deletes too."""
+    import datetime
+
+    from rialto_airflow_spark.storage import TableStore
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    store = TableStore(str(tmp_path / "store"))
+
+    def mk(rows):
+        return spark.createDataFrame(rows, DEL_DDL)
+
+    mk([
+        (1, t0, 10, "view", 1.0, "{}", False),
+        (2, t0, 11, "view", 2.0, "{}", False),
+    ]).coalesce(1).write.parquet(in_dir)
+    SE.stream_upsert(
+        _del_stream(spark, in_dir), store, "ev", "event_id", ckpt,
+        delete_col="is_deleted",
+    )
+    mk([
+        (1, t0 + datetime.timedelta(minutes=1), 10, "view", 0.0, "{}", True),
+        (3, t0, 12, "click", 3.0, "{}", False),
+        # a null-key tombstone is dropped (null keys are insert-only)
+        (None, t0, 13, "click", 9.0, "{}", True),
+        (None, t0, 14, "click", 8.0, "{}", False),
+    ]).coalesce(1).write.parquet(in_dir, mode="append")
+    SE.stream_upsert(
+        _del_stream(spark, in_dir), store, "ev", "event_id", ckpt,
+        delete_col="is_deleted",
+    )
+    got = {
+        (r["event_id"], r["value"])
+        for r in store.read(spark, "ev").collect()
+    }
+    assert got == {(2, 2.0), (3, 3.0), (None, 8.0)}
+
+
+def test_stream_mart_fan_key_eq_key_refolds_without_table_scan(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 task #3: when the mart's group column IS the merge
+    key, the re-fold serves from the table's own bucket-pruned reads
+    — no cluster projection, no table scan (snapshot_diff AND the
+    full-table read poisoned after bootstrap), no __cluster table."""
+    import datetime
+
+    from rialto_airflow_spark.operators import merge as M
+    from rialto_airflow_spark.storage import TableStore
+
+    monkeypatch.setattr(
+        M, "snapshot_diff",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("diff ran")),
+    )
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    st = TableStore(str(tmp_path / "store"))
+    mart = {
+        "table": "by_id",
+        "group_col": "event_id",
+        "agg_exprs": [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        ],
+        "manifest_buckets": 4,
+        # explicitly set: must be IGNORED (redundant copy) because
+        # group_col == merge key
+        "cluster_buckets": 4,
+    }
+
+    def mk(rows):
+        return spark.createDataFrame(rows, SE.EVENTS_DDL)
+
+    def drain():
+        SE.stream_upsert(
+            SE.read_event_stream(spark, in_dir), st, "ev", "event_id",
+            ckpt, mart=mart, manifest_buckets=8,
+        )
+
+    mk([
+        (i, t0, 10 + i, "view" if i % 2 else "click", float(i), "{}")
+        for i in range(20)
+    ]).coalesce(1).write.parquet(in_dir)
+    drain()
+    assert st.current_info("by_id__cluster") is None
+
+    from rialto_airflow_spark.storage import TableStore as TS
+
+    real_read = TS.read
+
+    def poisoned_read(self, spark_, name):
+        df = real_read(self, spark_, name)
+        if name == "ev":
+            return df.where(
+                F.raise_error(F.lit("full-table scan on the ev read"))
+                .cast("string").isNull()
+            )
+        return df
+
+    monkeypatch.setattr(TS, "read", poisoned_read)
+    mk([
+        (3, t0 + datetime.timedelta(minutes=5), 13, "view", 9.0, "{}"),
+        (99, t0 + datetime.timedelta(minutes=1), 99, "signup", 4.0, "{}"),
+    ]).coalesce(1).write.parquet(in_dir, mode="append")
+    drain()
+    monkeypatch.setattr(TS, "read", real_read)
+    assert st.current_info("by_id__cluster") is None
+    final = st.read(spark, "ev")
+    want = {
+        r["event_id"]: (r["n"], r["total"])
+        for r in final.groupBy("event_id").agg(*mart["agg_exprs"]).collect()
+    }
+    got = {
+        r["event_id"]: (r["n"], r["total"])
+        for r in st.read(spark, "by_id").collect()
+    }
+    assert got == want
+
+
+def test_stream_mart_cluster_refold_includes_null_key_rows(
+    spark, tmp_path
+):
+    """Round-11 ADVICE (medium): a fan-key group containing null-
+    merge-key rows must re-fold with them — they live in the table
+    (null keys insert) but not in the cluster projection, so the
+    re-fold unions them from the table's null bucket. Also: a batch's
+    OWN null-key rows refresh their groups, including a group no
+    keyed row ever touched."""
+    import datetime
+
+    from rialto_airflow_spark.storage import TableStore
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    st = TableStore(str(tmp_path / "store"))
+    mart = {
+        "table": "by_type",
+        "group_col": "event_type",
+        "agg_exprs": [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        ],
+        "manifest_buckets": 4,
+        "cluster_buckets": 4,
+    }
+
+    def mk(rows):
+        return spark.createDataFrame(rows, SE.EVENTS_DDL)
+
+    def drain():
+        SE.stream_upsert(
+            SE.read_event_stream(spark, in_dir), st, "ev", "event_id",
+            ckpt, mart=mart, manifest_buckets=8,
+        )
+
+    # bootstrap: 'view' carries a NULL-key member row from the start
+    mk([
+        (i, t0, 10 + i, "view" if i % 2 else "click", float(i), "{}")
+        for i in range(10)
+    ] + [(None, t0, 90, "view", 100.0, "{}")]).coalesce(1).write.parquet(
+        in_dir
+    )
+    drain()
+
+    def want_got():
+        final = st.read(spark, "ev")
+        want = {
+            r["event_type"]: (r["n"], r["total"])
+            for r in final.groupBy("event_type")
+            .agg(*mart["agg_exprs"])
+            .collect()
+        }
+        got = {
+            r["event_type"]: (r["n"], r["total"])
+            for r in st.read(spark, "by_type").collect()
+        }
+        return want, got
+
+    w, g = want_got()
+    assert g == w and g["view"][1] >= 100.0
+
+    # trigger 2: a KEYED 'view' row changes — the re-fold must keep
+    # the null-key member (the ADVICE divergence: without the null
+    # union, view's total drops by 100)
+    mk([
+        (1, t0 + datetime.timedelta(minutes=1), 11, "view", 50.0, "{}"),
+    ]).coalesce(1).write.parquet(in_dir, mode="append")
+    drain()
+    w, g = want_got()
+    assert g == w and g["view"][1] >= 150.0
+
+    # trigger 3: a NULL-key row lands in a BRAND-NEW group — no keyed
+    # row touches it, yet its mart row must appear; and another
+    # null-key row extends 'view'
+    mk([
+        (None, t0 + datetime.timedelta(minutes=2), 91, "nullgrp", 7.0, "{}"),
+        (None, t0 + datetime.timedelta(minutes=2), 92, "view", 1.0, "{}"),
+    ]).coalesce(1).write.parquet(in_dir, mode="append")
+    drain()
+    w, g = want_got()
+    assert g == w and g["nullgrp"] == (1, 7.0)
+    # the cluster projection stays null-free
+    cl = st.read(spark, "by_type__cluster")
+    assert cl.where(F.col("event_id").isNull()).count() == 0
+
+
+def test_stream_mart_table_refold_warns_once(spark, tmp_path, recwarn):
+    """fan_key != key with no cluster_buckets: correct, but the sink
+    warns (once) that the re-fold is table-sized."""
+    import datetime
+    import warnings as _w
+
+    from rialto_airflow_spark.storage import TableStore
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    st = TableStore(str(tmp_path / "store"))
+    mart = {
+        "table": "by_type",
+        "group_col": "event_type",
+        "agg_exprs": [F.count(F.lit(1)).alias("n")],
+        "manifest_buckets": 4,
+    }
+
+    def mk(rows):
+        return spark.createDataFrame(rows, SE.EVENTS_DDL)
+
+    mk([
+        (i, t0, 10 + i, "view", float(i), "{}") for i in range(5)
+    ]).coalesce(1).write.parquet(in_dir)
+    SE.stream_upsert(
+        SE.read_event_stream(spark, in_dir), st, "ev", "event_id", ckpt,
+        mart=mart, manifest_buckets=8,
+    )
+    mk([
+        (1, t0 + datetime.timedelta(minutes=1), 11, "view", 9.0, "{}"),
+    ]).coalesce(1).write.parquet(in_dir, mode="append")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        SE.stream_upsert(
+            SE.read_event_stream(spark, in_dir), st, "ev", "event_id",
+            ckpt, mart=mart, manifest_buckets=8,
+        )
+    msgs = [str(x.message) for x in rec if "re-fold" in str(x.message)]
+    assert len(msgs) == 1
+    got = {
+        r["event_type"]: r["n"]
+        for r in st.read(spark, "by_type").collect()
+    }
+    assert got == {"view": 5}
+
+
+def _png_bytes(rows, channels, filters):
+    """Minimal PNG encoder for the decoder tests: 8-bit, explicit
+    per-row filter types, correct chunk CRCs — real bytes any PNG
+    reader accepts."""
+    import struct
+    import zlib
+
+    height = len(rows)
+    width = len(rows[0]) // channels
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def flt(ftype, cur, prev):
+        out = bytearray()
+        for i, x in enumerate(cur):
+            a = cur[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if ftype == 0:
+                out.append(x)
+            elif ftype == 1:
+                out.append((x - a) & 0xFF)
+            elif ftype == 2:
+                out.append((x - b) & 0xFF)
+            elif ftype == 3:
+                out.append((x - ((a + b) >> 1)) & 0xFF)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                out.append((x - pred) & 0xFF)
+        return bytes(out)
+
+    raw = bytearray()
+    prev = bytes(len(rows[0]))
+    for r, f in zip(rows, filters):
+        raw.append(f)
+        raw += flt(f, r, prev)
+        prev = r
+
+    def chunk(cid, body):
+        return (
+            struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_all_filter_types(spark):
+    """Round-12 task #4: the pure-stdlib PNG decoder — zlib inflate +
+    all five filter reconstructions — recovers exact dimensions and
+    pixel means from real synthesized PNG bytes, one row per filter
+    type, for RGB, RGBA and grayscale."""
+    import random
+
+    rng = random.Random(7)
+    # 5 rows x 6 px RGB, one row per filter type 0..4
+    rows = [bytes(rng.randrange(256) for _ in range(18)) for _ in range(5)]
+    png = _png_bytes(rows, 3, [0, 1, 2, 3, 4])
+    got = MM.decode_png(png)
+    assert (got["width"], got["height"], got["channels"]) == (6, 5, 3)
+    flat = b"".join(rows)
+    n = 30
+    assert abs(got["mean_r"] - sum(flat[0::3]) / n) < 1e-9
+    assert abs(got["mean_g"] - sum(flat[1::3]) / n) < 1e-9
+    assert abs(got["mean_b"] - sum(flat[2::3]) / n) < 1e-9
+
+    # RGBA with Paeth-heavy filters
+    rows4 = [bytes(rng.randrange(256) for _ in range(16)) for _ in range(4)]
+    png4 = _png_bytes(rows4, 4, [4, 4, 3, 1])
+    got4 = MM.decode_png(png4)
+    assert (got4["width"], got4["height"], got4["channels"]) == (4, 4, 4)
+    flat4 = b"".join(rows4)
+    assert abs(got4["mean_r"] - sum(flat4[0::4]) / 16) < 1e-9
+
+    # grayscale: luma replicated across RGB
+    rowsg = [bytes([10, 20, 30]), bytes([40, 50, 60])]
+    pngg = _png_bytes(rowsg, 1, [2, 4])
+    gotg = MM.decode_png(pngg)
+    assert (gotg["width"], gotg["height"]) == (3, 2)
+    assert gotg["mean_r"] == gotg["mean_b"] == 35.0
+
+    # malformed payloads fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MM.decode_png(b"not a png")
+    with _pytest.raises(ValueError):
+        MM.decode_png(_png_bytes(rows, 3, [0, 1, 2, 3, 4])[:40])
+
+
+def test_stdlib_decode_dispatches_png(spark):
+    """stdlib_decode_media routes PNG payloads by magic bytes through
+    the real decoder, end-to-end through the Arrow-batched
+    extract_features plan."""
+    rows = [bytes([255, 0, 0] * 4), bytes([0, 0, 255] * 4)]
+    png = _png_bytes(rows, 3, [0, 2])
+    df = spark.createDataFrame([(1, png)], "media_id bigint, payload binary")
+    media = df.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.col("payload").alias("content"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+    )
+    out = MM.extract_features(
+        media, decode=MM.stdlib_decode_media
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["magic_int"] == 8  # 4x2 px
+    assert r["feature"].startswith("png:4x2 ")
+    assert "rgb=(127.5,0.0,127.5)" in r["feature"]
