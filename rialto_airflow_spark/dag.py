@@ -356,11 +356,9 @@ def build_harvest_dag() -> Dag:
     @dag.task("remove_orphans", upstream=("distill", "link_funders"))
     def orphans(ctx):
         if _tracking(ctx):
-            removed = ctx["pubs"].join(
-                ctx["author_edges"],
-                ctx["pubs"]["id"] == ctx["author_edges"]["publication_id"],
-                "left_anti",
-            ).select("id")
+            ctx["pubs"], removed = H.remove_orphans(
+                ctx["pubs"], ctx["author_edges"], return_removed=True
+            )
             ctx["__touched_pub_ids"].append(removed)
             # a deleted pub's edge groups must re-sync too: the run's
             # edge frames carry nothing for it, but a STORED edge
@@ -368,7 +366,8 @@ def build_harvest_dag() -> Dag:
             ctx["__touched_edge_pub_ids"].append(
                 removed.withColumnRenamed("id", "publication_id")
             )
-        ctx["pubs"] = H.remove_orphans(ctx["pubs"], ctx["author_edges"])
+        else:
+            ctx["pubs"] = H.remove_orphans(ctx["pubs"], ctx["author_edges"])
 
     @dag.task("complete", upstream=("remove_orphans",))
     def complete(ctx):

@@ -173,6 +173,8 @@ def decode_png(content: bytes) -> dict:
         size, cid = struct.unpack(">I4s", content[pos:pos + 8])
         body = content[pos + 8:pos + 8 + size]
         if cid == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("PNG IHDR chunk truncated")
             ihdr = struct.unpack(">IIBBBBB", body[:13])
         elif cid == b"IDAT":
             idat += body
@@ -190,7 +192,13 @@ def decode_png(content: bytes) -> dict:
         )
     if interlace != 0:
         raise ValueError("interlaced PNG not supported")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        # keep the sibling decoders' malformed-payload contract: a
+        # corrupt blob is a bad PAYLOAD (ValueError), not an
+        # infrastructure error crashing the executor task
+        raise ValueError(f"PNG IDAT stream corrupt: {e}") from e
     stride = width * channels
     if len(raw) < (stride + 1) * height:
         raise ValueError("PNG pixel data truncated")

@@ -142,14 +142,27 @@ def remove_duplicates(
     return pubs, author_edges, funder_edges
 
 
-def remove_orphans(pubs: DataFrame, author_edges: DataFrame) -> DataFrame:
+def remove_orphans(
+    pubs: DataFrame, author_edges: DataFrame, return_removed: bool = False
+):
     """J4 — delete publications with no author edge
-    (deduplicate.py:220-232): keep = left_semi."""
-    return pubs.join(
+    (deduplicate.py:220-232): keep = left_semi.
+    ``return_removed=True`` appends the removed ids (the anti-join
+    complement) so the O(changes) persistence tracks the delete set
+    from ONE definition of the orphan predicate."""
+    kept = pubs.join(
         author_edges,
         pubs["id"] == author_edges["publication_id"],
         "left_semi",
     )
+    if return_removed:
+        removed = pubs.join(
+            author_edges,
+            pubs["id"] == author_edges["publication_id"],
+            "left_anti",
+        ).select("id")
+        return kept, removed
+    return kept
 
 
 def funder_surrogate_id(grid_id: Column) -> Column:

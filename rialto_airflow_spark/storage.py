@@ -625,18 +625,49 @@ class TableStore:
         )
 
     @classmethod
-    def _covering_key(cls, manifest: dict, moduli: list[int], j: int):
-        """The fine key for bucket ``j``, or the first coarse remnant
-        covering it (split-only compatibility helper — prefer
-        :meth:`_covering_keys`, which also finds FINER remnants left
-        by :meth:`merge_buckets`)."""
-        if str(j) in manifest:
-            return str(j)
-        for m in moduli:
-            ck = f"{j % m}@{m}"
-            if ck in manifest:
-                return ck
-        return None
+    def _entry_covered_buckets(
+        cls, k, n_default: int, n_target: int
+    ) -> list[int]:
+        """The buckets (at modulus ``n_target``) an entry's rows can
+        land in. Requires the entry's modulus to divide or be divided
+        by ``n_target`` (the invariant merge/split guard)."""
+        b, m = cls._parse_entry_key(k)
+        m = m if m is not None else n_default
+        if m % n_target == 0:
+            return [b % n_target]
+        if n_target % m == 0:
+            return list(range(b, n_target, m))
+        raise ValueError(
+            f"entry {k} at modulus {m} is incompatible with modulus "
+            f"{n_target}"
+        )
+
+    @classmethod
+    def _dissolve_closure(
+        cls, manifest: dict, seed: set, n_default: int, n_target: int
+    ) -> set:
+        """Expand a to-be-rewritten entry set to its bucket-sharing
+        CLOSURE: a rewrite re-lands rows as fine entries per target
+        bucket, so every OTHER entry holding rows of any touched
+        bucket must rewrite in the same pass or the new fine entry
+        would silently shadow it (after :meth:`merge_buckets`, one
+        bucket's rows can legitimately be spread across a fine entry
+        plus finer remnants). Fixpoint over the bucket→entries map —
+        O(entries), driver-local."""
+        by_bucket: dict[int, list] = {}
+        for k in manifest:
+            for bk in cls._entry_covered_buckets(k, n_default, n_target):
+                by_bucket.setdefault(bk, []).append(k)
+        closed: set = set()
+        frontier = set(seed)
+        while frontier:
+            k = frontier.pop()
+            closed.add(k)
+            for bk in cls._entry_covered_buckets(k, n_default, n_target):
+                for k2 in by_bucket.get(bk, []):
+                    if k2 not in closed:
+                        frontier.add(k2)
+        return closed
 
     @classmethod
     def _covering_keys(
@@ -1546,7 +1577,10 @@ class TableStore:
                 "bucket_key": key,
                 "schema": merged.schema.json(),
             }
-            for cfg in ("sort_cols", "max_file_rows", "auto_compact_files"):
+            for cfg in (
+                "sort_cols", "max_file_rows", "auto_compact_files",
+                "auto_compact_floor",
+            ):
                 if info.get(cfg):
                     payload[cfg] = info[cfg]
             try:
@@ -1555,24 +1589,35 @@ class TableStore:
                 continue  # concurrent manifest writer won; redo on new head
             # file-tail pressure release (recorded table policy, see
             # write_manifest): when this upsert left a dirty bucket
-            # listing more files than the threshold, fold the tail NOW
-            # — a targeted compact_buckets over just the fragmented
-            # entries, so a stream with no compact_every cadence still
-            # bounds what it accretes. Runs after the commit (the
-            # upsert's version is complete either way) and never
-            # consolidates carriers (max_carriers huge) — only the
-            # file-count axis.
+            # listing more than `thresh` files BEYOND its recorded
+            # post-compaction floor, fold the tail NOW — a targeted
+            # compact_buckets, so a stream with no compact_every
+            # cadence still bounds what it accretes. The floor map
+            # (written by compact_buckets for buckets whose row count
+            # legitimately needs more than `thresh` full files) keeps
+            # the trigger self-limiting: such a bucket re-fires only
+            # after `thresh` NEW tail files accrete — one fold per
+            # `thresh` upserts, amortized O(changes) — instead of a
+            # whole-bucket rewrite on every later upsert. Runs after
+            # the commit (the upsert's version is complete either
+            # way) and never consolidates carriers (max_carriers
+            # huge) — only the file-count axis.
             thresh = info.get("auto_compact_files")
-            if thresh and file_cow and any(
-                not isinstance(new_manifest.get(str(k)), (str, type(None)))
-                and len(new_manifest[str(k)]["files"]) > thresh
-                for k in dirty
-            ):
-                self.compact_buckets(
-                    spark, name,
-                    max_carriers=1 << 30,
-                    max_files_per_bucket=thresh,
-                )
+            if thresh and file_cow:
+                floor = info.get("auto_compact_floor") or {}
+
+                def _over(k) -> bool:
+                    e = new_manifest.get(str(k))
+                    if isinstance(e, (str, type(None))):
+                        return False
+                    return len(e["files"]) > thresh + floor.get(str(k), 0)
+
+                if any(_over(k) for k in dirty):
+                    self.compact_buckets(
+                        spark, name,
+                        max_carriers=1 << 30,
+                        max_files_per_bucket=thresh,
+                    )
             return vdir
 
     def replace_keys_manifest(
@@ -1750,7 +1795,10 @@ class TableStore:
                 bucket_key=key,
                 schema=out.schema.json(),
             )
-            for cfg in ("sort_cols", "max_file_rows", "auto_compact_files"):
+            for cfg in (
+                "sort_cols", "max_file_rows", "auto_compact_files",
+                "auto_compact_floor",
+            ):
                 if info.get(cfg):
                     payload[cfg] = info[cfg]
             try:
@@ -1831,9 +1879,17 @@ class TableStore:
                     ordered[: len(ordered) - keep_n] if keep_n else ordered
                 )
                 moved_keys |= {k for _vd, ks in moved for k in ks}
-            moved_keys = sorted(moved_keys)
             if not moved_keys:
                 return None
+            # bucket-sharing closure (round-12 review): the rewrite
+            # re-lands rows as per-bucket entries, so every other
+            # entry holding rows of a touched bucket must move in the
+            # same pass — after merge_buckets a fine entry and finer
+            # remnants legitimately share a bucket, and moving one
+            # without the others would shadow the carried rows
+            moved_keys = sorted(
+                self._dissolve_closure(manifest, set(moved_keys), n, n)
+            )
             st = self._schema_of(info)
             # recorded-schema read: a consolidated carrier predating a
             # column addition must REWRITE with the column (as nulls) —
@@ -1863,6 +1919,7 @@ class TableStore:
                 for k, fs in stats.items():
                     new_manifest[str(k)] = {"files": fs}
             else:
+                stats = {}
                 for k in self._present_buckets(vdir):
                     new_manifest[str(k)] = vdir
             # carry informational payload fields (e.g. the streaming
@@ -1879,6 +1936,22 @@ class TableStore:
                     "bucket_key", "compacted",
                 )
             }
+            # post-compaction FLOOR map for the auto-compaction
+            # trigger: a rewritten bucket that still exceeds the
+            # threshold is at its legitimate row-count floor — record
+            # it so upsert_manifest re-fires only after `thresh` NEW
+            # tail files accrete, not on every later touch
+            thresh0 = info.get("auto_compact_files")
+            if thresh0:
+                floor = dict(info.get("auto_compact_floor") or {})
+                for k, fs in stats.items():
+                    floor.pop(str(k), None)
+                    if len(fs) > thresh0:
+                        floor[str(k)] = len(fs)
+                if floor:
+                    carried["auto_compact_floor"] = floor
+                else:
+                    carried.pop("auto_compact_floor", None)
             try:
                 store.commit(
                     vdir,
@@ -1943,6 +2016,17 @@ class TableStore:
                 info["manifest"], info["n_buckets"], info["bucket_key"]
             )
             n2 = n * factor
+            for k in manifest:
+                _b, m = self._parse_entry_key(k)
+                m = m if m is not None else n
+                if m % n2 and n2 % m:
+                    raise ValueError(
+                        f"table {name}: entry {k} at modulus {m} is "
+                        f"incompatible with target modulus {n2} — "
+                        "finish the outstanding migration "
+                        "(split_buckets/merge_buckets with factor=1) "
+                        "before re-sharding"
+                    )
             backend = self._backend()
 
             def _size(k, e) -> int:
@@ -1962,17 +2046,27 @@ class TableStore:
                 return None
             remnants.sort(key=lambda t: (t[0], -_size(t[1], t[2])))
             chosen = remnants[:max_splits] if max_splits else remnants
+            # bucket-sharing closure: a chosen remnant's rows re-land
+            # at n2 buckets a carried entry (e.g. a finer remnant from
+            # merge_buckets re-keyed to fine at n2) may also hold —
+            # rewrite those together or the new entry shadows them
+            chosen_keys = self._dissolve_closure(
+                manifest, {k for _m, k, _e in chosen}, n, n2
+            )
             st = self._schema_of(info)
             reader = spark.read.schema(st) if st is not None else spark.read
             rows = reader.parquet(
-                *[p for _m, k, e in chosen for p in self._entry_paths(e, k)]
+                *[
+                    p
+                    for k in sorted(chosen_keys)
+                    for p in self._entry_paths(manifest[k], k)
+                ]
             )
             vdir = store.new_version_path()
             self._write_buckets(
                 rows, self._bucket_expr(key, n2), vdir,
                 info.get("sort_cols"), info.get("max_file_rows"),
             )
-            chosen_keys = {k for _m, k, _e in chosen}
             new_manifest: dict = {}
             for k, e in manifest.items():
                 if k in chosen_keys:
@@ -1995,6 +2089,8 @@ class TableStore:
                 not in (
                     "path", "committed_at", "manifest", "n_buckets",
                     "bucket_key", "compacted",
+                    # bucket-id-keyed: stale across a modulus change
+                    "auto_compact_floor",
                 )
             }
             try:
@@ -2080,29 +2176,26 @@ class TableStore:
                         "before re-sharding"
                     )
             # finer entries grouped by the coarse bucket they refine
-            # onto; the target's own rows (an entry AT n2) must merge
-            # into the same rewrite or the new fine entry would
-            # silently shadow them
+            # onto
             groups: dict[int, list[str]] = {}
-            at_target: dict[int, str] = {}
             for k in manifest:
                 b, m = self._parse_entry_key(k)
                 m = m if m is not None else n
                 if m > n2:
                     groups.setdefault(b % n2, []).append(k)
-                elif m == n2:
-                    at_target[b] = k
             if not groups and n2 == n:
                 return None
             ordered = sorted(
                 groups.items(), key=lambda kv: (-len(kv[1]), kv[0])
             )
             chosen = ordered[:max_merges] if max_merges else ordered
-            chosen_keys: set[str] = set()
-            for j, ks in chosen:
-                chosen_keys.update(ks)
-                if j in at_target:
-                    chosen_keys.add(at_target[j])
+            # bucket-sharing closure: the target bucket's OTHER rows
+            # (an entry at n2, or anything else covering it) must
+            # merge into the same rewrite or the new fine entry would
+            # silently shadow them
+            chosen_keys = self._dissolve_closure(
+                manifest, {k for _j, ks in chosen for k in ks}, n, n2
+            )
             st = self._schema_of(info)
             reader = spark.read.schema(st) if st is not None else spark.read
             vdir = store.new_version_path()
@@ -2144,6 +2237,8 @@ class TableStore:
                 not in (
                     "path", "committed_at", "manifest", "n_buckets",
                     "bucket_key", "compacted",
+                    # bucket-id-keyed: stale across a modulus change
+                    "auto_compact_floor",
                 )
             }
             try:

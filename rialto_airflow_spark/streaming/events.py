@@ -526,6 +526,7 @@ def _merge_batch(
                     spark, table, key, n_buckets=manifest_buckets,
                     sort_cols=manifest_sort_cols,
                     max_file_rows=manifest_max_file_rows,
+                    auto_compact_files=manifest_auto_compact_files,
                 )
             store.upsert_manifest(
                 spark, table, b, update_cols=update_cols,

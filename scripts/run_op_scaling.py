@@ -597,9 +597,41 @@ def rop_mart_refold(spark, d):
     return {"bytes_read_pruned": pruned, "bytes_read_full_scan": full}
 
 
+def rop_dag_persist_read(spark, d):
+    """Round-12 task #1 evidence: stored-table bytes the DAG persist
+    READS per run. Threaded path = only the files/buckets containing
+    the run's changed keys (pubs are file-COW → read_keys resolves
+    the exact file set the replace rewrites; edges are bucket-form →
+    the dirty buckets' leaves). Fallback = the snapshot_diff /
+    presence-diff shape's full read of all three stored tables. Fixed
+    10-key change set: threaded bytes must stay ~flat, fallback bytes
+    grow with the table."""
+    st, pubs, edges = _dag_stores(spark, d)
+    ekeys = spark.range(5).select(F.col("id").alias("publication_id"))
+    threaded = (
+        _input_bytes(st.read_keys(spark, "publications", list(range(10))))
+        + _input_bytes(
+            st.read_buckets(
+                spark, "pub_author_edges",
+                st.batch_buckets("pub_author_edges", ekeys),
+            )
+        )
+    )
+    full = (
+        _input_bytes(st.read(spark, "publications"))
+        + _input_bytes(st.read(spark, "pub_author_edges"))
+        + _input_bytes(st.read(spark, "pub_funder_edges"))
+    )
+    return {
+        "bytes_read_threaded": threaded,
+        "bytes_read_diff_fallback": full,
+    }
+
+
 READ_BYTES_OPS = {
     "stream_mart_change_detect_10chg": rop_mart_change_detection,
     "mart_refold_10groups": rop_mart_refold,
+    "dag_persist_stored_read_10chg": rop_dag_persist_read,
 }
 
 

@@ -1217,11 +1217,15 @@ def test_split_buckets_incremental_rebucketing(spark, tmp_path):
     # an upsert touching a coarse remnant dissolves it
     victim = next(
         k for k in model
-        if st._covering_key(
-            st.current_info("t")["manifest"],
-            st._moduli(st.current_info("t")["manifest"]),
-            bucket_of(spark, st, k),
-        ).endswith("@8")
+        if any(
+            ck.endswith("@8")
+            for ck in st._covering_keys(
+                st.current_info("t")["manifest"],
+                st._moduli(st.current_info("t")["manifest"]),
+                bucket_of(spark, st, k),
+                32,
+            )
+        )
     )
     batch = spark.createDataFrame(
         [(victim, -5, 0)], "id long, v long, grp int"
@@ -1848,3 +1852,68 @@ def test_read_buckets_prune_keys_null_reads_null_bucket_whole(
     vals = {r["v"] for r in sl.where(F.col("id").isNull()).collect()}
     assert vals == {-1, -2}
     assert {r["v"] for r in sl.where(F.col("id") == 7).collect()} == {14}
+
+
+def test_resharding_writer_interplay_preserves_rows(spark, tmp_path):
+    """Round-12 review: compact/split/merge rewrite by bucket-sharing
+    CLOSURE, so no writer can land a fine entry that shadows a
+    carried entry covering the same bucket. Exercises the full
+    interplay on one table: partial merge -> upsert through finer
+    remnants -> auto-style compact -> split back -> merge again, with
+    whole-table equality and point reads checked at every step; and a
+    split onto a modulus incompatible with outstanding finer remnants
+    is rejected up front (the guard merge_buckets already had)."""
+    st = TableStore(str(tmp_path))
+    df = _base(spark, n=320)
+    st.write_manifest(
+        df, "t", "id", n_buckets=16, sort_cols=["id"], max_file_rows=25
+    )
+    model = {r["id"]: r["v"] for r in df.collect()}
+
+    def check():
+        got = {r["id"]: r["v"] for r in st.read(spark, "t").collect()}
+        assert got == model, (
+            len(got), len(model),
+            {k: v for k, v in model.items() if k not in got},
+        )
+        some = sorted(model)[:3]
+        pr = {r["id"]: r["v"] for r in st.read_keys(spark, "t", some).collect()}
+        assert pr == {k: model[k] for k in some}
+
+    # partial merge: 16 -> 8, fold only one target bucket
+    st.merge_buckets(spark, "t", factor=2, max_merges=1)
+    assert st.current_info("t")["n_buckets"] == 8
+    assert any("@16" in k for k in st.current_info("t")["manifest"])
+    check()
+
+    # upsert THROUGH the finer remnants (dissolves every covering
+    # entry of its dirty buckets together)
+    batch = spark.createDataFrame(
+        [(i, -i, 0) for i in (3, 77, 200)], "id long, v long, grp int"
+    )
+    st.upsert_manifest(spark, "t", batch)
+    for i in (3, 77, 200):
+        model[i] = -i
+    check()
+
+    # compaction (the auto-trigger's shape): closure keeps coexisting
+    # coverage moving together
+    st.compact_buckets(spark, "t", max_carriers=2)
+    check()
+
+    # split back up while finer remnants may still be outstanding
+    st.split_buckets(spark, "t", factor=2, max_splits=2)
+    assert st.current_info("t")["n_buckets"] == 16
+    check()
+    while st.split_buckets(spark, "t") is not None:
+        pass
+    check()
+
+    # guard: a new modulus incompatible with outstanding remnants
+    st2 = TableStore(str(tmp_path / "g"))
+    st2.write_manifest(_base(spark, n=100), "t", "id", n_buckets=16)
+    st2.merge_buckets(spark, "t", factor=2, max_merges=1)  # @16 remnants
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="incompatible"):
+        st2.split_buckets(spark, "t", factor=3)  # n2=24; 16 ∤ 24
