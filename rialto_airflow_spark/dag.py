@@ -373,19 +373,24 @@ def build_harvest_dag() -> Dag:
     def complete(ctx):
         """Optionally persist the run's tables O(changes) (opt-in via
         ``ctx['pubs_store']`` = a TableStore): the run recomputes its
-        frames lazily in memory, but at 100 TB the WRITE is what
-        matters — against a manifest head the run lands as a keyed
-        REPLACE (diff the finished table against the stored version,
-        rewrite only dirty buckets/files; inserts, updates AND the
-        run's deletes — dedupe losers, removed orphans, M5 edge
-        resets — all apply through the one affected-key set).
+        frames lazily in memory, but at 100 TB what matters is that
+        the persist neither READS nor WRITES the stored table beyond
+        the changes — against a manifest head the run lands as a
+        keyed REPLACE over the run's OWN tracked key set (round 12:
+        the tracking the tasks above accumulate — merge-stamped rows,
+        dedupe losers+survivors, removed orphans, edge inserts —
+        replaces the per-run ``snapshot_diff`` over the stored head,
+        which survives only as the fallback when tracking is off).
+        Inserts, updates AND the run's deletes all apply through the
+        one affected-key set; rewrites touch only the files
+        containing those keys.
 
         Publications persist by ``id`` (``pubs_table``, default
-        'publications'; ``pubs_compare_cols`` thins the diff —
-        ["updated_at"] is the production shape since every MERGE/
+        'publications'; ``pubs_compare_cols`` thins the FALLBACK diff
+        — ["updated_at"] is the production shape since every MERGE/
         distill touch re-stamps it). BOTH edge tables persist too,
-        bucketed by ``publication_id`` with a PRESENCE diff (edges
-        are insert/delete-only — M4/M5 — and carry no stamp):
+        bucketed by ``publication_id`` (fallback: a PRESENCE diff —
+        edges are insert/delete-only, M4/M5, and carry no stamp):
         ``pub_author_edges`` / ``pub_funder_edges`` by default.
 
         Full-harvest and schema-evolution runs RE-BOOTSTRAP with

@@ -418,11 +418,11 @@ def incremental_mart_parts_from_changes(
     from the new table without having changed reproduces its mart rows
     exactly (the per-group ``build`` contract). The streaming sink
     passes the batch's keys — no-op rows cost a redundant re-fold
-    bounded by the batch, never a wrong answer. Deletes need no
-    special casing there because streaming MERGE never deletes; a
-    consumer with deletes must include the deleted keys in both
-    changed-row reads (the old version still has their rows, which is
-    what re-points their groups).
+    bounded by the batch, never a wrong answer. Deletes just need
+    their keys in the changed set (the sink's ``delete_col`` path
+    does this — tombstoned keys ride in the batch): the OLD version
+    still has their rows, which is what re-points their groups, and
+    the new version simply has none.
 
     Exactly one of ``build`` (join-shaped mart: fragment =
     ``build(rows of affected groups)``) / ``agg_exprs`` (group

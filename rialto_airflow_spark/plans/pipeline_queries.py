@@ -702,7 +702,8 @@ def q41_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe AS (
       SELECT round(sum(tp), 2) AS store_probe_sum,
              count(*) AS store_probe_n
-      FROM merged WHERE k % 1000 = 0
+      FROM merged
+      WHERE k % 1000 = 0 AND k % 2000 <> 1000
     )
     SELECT CASE WHEN e.o_orderkey IS NULL THEN 'new'
                 WHEN b.o_totalprice IS DISTINCT FROM e.o_totalprice
@@ -728,11 +729,15 @@ def q42_merge_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery end-to-end against DuckDB — a file-COW
     ``write_manifest`` bootstrap of the existing slice, an
     ``upsert_manifest`` MERGE of the batch slice (update-on-match,
-    insert-on-miss), and a ``read_keys`` point read of the probe keys
-    served through bucket + file-range pruning. The oracle replays
-    the same merge as a full-outer COALESCE, so one wrong row through
-    the store (a missed rewrite, a stale carried file, a mis-pruned
-    point read) breaks the hash."""
+    insert-on-miss) that also applies TOMBSTONES (``delete_keys`` for
+    every 2000th key starting at 1000 — the streaming delete path), a
+    PARTIAL ``merge_buckets`` shrink (so some probe keys resolve
+    through finer rebucketing remnants), and a ``read_keys`` point
+    read of the probe keys served through bucket + file-range
+    pruning. The oracle replays the same merge minus the deletes as a
+    full-outer COALESCE, so one wrong row through the store (a missed
+    rewrite, a stale carried file, an undeleted tombstone, a
+    mis-covered remnant, a mis-pruned point read) breaks the hash."""
     import tempfile
 
     from rialto_airflow_spark.operators.merge import merge_status_counts
@@ -774,8 +779,13 @@ def q42_merge_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_buckets=8, sort_cols=["o_orderkey"], max_file_rows=250,
         )
         store.upsert_manifest(
-            spark, "orders_ms", batch.where(F.col("o_orderkey") % 20 == 0)
+            spark, "orders_ms",
+            batch.where(F.col("o_orderkey") % 20 == 0),
+            delete_keys=orders.where(
+                F.col("o_orderkey") % 2000 == 1000
+            ).select("o_orderkey"),
         )
+        store.merge_buckets(spark, "orders_ms", factor=2, max_merges=1)
         probe_keys = [
             r["o_orderkey"]
             for r in orders.where(F.col("o_orderkey") % 1000 == 0)

@@ -1190,7 +1190,13 @@ class TableStore:
             raise FileNotFoundError(
                 f"table {name} has no manifest version at head"
             )
-        bexpr = self._bucket_expr(info["bucket_key"], info["n_buckets"])
+        key = info["bucket_key"]
+        st = self._schema_of(info)
+        if st is not None and key in st.fieldNames():
+            # recorded-type cast: xxhash64(int) != xxhash64(bigint) —
+            # a sibling-typed probe would silently name wrong buckets
+            batch = batch.select(F.col(key).cast(st[key].dataType).alias(key))
+        bexpr = self._bucket_expr(key, info["n_buckets"])
         return sorted(
             r["b"] for r in batch.select(bexpr.alias("b")).distinct().collect()
         )
@@ -1448,10 +1454,20 @@ class TableStore:
             bexpr = self._bucket_expr(key, n)
             st = self._schema_of(info)
             file_cow = self._file_cow_active(info)
-            probe = batch.select(key)
+            # probe in the RECORDED key type: xxhash64(int) !=
+            # xxhash64(bigint), and union coercion would widen the
+            # MERGED rows to the recorded type anyway — an uncast
+            # sibling-typed probe names buckets the written rows
+            # don't land in (their files would miss the manifest)
+            kc = F.col(key)
+            if st is not None and key in st.fieldNames():
+                kc = kc.cast(st[key].dataType)
+            probe = batch.select(kc.alias(key))
             if delete_keys is not None:
                 probe = probe.unionByName(
-                    delete_keys.select(key).where(F.col(key).isNotNull())
+                    delete_keys.select(kc.alias(key)).where(
+                        F.col(key).isNotNull()
+                    )
                 )
             dirty = sorted(
                 r["b"]
@@ -1657,7 +1673,14 @@ class TableStore:
             bexpr = self._bucket_expr(key, n)
             st = self._schema_of(info)
             file_cow = self._file_cow_active(info)
-            keys = affected_keys.select(F.col(key)).distinct()
+            # cast the probe to the RECORDED key type: xxhash64 hashes
+            # int and bigint differently, so a caller-supplied key
+            # frame of a sibling type would silently resolve to the
+            # wrong buckets (rows "replaced" elsewhere than they live)
+            kc = F.col(key)
+            if st is not None and key in st.fieldNames():
+                kc = kc.cast(st[key].dataType)
+            keys = affected_keys.select(kc.alias(key)).distinct()
             dirty = sorted(
                 {
                     r["b"]

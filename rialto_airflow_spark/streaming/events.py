@@ -611,10 +611,10 @@ def stream_upsert(
         publications-by-author shape).
 
     Change detection is O(changes), not O(table): the micro-batch in
-    hand IS the change set (streaming MERGE never deletes, so its
-    keys are a safe superset of everything that differs between the
-    mart's ``built_from`` version and head — a re-folded unchanged
-    group reproduces its rows exactly). On a manifest table the two
+    hand IS the change set (its keys — tombstoned ones included — are
+    a safe superset of everything that differs between the mart's
+    ``built_from`` version and head; a re-folded unchanged group
+    reproduces its rows exactly). On a manifest table the two
     changed-row slices come from bucket-pruned reads
     (``TableStore.read_buckets`` — O(dirty buckets) bytes per
     trigger at ANY table size); no ``snapshot_diff`` of two full
@@ -747,9 +747,9 @@ def stream_upsert(
             if mart_info:
                 old_mart = store.read(spark, mart["table"])
             # O(changes) change detection (round-10 verdict #1): the
-            # micro-batch in hand IS the change set — streaming MERGE
-            # never deletes, so the batch's keys are a (safe) superset
-            # of every key that differs between built_from and head.
+            # micro-batch in hand IS the change set — its keys
+            # (tombstoned ones included) are a (safe) superset of
+            # every key that differs between built_from and head.
             # The old full-version snapshot_diff (a full-outer join of
             # two complete table snapshots per 10-second trigger — an
             # O(table) READ to discover an O(batch) fact) is gone from

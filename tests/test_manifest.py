@@ -1917,3 +1917,47 @@ def test_resharding_writer_interplay_preserves_rows(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="incompatible"):
         st2.split_buckets(spark, "t", factor=3)  # n2=24; 16 ∤ 24
+
+
+def test_replace_and_batch_buckets_cast_probe_to_recorded_key_type(
+    spark, tmp_path
+):
+    """xxhash64 hashes int and bigint DIFFERENTLY: a caller handing a
+    sibling-typed key frame to replace_keys_manifest / batch_buckets
+    must still resolve the right buckets (the probe casts to the
+    recorded key type), or rows would be 'replaced' in buckets they
+    don't live in — silent duplication."""
+    st = TableStore(str(tmp_path))
+    st.write_manifest(
+        _base(spark, n=100), "t", "id",
+        n_buckets=8, sort_cols=["id"], max_file_rows=20,
+    )
+    # int-typed probe against the bigint-keyed table
+    keys_int = spark.createDataFrame([(7,), (13,)], "id int")
+    frag = spark.createDataFrame(
+        [(7, -7, 0), (13, -13, 0)], "id long, v long, grp int"
+    )
+    st.replace_keys_manifest(spark, "t", keys_int, frag)
+    got = {r["id"]: r["v"] for r in st.read(spark, "t").collect()}
+    want = {i: i * 2 for i in range(100)}
+    want[7], want[13] = -7, -13
+    assert got == want  # no duplicates, both rows actually replaced
+    bks_int = st.batch_buckets("t", keys_int)
+    bks_long = st.batch_buckets(
+        "t", spark.createDataFrame([(7,), (13,)], "id long")
+    )
+    assert bks_int == bks_long
+    # upsert has the same hazard with a worse failure: union coercion
+    # widens the MERGED rows to bigint, so an uncast int probe names
+    # buckets the written rows don't land in and their files would
+    # silently miss the manifest
+    st.upsert_manifest(
+        spark, "t",
+        spark.createDataFrame([(21, -21, 0), (200, -200, 0)],
+                              "id int, v int, grp int"),
+        delete_keys=spark.createDataFrame([(13,)], "id int"),
+    )
+    got = {r["id"]: r["v"] for r in st.read(spark, "t").collect()}
+    want[21], want[200] = -21, -200
+    del want[13]
+    assert got == want
