@@ -29,8 +29,22 @@ from rialto_airflow_spark.plans.queries import register
 from rialto_airflow_spark.session import load_tables
 
 # q42's materialized store leg, memoized per (sf_dir, orders
-# fingerprint) — see q42_merge_status
-_Q42_STORES: dict[tuple, str] = {}
+# fingerprint) — see q42_merge_status. One live entry per sf_dir:
+# a regenerated dataset's new fingerprint evicts (and removes on
+# disk) the superseded store instead of leaking a mkdtemp per
+# rebuild.
+_Q42_STORES: dict[tuple, tuple] = {}
+
+
+def clear_q42_stores() -> None:
+    """Drop the q42 store memo and its scratch dirs — the test/
+    fixture hook for dataset rebuilds (mirrors
+    ``streaming.events.clear_staged``)."""
+    import shutil
+
+    for root, _keys in _Q42_STORES.values():
+        shutil.rmtree(root, ignore_errors=True)
+    _Q42_STORES.clear()
 
 NUM_PERM, BANDS = 12, 4  # mirror q21 so the pair graph is identical
 
@@ -765,12 +779,29 @@ def q42_merge_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage_events_input pattern): repeated bench iterations re-pay
     # only the point read, and a regenerated dataset invalidates the
     # memo instead of serving a stale store.
+    import glob as _glob
     import os as _os
+    import shutil as _shutil
 
+    # child-globbing fingerprint (the _source_fingerprint pattern):
+    # a Spark-written orders.parquet is a DIRECTORY whose inode
+    # mtime/size barely move — fingerprint its files instead
     src = _os.path.join(sf_dir, "orders.parquet")
-    fp = (sf_dir, int(_os.path.getmtime(src)), _os.path.getsize(src))
+    fp = (
+        sf_dir,
+        tuple(
+            (p, int(_os.path.getmtime(p)), _os.path.getsize(p))
+            for p in sorted(
+                _glob.glob(src) + _glob.glob(_os.path.join(src, "*"))
+            )
+        ),
+    )
     memo = _Q42_STORES.get(fp)
     if memo is None:
+        for stale_fp in [
+            k for k in _Q42_STORES if k[0] == sf_dir and k != fp
+        ]:
+            _shutil.rmtree(_Q42_STORES.pop(stale_fp)[0], ignore_errors=True)
         root = tempfile.mkdtemp(prefix="rspark_q42_store_")
         store = TableStore(root)
         store.write_manifest(

@@ -653,7 +653,12 @@ class TableStore:
         would silently shadow it (after :meth:`merge_buckets`, one
         bucket's rows can legitimately be spread across a fine entry
         plus finer remnants). Fixpoint over the bucket→entries map —
-        O(entries), driver-local."""
+        O(entries), driver-local. The closure can expand a
+        caller-bounded pass well past its budget (crossing split and
+        merge migrations chain entries transitively); that's required
+        for correctness, but surprise-sized rewrites get a WARNING so
+        the caller can finish one migration before starting the
+        next."""
         by_bucket: dict[int, list] = {}
         for k in manifest:
             for bk in cls._entry_covered_buckets(k, n_default, n_target):
@@ -667,6 +672,18 @@ class TableStore:
                 for k2 in by_bucket.get(bk, []):
                     if k2 not in closed:
                         frontier.add(k2)
+        if len(closed) > 2 * max(len(seed), 1) and len(closed) > 4:
+            import warnings
+
+            warnings.warn(
+                f"bucket-sharing closure expanded a {len(seed)}-entry "
+                f"rewrite to {len(closed)} entries (crossing "
+                "rebucketing migrations share buckets transitively); "
+                "the pass stays correct but exceeds its size budget — "
+                "finish the outstanding migration (factor=1 calls) "
+                "before starting another",
+                stacklevel=3,
+            )
         return closed
 
     @classmethod
@@ -1595,10 +1612,12 @@ class TableStore:
             }
             for cfg in (
                 "sort_cols", "max_file_rows", "auto_compact_files",
-                "auto_compact_floor",
             ):
                 if info.get(cfg):
                     payload[cfg] = info[cfg]
+            floor = self._carry_floor(info, new_manifest)
+            if floor:
+                payload["auto_compact_floor"] = floor
             try:
                 store.commit(vdir, extra=payload, expected=seq0)
             except CommitConflict:
@@ -1620,7 +1639,7 @@ class TableStore:
             # huge) — only the file-count axis.
             thresh = info.get("auto_compact_files")
             if thresh and file_cow:
-                floor = info.get("auto_compact_floor") or {}
+                floor = floor or {}  # the revalidated carry above
 
                 def _over(k) -> bool:
                     e = new_manifest.get(str(k))
@@ -1681,6 +1700,11 @@ class TableStore:
             if st is not None and key in st.fieldNames():
                 kc = kc.cast(st[key].dataType)
             keys = affected_keys.select(kc.alias(key)).distinct()
+            # the fragment probe casts too: the union with kept rows
+            # widens the fragment's key to the recorded type, so the
+            # LANDING buckets hash the recorded type — an uncast probe
+            # would miss them and the stats-not-in-dirty rebuild below
+            # would replace those buckets' entries wholesale
             dirty = sorted(
                 {
                     r["b"]
@@ -1688,9 +1712,10 @@ class TableStore:
                 }
                 | {
                     r["b"]
-                    for r in fragment.select(
-                        bexpr.alias("b")
-                    ).distinct().collect()
+                    for r in fragment.select(kc.alias(key))
+                    .select(bexpr.alias("b"))
+                    .distinct()
+                    .collect()
                 }
             )
             # file-granular REPLACE: inside a dirty bucket, a carried
@@ -1820,15 +1845,50 @@ class TableStore:
             )
             for cfg in (
                 "sort_cols", "max_file_rows", "auto_compact_files",
-                "auto_compact_floor",
             ):
                 if info.get(cfg):
                     payload[cfg] = info[cfg]
+            floor = self._carry_floor(info, new_manifest)
+            if floor:
+                payload["auto_compact_floor"] = floor
             try:
                 store.commit(vdir, extra=payload, expected=seq0)
                 return vdir
             except CommitConflict:
                 continue  # concurrent manifest writer won; redo on new head
+
+    def _carry_floor(
+        self, info: dict, new_manifest: dict
+    ) -> dict | None:
+        """The auto-compaction floor map REVALIDATED against the
+        version being committed: a bucket that shrank below its
+        recorded post-compaction floor (delete-heavy rewrite) lowers
+        it, one that dropped to/below the threshold — or emptied, or
+        dissolved — clears it. Carrying floors verbatim would let a
+        shrunken bucket re-fragment to ``thresh + stale-floor`` files
+        with no trigger, and a phantom floor on a bucket that emptied
+        and later re-formed would suppress compaction of brand-new
+        data. Driver-side dict work, O(floor entries ≤ n_buckets)."""
+        floor = info.get("auto_compact_floor")
+        if not floor:
+            return None
+        thresh = info.get("auto_compact_files") or 0
+        out: dict = {}
+        for fk, fl in floor.items():
+            e = new_manifest.get(fk)
+            if e is None:
+                continue  # emptied or dissolved: floor gone with it
+            if isinstance(e, str):
+                # dir-form entry (file counts unknown here): keep —
+                # the config is file-COW for floors to exist at all,
+                # so this is a legacy carrier about to self-heal
+                out[fk] = fl
+                continue
+            n_files = len(e["files"])
+            if n_files <= thresh:
+                continue  # back under threshold: no floor needed
+            out[fk] = min(fl, n_files)
+        return out or None
 
     def compact_buckets(
         self,
@@ -1877,12 +1937,20 @@ class TableStore:
             for k, e in manifest.items():
                 for vd in self._entry_carriers(e):
                     by_carrier.setdefault(vd, []).append(k)
+            # floor-aware selection: a bucket sitting exactly at its
+            # recorded post-compaction floor (row count legitimately
+            # needs that many full files) gained nothing — rewriting
+            # it on every trigger of some OTHER bucket would re-pay
+            # whole-bucket rewrites forever; only an accreted tail
+            # (len > max(threshold, floor)) is worth folding
+            _floor = info.get("auto_compact_floor") or {}
             frag = {
                 k
                 for k, e in manifest.items()
                 if max_files_per_bucket
                 and not isinstance(e, str)
-                and len(e["files"]) > max_files_per_bucket
+                and len(e["files"])
+                > max(max_files_per_bucket, _floor.get(k, 0))
             }
             over_spread = (
                 len(by_carrier) > max_carriers or max_carriers <= 1
@@ -2012,8 +2080,14 @@ class TableStore:
         remnants (coarsest first, biggest first within a modulus)
         into fine entries; call again with ``factor=1`` until it
         returns None to finish the migration at your own pace. Rows
-        rewritten per call = the chosen remnants' rows, never the
-        table. Writers touching a remnant meanwhile split it
+        rewritten per call = the chosen remnants' rows PLUS their
+        bucket-sharing closure — entries a chosen remnant shares a
+        target bucket with must move in the same pass (correctness:
+        the new fine entry would shadow them). Mid-way through
+        crossing split and merge migrations the closure can pull in
+        substantially more than ``max_splits`` entries; the expansion
+        is logged at WARNING when it exceeds 2× the chosen set.
+        Writers touching a remnant meanwhile split it
         opportunistically (upsert/replace/compact all dissolve coarse
         entries whole), so the migration also completes itself under
         write traffic. Time travel across the boundary keeps working:

@@ -1961,3 +1961,118 @@ def test_replace_and_batch_buckets_cast_probe_to_recorded_key_type(
     want[21], want[200] = -21, -200
     del want[13]
     assert got == want
+
+
+def test_replace_fragment_only_sibling_typed_key_no_row_loss(
+    spark, tmp_path
+):
+    """Round-12 review, the probe-cast fix's other half: the DIRTY
+    set must name the buckets a sibling-typed fragment's rows LAND
+    in (union coercion widens them to the recorded bigint). An
+    uncast fragment probe names the int-hash buckets instead, and a
+    landing bucket outside the dirty set gets its manifest entry
+    REPLACED by just the new files — silent loss of its pre-existing
+    rows."""
+    st = TableStore(str(tmp_path))
+    st.write_manifest(
+        _base(spark, n=100), "t", "id",
+        n_buckets=8, sort_cols=["id"], max_file_rows=20,
+    )
+    # a fragment-only key whose int-hash bucket differs from its
+    # bigint-hash bucket (xxhash64 is type-sensitive)
+    cand = (
+        spark.range(100, 2000)
+        .select(
+            "id",
+            F.pmod(
+                F.xxhash64(F.col("id").cast("int")), F.lit(8)
+            ).alias("bi"),
+            F.pmod(F.xxhash64("id"), F.lit(8)).alias("bl"),
+        )
+        .where("bi <> bl")
+        .limit(1)
+        .collect()[0]
+    )
+    nk = cand["id"]
+    st.replace_keys_manifest(
+        spark, "t",
+        spark.createDataFrame([(7,)], "id int"),
+        spark.createDataFrame(
+            [(7, -7, 0), (nk, -nk, 0)], "id int, v int, grp int"
+        ),
+    )
+    got = {r["id"]: r["v"] for r in st.read(spark, "t").collect()}
+    want = {i: i * 2 for i in range(100)}
+    want[7], want[nk] = -7, -nk
+    assert got == want
+
+
+def test_auto_compact_floor_lifecycle(spark, tmp_path):
+    """Round-12 review (two findings): (a) a floored bucket that
+    accreted NOTHING is never rewritten when some other bucket's
+    trigger fires — compact's frag selection is floor-aware, so the
+    per-trigger cost is O(offending bucket), not O(all floored
+    buckets); (b) floors REVALIDATE on every keyed rewrite — a
+    delete-heavy upsert that shrinks a floored bucket to/below the
+    threshold drops its floor instead of letting it re-fragment to
+    thresh + stale-floor files unnoticed."""
+    st = TableStore(str(tmp_path))
+    st.write_manifest(
+        _base(spark, n=200), "t", "id",
+        n_buckets=2, sort_cols=["id"], max_file_rows=10,
+        auto_compact_files=5,
+    )
+    # ~100 rows/bucket at 10 rows/file: both buckets sit legitimately
+    # above the threshold, so the first compaction records floors
+    st.compact_buckets(
+        spark, "t", max_carriers=1 << 30, max_files_per_bucket=5
+    )
+    info = st.current_info("t")
+    floor0 = dict(info.get("auto_compact_floor") or {})
+    assert set(floor0) == {"0", "1"}
+
+    def bucket_of(i):
+        return st.batch_buckets(
+            "t", spark.createDataFrame([(i,)], "id long")
+        )[0]
+
+    b_t = bucket_of(10_000)
+    b_o = 1 - b_t
+    files_before = [
+        f[0] for f in info["manifest"][str(b_o)]["files"]
+    ]
+    new_ids = [
+        i for i in range(10_000, 10_400) if bucket_of(i) == b_t
+    ][:12]
+    assert len(new_ids) == 12
+    for i in new_ids:
+        st.upsert_manifest(
+            spark, "t",
+            spark.createDataFrame(
+                [(i, -i, 0)], "id long, v long, grp int"
+            ),
+        )
+    info2 = st.current_info("t")
+    # (a) the trigger fired for b_t (file tail stayed bounded) ...
+    fl_t = (info2.get("auto_compact_floor") or {}).get(str(b_t), 0)
+    assert len(info2["manifest"][str(b_t)]["files"]) <= 5 + fl_t
+    # ... and the untouched floored bucket's files are IDENTICAL —
+    # never read, never rewritten, across every trigger
+    assert [
+        f[0] for f in info2["manifest"][str(b_o)]["files"]
+    ] == files_before
+    # (b) shrink b_o under the threshold: its floor must drop
+    del_ids = [i for i in range(200) if bucket_of(i) == b_o][:-3]
+    st.upsert_manifest(
+        spark, "t",
+        spark.createDataFrame([], "id long, v long, grp int"),
+        delete_keys=spark.createDataFrame(
+            [(i,) for i in del_ids], "id long"
+        ),
+    )
+    info3 = st.current_info("t")
+    assert str(b_o) not in (info3.get("auto_compact_floor") or {})
+    got = {r["id"]: r["v"] for r in st.read(spark, "t").collect()}
+    want = {i: i * 2 for i in range(200) if i not in set(del_ids)}
+    want |= {i: -i for i in new_ids}
+    assert got == want
