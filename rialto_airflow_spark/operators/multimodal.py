@@ -249,12 +249,170 @@ def decode_png(content: bytes) -> dict:
     }
 
 
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw(min_code: int, data: bytes, n_pixels: int) -> bytearray:
+    """GIF-variant LZW decompression (LSB-first variable-width codes,
+    clear/end codes, deferred width growth to 12 bits, the KwKwK
+    self-referential case). Raises ``ValueError`` on a code outside
+    the table — corrupt payload, not infrastructure."""
+    clear = 1 << min_code
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < width and pos < len(data):
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < width:
+            break  # stream exhausted
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW stream starts with non-literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK: the just-about-to-be-added code
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW code {code} outside table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def decode_gif(content: bytes) -> dict:
+    """REAL pure-stdlib decode for GIF87a/89a — the second COMPRESSED
+    codec family through the real-decoder contract (LZW, where PNG is
+    DEFLATE): logical-screen + image descriptors, global/local color
+    tables, block-chained LZW decompression of the FIRST frame,
+    interlace de-weave (the 8/8/4/2 four-pass order), and mean R/G/B
+    over the palette-RESOLVED pixels, so a wrong code-width bump
+    shows up as wrong means; ``pixel_crc`` (CRC-32 of the de-woven
+    index sequence) is ORDER-sensitive, so a mis-ordered interlace
+    pass — invisible to permutation-invariant means — breaks it.
+    Later frames are counted (``n_frames``) but not decoded — frame
+    extraction at scale goes through :func:`demux_frames`."""
+    import struct
+    import zlib
+
+    if len(content) < 13 or content[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = content[pos:pos + 3 * n]
+        pos += 3 * n
+    n_frames = 0
+    first = None
+    while pos < len(content):
+        b0 = content[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label byte + sub-blocks
+            pos += 1
+            while pos < len(content) and content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 9 > len(content):
+                raise ValueError("GIF image descriptor truncated")
+            _l, _t, fw, fh, fp = struct.unpack(
+                "<HHHHB", content[pos:pos + 9]
+            )
+            pos += 9
+            pal = gct
+            if fp & 0x80:
+                n = 2 << (fp & 0x07)
+                pal = content[pos:pos + 3 * n]
+                pos += 3 * n
+            min_code = content[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(content) and content[pos]:
+                sz = content[pos]
+                data += content[pos + 1:pos + 1 + sz]
+                pos += 1 + sz
+            pos += 1  # block terminator
+            n_frames += 1
+            if first is None:
+                if pal is None:
+                    raise ValueError("GIF frame has no color table")
+                if not 2 <= min_code <= 11:
+                    raise ValueError(
+                        f"bad GIF LZW min code size {min_code}"
+                    )
+                px = _gif_lzw(min_code, bytes(data), fw * fh)
+                if len(px) < fw * fh:
+                    raise ValueError("GIF pixel data truncated")
+                first = (fw, fh, bool(fp & 0x40), pal, px[: fw * fh])
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    if first is None:
+        raise ValueError("GIF has no image frame")
+    fw, fh, interlaced, pal, px = first
+    if interlaced:
+        order = (
+            list(range(0, fh, 8)) + list(range(4, fh, 8))
+            + list(range(2, fh, 4)) + list(range(1, fh, 2))
+        )
+        woven = bytearray(fw * fh)
+        for src, dst in enumerate(order):
+            woven[dst * fw:(dst + 1) * fw] = px[src * fw:(src + 1) * fw]
+        px = woven
+    n_colors = len(pal) // 3
+    tot_r = tot_g = tot_b = 0
+    for i in px:
+        if i >= n_colors:
+            raise ValueError("GIF pixel index outside its color table")
+        tot_r += pal[3 * i]
+        tot_g += pal[3 * i + 1]
+        tot_b += pal[3 * i + 2]
+    n_px = max(fw * fh, 1)
+    return {
+        "format": "gif",
+        "width": fw,
+        "height": fh,
+        "screen_width": sw,
+        "screen_height": sh,
+        "n_frames": n_frames,
+        "pixel_crc": zlib.crc32(bytes(px)) & 0xFFFFFFFF,
+        "mean_r": tot_r / n_px,
+        "mean_g": tot_g / n_px,
+        "mean_b": tot_b / n_px,
+    }
+
+
 def stdlib_decode_media(content: bytes, kind: str) -> dict:
     """Drop-in for :func:`decode_media` with REAL decoding where the
     standard library suffices: ``audio`` payloads parse as PCM WAV,
-    ``image`` payloads as 24-bit BMP or 8-bit PNG (dispatched on the
-    magic bytes — PNG is the compressed path, zlib-inflated and
-    filter-reconstructed); every other kind falls back to the stub
+    ``image`` payloads as 24-bit BMP, 8-bit PNG or GIF (dispatched on
+    the magic bytes — PNG and GIF are the compressed paths, DEFLATE-
+    inflated + filter-reconstructed and LZW-decompressed
+    respectively); every other kind falls back to the stub
     (the injected-codec seam is unchanged — this is one concrete
     decoder a deployment could inject, shipped in-tree). Returns the
     :data:`FEATURE_DDL` shape (magic_int + feature), with the decoded
@@ -276,6 +434,16 @@ def stdlib_decode_media(content: bytes, kind: str) -> dict:
                 "feature": (
                     f"png:{p['width']}x{p['height']} rgb=({p['mean_r']:.1f},"
                     f"{p['mean_g']:.1f},{p['mean_b']:.1f})"
+                ),
+            }
+        if content[:6] in GIF_SIGS:
+            g = decode_gif(content)
+            return {
+                "magic_int": g["width"] * g["height"],
+                "feature": (
+                    f"gif:{g['width']}x{g['height']} f{g['n_frames']} "
+                    f"rgb=({g['mean_r']:.1f},{g['mean_g']:.1f},"
+                    f"{g['mean_b']:.1f})"
                 ),
             }
         b = decode_bmp(content)

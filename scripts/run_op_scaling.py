@@ -525,9 +525,31 @@ def wop_training_shards(spark, d):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def wop_tombstone_delete(spark, d):
+    """Round-12 tombstones, measured: 10 deleted keys land on the
+    file-COW manifest table as a keyed rewrite of ONLY the files
+    whose range covers a deleted key (the streaming ``delete_col`` /
+    ``upsert_manifest(delete_keys=)`` path) — bytes must stay ~flat
+    as the table grows, like the 10-key upsert above; a table-sized
+    curve here would mean deletes re-pay whole buckets. Runs AFTER
+    the point-read ops (dict order), so the deleted id range
+    (100..109) never overlaps their probe keys."""
+    st = _write_stores(spark, d)
+    keys = (
+        _docs_table(spark, d)
+        .where((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+        .select("doc_id")
+    )
+    vdir = st.upsert_manifest(
+        spark, "m", _docs_table(spark, d).limit(0), delete_keys=keys
+    )
+    return _version_bytes(vdir)
+
+
 WRITE_OPS = {
     "write_upsert_manifest_10chg": wop_upsert_manifest,
     "write_upsert_bucket_granular_10chg": wop_upsert_bucket_granular,
+    "write_tombstone_delete_10keys": wop_tombstone_delete,
     "write_full_rewrite_10chg": wop_full_rewrite,
     "write_training_shards_64": wop_training_shards,
     "write_dag_incremental_persist_10chg": wop_dag_incremental_persist,

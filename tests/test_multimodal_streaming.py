@@ -1774,3 +1774,205 @@ def test_stdlib_decode_dispatches_png(spark):
     assert r["magic_int"] == 8  # 4x2 px
     assert r["feature"].startswith("png:4x2 ")
     assert "rgb=(127.5,0.0,127.5)" in r["feature"]
+
+
+def _gif_bytes(rows, palette, interlaced=False, extra_frames=0):
+    """Minimal GIF89a encoder for the decoder tests: literal LZW
+    codes with a clear code re-emitted before the table would force a
+    width bump (the classic 'uncompressed GIF' trick), real sub-block
+    framing, a skippable extension block, optional interlace row
+    reordering and trailing 1x1 frames — bytes any GIF reader
+    accepts."""
+    import struct
+
+    h, w = len(rows), len(rows[0])
+    n_colors = len(palette) // 3
+    mc = max(2, (n_colors - 1).bit_length())
+    k = 0
+    while (2 << k) < n_colors:
+        k += 1
+    pal = palette + bytes(3 * ((2 << k) - n_colors))
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | k, 0, 0) + pal
+    # a graphic-control extension the decoder must skip
+    out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+
+    def lzw(pixels):
+        clear, end, width = 1 << mc, (1 << mc) + 1, mc + 1
+        acc = nbits = 0
+        data = bytearray()
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        run = max(clear - 2, 1)
+        for i, p in enumerate(pixels):
+            if i and i % run == 0:
+                emit(clear)
+            emit(p)
+        emit(end)
+        if nbits:
+            data.append(acc & 0xFF)
+        return bytes(data)
+
+    def frame(fw, fh, pixels, fpacked):
+        body = bytearray()
+        body += b"\x2C" + struct.pack("<HHHHB", 0, 0, fw, fh, fpacked)
+        body.append(mc)
+        data = lzw(pixels)
+        for i in range(0, len(data), 255):
+            blk = data[i:i + 255]
+            body.append(len(blk))
+            body += blk
+        body.append(0)
+        return body
+
+    if interlaced:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        stream_rows = [rows[r] for r in order]
+    else:
+        stream_rows = rows
+    out += frame(
+        w, h, [p for r in stream_rows for p in r],
+        0x40 if interlaced else 0,
+    )
+    for _ in range(extra_frames):
+        out += frame(1, 1, [0], 0)
+    out += b"\x3B"
+    return bytes(out)
+
+
+def test_decode_gif_lzw_palette_and_interlace(spark):
+    """The pure-stdlib GIF decoder (second compressed codec family —
+    LZW where PNG is DEFLATE): exact dimensions, frame count, and
+    palette-resolved pixel means from real synthesized GIF bytes,
+    plus the ORDER-sensitive pixel_crc that pins the interlace
+    de-weave (means are permutation-invariant, so only the crc can
+    catch a mis-ordered pass)."""
+    import random
+    import zlib as _zlib
+
+    rng = random.Random(11)
+    # 6x5, 4-color palette: min code size 2, clears every 2 literals
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 40, 50, 60])
+    rows = [[rng.randrange(4) for _ in range(6)] for _ in range(5)]
+    got = MM.decode_gif(_gif_bytes(rows, pal))
+    assert (got["width"], got["height"], got["n_frames"]) == (6, 5, 1)
+    flat = [p for r in rows for p in r]
+    assert abs(got["mean_r"] - sum(pal[3 * p] for p in flat) / 30) < 1e-9
+    assert abs(got["mean_b"] - sum(pal[3 * p + 2] for p in flat) / 30) < 1e-9
+    assert got["pixel_crc"] == _zlib.crc32(bytes(flat)) & 0xFFFFFFFF
+
+    # interlaced 8-row image, every row a distinct index: the decoded
+    # index SEQUENCE must equal the source rows' — the crc pins the
+    # 8/8/4/2 pass order exactly
+    pal8 = bytes(v for i in range(8) for v in (i * 30, 255 - i * 30, i))
+    rows8 = [[i] * 4 for i in range(8)]
+    gi = MM.decode_gif(_gif_bytes(rows8, pal8, interlaced=True))
+    flat8 = bytes(p for r in rows8 for p in r)
+    assert gi["pixel_crc"] == _zlib.crc32(flat8) & 0xFFFFFFFF
+
+    # animated: later frames counted, first frame decoded
+    ga = MM.decode_gif(_gif_bytes(rows, pal, extra_frames=2))
+    assert ga["n_frames"] == 3 and ga["mean_r"] == got["mean_r"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MM.decode_gif(b"not a gif")
+    with _pytest.raises(ValueError):
+        MM.decode_gif(_gif_bytes(rows, pal)[:-8])  # truncated pixels
+
+
+def test_decode_gif_kwkwk_and_width_growth(spark):
+    """The LZW corner cases, hand-crafted: the self-referential KwKwK
+    code (code == next table slot) and dictionary growth across a
+    code-width bump — no encoder shortcut exercises these, so the
+    codes are laid out by hand."""
+    import struct
+
+    # palette: 4 colors; mc=2 -> clear=4, end=5, width starts at 3
+    pal = bytes([10, 0, 0, 0, 20, 0, 0, 0, 30, 1, 2, 3])
+    codes, width = [4, 0, 6, 5], 3  # clear, literal 0, KwKwK, end
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    gif = (
+        b"GIF89a" + struct.pack("<HHBBB", 3, 1, 0x81, 0, 0) + pal
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, 3, 1, 0)
+        + bytes([2, len(data)]) + bytes(data) + b"\x00\x3B"
+    )
+    got = MM.decode_gif(gif)
+    # KwKwK: output is [0, 0, 0] -> solid color 0
+    assert (got["width"], got["height"]) == (3, 1)
+    assert (got["mean_r"], got["mean_g"], got["mean_b"]) == (10.0, 0.0, 0.0)
+
+    # width growth: a long literal run with NO re-clears must bump the
+    # decoder's code width exactly when the encoder's does; _gif_lzw
+    # is driven directly with an encoder that mirrors the table growth
+    mc, n_px = 2, 40
+    clear, end = 1 << mc, (1 << mc) + 1
+    pixels = [(i * 7) % 4 for i in range(n_px)]
+    acc = nbits = 0
+    data = bytearray()
+    w2 = mc + 1
+    size = clear + 2
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, w2)
+    for i, p in enumerate(pixels):
+        emit(p, w2)
+        if i:  # decoder adds an entry for every literal after the first
+            size += 1
+            if size == (1 << w2) and w2 < 12:
+                w2 += 1
+    emit(end, w2)
+    if nbits:
+        data.append(acc & 0xFF)
+    out = MM._gif_lzw(mc, bytes(data), n_px)
+    assert list(out) == pixels
+
+
+def test_stdlib_decode_dispatches_gif(spark):
+    """stdlib_decode_media routes GIF payloads by magic bytes through
+    the real decoder, end-to-end through the Arrow-batched
+    extract_features plan."""
+    pal = bytes([200, 0, 0, 0, 0, 200, 0, 0, 0, 0, 0, 0])
+    gif = _gif_bytes([[0, 1, 0, 1], [1, 0, 1, 0]], pal, extra_frames=1)
+    df = spark.createDataFrame([(9, gif)], "media_id bigint, payload binary")
+    media = df.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.col("payload").alias("content"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+    )
+    out = MM.extract_features(media, decode=MM.stdlib_decode_media).collect()
+    assert out[0]["magic_int"] == 8
+    assert out[0]["feature"].startswith("gif:4x2 f2 rgb=(100.0,0.0,100.0)")
