@@ -1976,3 +1976,54 @@ def test_stdlib_decode_dispatches_gif(spark):
     out = MM.extract_features(media, decode=MM.stdlib_decode_media).collect()
     assert out[0]["magic_int"] == 8
     assert out[0]["feature"].startswith("gif:4x2 f2 rgb=(100.0,0.0,100.0)")
+
+
+def test_decode_gif_property_roundtrip(spark):
+    """Property: for random dimensions, palettes, pixel contents and
+    interlacing, decode_gif recovers the exact source index sequence
+    (pixel_crc) and exact palette-resolved means from _gif_bytes
+    output — the encoder and decoder share no code, so agreement pins
+    both sides of the LZW + framing + de-weave contract."""
+    import zlib as _zlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        n_colors=st.integers(2, 17),
+        interlaced=st.booleans(),
+        data=st.data(),
+    )
+    def check(w, h, n_colors, interlaced, data):
+        pal = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=3 * n_colors,
+                    max_size=3 * n_colors,
+                )
+            )
+        )
+        rows = [
+            data.draw(
+                st.lists(
+                    st.integers(0, n_colors - 1), min_size=w, max_size=w
+                )
+            )
+            for _ in range(h)
+        ]
+        got = MM.decode_gif(_gif_bytes(rows, pal, interlaced=interlaced))
+        flat = [p for r in rows for p in r]
+        assert (got["width"], got["height"]) == (w, h)
+        assert got["pixel_crc"] == _zlib.crc32(bytes(flat)) & 0xFFFFFFFF
+        n = w * h
+        assert abs(got["mean_g"] - sum(pal[3 * p + 1] for p in flat) / n) < 1e-9
+
+    check()
