@@ -829,19 +829,26 @@ def test_stream_mart_manifest_compacts_over_plain_table(spark, tmp_path):
 
 
 def test_manifest_lifecycle_model(spark, tmp_path):
-    """Model-based sweep: random interleavings of upsert / keyed
-    replace / compaction / vacuum against a
-    plain dict model of key→value. After EVERY op the store must read
-    back exactly the model — the whole carrier/manifest machinery is
-    invisible to values by contract, no matter the op order. (The
+    """Model-based sweep: random interleavings of upsert (with
+    round-12 TOMBSTONES) / keyed replace / compaction / vacuum /
+    incremental SPLIT and MERGE rebucketing against a plain dict
+    model of key→value. After EVERY op the store must read back
+    exactly the model — the whole carrier/manifest/remnant machinery
+    is invisible to values by contract, no matter the op order. (The
     example tests pin each op in isolation; this pins their
-    COMPOSITIONS, where round-10's defects actually lived.)"""
+    COMPOSITIONS, where round-10's defects actually lived — and
+    where a crossing split/merge migration could shadow or duplicate
+    rows.)"""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
     KEY = st.integers(min_value=0, max_value=30)
     OP = st.one_of(
-        st.tuples(st.just("upsert"), st.lists(KEY, min_size=1, max_size=4)),
+        st.tuples(
+            st.just("upsert"),
+            st.lists(KEY, min_size=1, max_size=4),  # merged keys
+            st.lists(KEY, max_size=2),              # tombstoned keys
+        ),
         st.tuples(
             st.just("replace"),
             st.lists(KEY, min_size=1, max_size=4),  # affected
@@ -849,6 +856,8 @@ def test_manifest_lifecycle_model(spark, tmp_path):
         ),
         st.tuples(st.just("compact"), st.just(None)),
         st.tuples(st.just("vacuum"), st.just(None)),
+        st.tuples(st.just("split"), st.integers(1, 2)),   # factor
+        st.tuples(st.just("merge"), st.integers(1, 2)),   # factor
     )
 
     @settings(
@@ -868,7 +877,10 @@ def test_manifest_lifecycle_model(spark, tmp_path):
         # end to end (sort_cols leading with the key + small files);
         # False keeps the original whole-bucket dir entries covered
         kw = (
-            {"sort_cols": ["id"], "max_file_rows": 3} if file_cow else {}
+            {"sort_cols": ["id"], "max_file_rows": 3,
+             "auto_compact_files": 4}
+            if file_cow
+            else {}
         )
         st_.write_manifest(
             spark.createDataFrame(
@@ -876,16 +888,25 @@ def test_manifest_lifecycle_model(spark, tmp_path):
             ),
             "t", "id", n_buckets=4, **kw,
         )
+        n_now = 4  # tracked modulus for split/merge legality
         step = 0
         for op in ops:
             step += 1
             if op[0] == "upsert":
                 rows = [(k, k * 100 + step) for k in sorted(set(op[1]))]
+                dels = sorted(set(op[2]))
                 st_.upsert_manifest(
                     spark, "t",
                     spark.createDataFrame(rows, "id long, v long"),
+                    delete_keys=spark.createDataFrame(
+                        [(k,) for k in dels], "id long"
+                    )
+                    if dels
+                    else None,
                 )
                 model.update(dict(rows))
+                for k in dels:  # tombstone is the batch's final word
+                    model.pop(k, None)
             elif op[0] == "replace":
                 affected = sorted(set(op[1]))
                 frag_keys = sorted(set(op[2]) & set(affected))
@@ -905,6 +926,18 @@ def test_manifest_lifecycle_model(spark, tmp_path):
                 )
             elif op[0] == "vacuum":
                 st_.vacuum("t", keep=1, orphan_grace_s=0)
+            elif op[0] == "split":
+                if n_now * op[1] <= 16:
+                    st_.split_buckets(
+                        spark, "t", factor=op[1], max_splits=1
+                    )
+                    n_now *= op[1]
+            elif op[0] == "merge":
+                if op[1] > 1 and n_now % op[1] == 0 and n_now > 1:
+                    st_.merge_buckets(
+                        spark, "t", factor=op[1], max_merges=1
+                    )
+                    n_now //= op[1]
             got = {
                 r["id"]: r["v"] for r in st_.read(spark, "t").collect()
             }
