@@ -84,6 +84,32 @@ class Dag:
         return dag
 
 
+def _cut_lineage(df):
+    """Bound plan growth at a chain fan-out point.
+
+    Every dedup pass / merge references its input MORE THAN ONCE
+    (scoped+anti, join+semi), so a lazily chained run's logical plan
+    doubles per stage — Catalyst analysis/physical planning over the
+    resulting tree is exponential in chain length (measured: the tiny
+    end-to-end DAG fixture spent ~6 min of pure driver CPU planning
+    the four mart writes). Truncating at each fan-out point keeps the
+    plan linear; the data cost is one materialization of a frame every
+    downstream consumer was going to execute (repeatedly) anyway.
+
+    Local mode: ``localCheckpoint`` (executor-local blocks are safe
+    there) replaces the logical plan outright. Cluster: ``persist`` —
+    consumers swap the cached subtree for InMemoryRelation before the
+    optimizer runs, bounding planner cost per consumer while keeping
+    recoverable lineage (same trade-off as the distill task, which
+    pioneered this guard)."""
+    sc = df.sparkSession.sparkContext
+    if sc.master.startswith("local"):
+        return df.localCheckpoint()
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def build_harvest_dag() -> Dag:
     """harvest_incremental task graph (harvest_incremental.py:46-227):
 
@@ -238,6 +264,12 @@ def build_harvest_dag() -> Dag:
             ctx["pubs"], ctx["author_edges"], ctx["funder_edges"],
             return_losers=True,
         )
+        # five passes each reference their input 2-3x — cut here so
+        # distill/link/orphans/marts plan against shallow frames
+        # instead of a 2^5-fanout tree (see _cut_lineage)
+        pubs, ae, fe = _cut_lineage(pubs), _cut_lineage(ae), _cut_lineage(fe)
+        if _tracking(ctx) and losers is not None:
+            losers = _cut_lineage(losers)
         ctx["pubs"], ctx["author_edges"], ctx["funder_edges"] = pubs, ae, fe
         if _tracking(ctx) and losers is not None:
             # losers are the run's pub deletes; survivors gain the
@@ -310,34 +342,29 @@ def build_harvest_dag() -> Dag:
             merged.drop(*flag_cols), ctx["author_edges"], ctx["authors"]
         ).select(*merged.columns)
         # cut the lineage once: the where/where-not split embeds the
-        # full harvest+dedupe chain in BOTH union branches, and every
+        # dedupe-truncated chain in BOTH union branches, and every
         # downstream consumer (orphan removal, funder linking, four
         # marts, snapshot publish) would otherwise recompute it twice
-        # per action. localCheckpoint blocks are executor-LOCAL (not
-        # replicated), so it is safe only where executors can't be
-        # lost — local mode; a cluster run keeps the recoverable
-        # persisted lineage (and, like the two-run tests, typically
-        # materializes through the table store at the run boundary
-        # anyway)
-        sc = out.sparkSession.sparkContext
-        if sc.master.startswith("local"):
-            ctx["pubs"] = out.localCheckpoint()
-        else:
-            from pyspark import StorageLevel
-
-            ctx["pubs"] = out.persist(StorageLevel.MEMORY_AND_DISK)
+        # per action (trade-offs in _cut_lineage)
+        ctx["pubs"] = _cut_lineage(out)
 
     @dag.task("link_funders", upstream=("dedupe",))
     def link(ctx):
         dims = ctx.get("dims", {})
         if "federal" in dims:
             old_fe = ctx["funder_edges"]
-            ctx["funders"], ctx["funder_edges"] = H.link_funders(
+            funders, fe = H.link_funders(
                 ctx["pubs"],
                 ctx["funders"],
                 old_fe,
                 dims["federal"],
                 dims.get("openalex_funders"),
+            )
+            # the link references pubs + both funder frames several
+            # times and feeds four marts + complete(): cut here so
+            # each consumer replans a shallow frame (see _cut_lineage)
+            ctx["funders"], ctx["funder_edges"] = (
+                _cut_lineage(funders), _cut_lineage(fe)
             )
             if _tracking(ctx):
                 # pubs that JUST gained funder edges (P7 only processes
@@ -648,24 +675,31 @@ def build_publish_dag() -> Dag:
     @dag.task("publish_publications", upstream=("check_harvest_complete",))
     def pubs_mart(ctx):
         if ctx["publish_ok"]:
-            ctx["mart_publications"] = M.mart_publications(
+            # each mart is consumed 2-3x (store snapshot, download
+            # CSV, caller asserts); cut so each consumer neither
+            # replans nor recomputes the mart chain (_cut_lineage)
+            ctx["mart_publications"] = _cut_lineage(M.mart_publications(
                 ctx["pubs"], ctx["funder_edges"], ctx["funders"]
-            )
+            ))
 
     @dag.task("publish_by_school", upstream=("publish_publications",))
     def school(ctx):
         if ctx["publish_ok"]:
-            ctx["mart_by_school"] = M.mart_publications_by_school(
-                ctx["pubs"], ctx["author_edges"], ctx["authors"],
-                ctx["funder_edges"], ctx["funders"],
+            ctx["mart_by_school"] = _cut_lineage(
+                M.mart_publications_by_school(
+                    ctx["pubs"], ctx["author_edges"], ctx["authors"],
+                    ctx["funder_edges"], ctx["funders"],
+                )
             )
 
     @dag.task("publish_by_department", upstream=("publish_by_school",))
     def dept(ctx):
         if ctx["publish_ok"]:
-            ctx["mart_by_department"] = M.mart_publications_by_department(
-                ctx["pubs"], ctx["author_edges"], ctx["authors"],
-                ctx["funder_edges"], ctx["funders"],
+            ctx["mart_by_department"] = _cut_lineage(
+                M.mart_publications_by_department(
+                    ctx["pubs"], ctx["author_edges"], ctx["authors"],
+                    ctx["funder_edges"], ctx["funders"],
+                )
             )
 
     @dag.task("publish_by_author", upstream=("publish_by_department",))
@@ -713,9 +747,11 @@ def build_publish_dag() -> Dag:
                     )
                 )
             else:
-                ctx["mart_by_author"] = M.mart_publications_by_author(
-                    ctx["pubs"], ctx["author_edges"], ctx["authors"],
-                    ctx["funder_edges"], ctx["funders"],
+                ctx["mart_by_author"] = _cut_lineage(
+                    M.mart_publications_by_author(
+                        ctx["pubs"], ctx["author_edges"], ctx["authors"],
+                        ctx["funder_edges"], ctx["funders"],
+                    )
                 )
 
     @dag.task("publish_to_store", upstream=("publish_by_author",))
