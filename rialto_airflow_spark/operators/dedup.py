@@ -263,76 +263,112 @@ def connected_components(
     The change flag is computed INSIDE the same plan, so convergence
     detection is a metadata-cheap scan of the checkpointed output,
     not an extra join job.
+
+    Pair ids must be non-null (every producer in this repo — LSH
+    bands, winnowing, embedding blocks — derives them from non-null
+    key columns); a null id would be silently canonicalized away by
+    the least/greatest edge orientation below.
     """
-    # materialize the pair list ONCE before symmetrizing: the union
-    # reads both directions from checkpointed partitions instead of
-    # re-deriving the (potentially expensive) candidate-pair pipeline
-    # per branch
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint()
-    sym = (
-        edges.unionByName(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
+    # canonicalize BEFORE symmetrizing (round-12 shuffle-bytes
+    # optimization): orienting each edge (least, greatest) first
+    # means the dedup `distinct` shuffles E canonical rows instead of
+    # 2E symmetrized ones, and the pair pipeline is evaluated in ONE
+    # branch (no union of two derivations, so no pre-union
+    # checkpoint). The mirrored direction is then a narrow
+    # projection of the checkpointed canonical list — self-loops
+    # excluded from the swap so the union stays exactly the old
+    # distinct symmetric set.
+    canon = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("src"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("dst"),
         )
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
-        .localCheckpoint()
+    sym = canon.unionByName(
+        canon.where(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
     )
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(
-                labels.select(
-                    F.col("id").alias("__nid"),
-                    F.col("label").alias("__nlabel"),
-                ),
-                F.col("dst") == F.col("__nid"),
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    labels = None
+    for rnd in range(max_iter):
+        if rnd == 0:
+            # Round 0 collapses to ONE aggregation, join-free
+            # (round-12 job-count optimization): the initial label map
+            # is the identity, so the neighbor-min is just min(dst)
+            # per src (every vertex IS a src — sym is symmetrized),
+            # the self term is src, and the pointer jump is provably
+            # a no-op (label(__mid) == __mid under identity labels).
+            # This also drops the separate identity-labels
+            # localCheckpoint the loop no longer needs.
+            m = F.least(F.col("src"), F.col("__m"))
+            stepped = (
+                sym.groupBy("src")
+                .agg(F.min("dst").alias("__m"))
+                .select(
+                    F.col("src").alias("id"),
+                    m.alias("__new_label"),
+                    (m < F.col("src")).alias("__chg"),
+                )
+                .localCheckpoint()
             )
-            .groupBy("src")
-            .agg(F.min("__nlabel").alias("__nbr_label"))
-        )
-        propagated = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
-            "id",
-            F.col("label").alias("__old"),
-            F.least(
-                F.col("label"),
-                F.coalesce(F.col("__nbr_label"), F.col("label")),
-            ).alias("__mid"),
-        )
-        # pointer jump: chase __mid one hop (its owner's label); any
-        # label is an id in the same component, so the jump target is
-        # too — min keeps the invariant while halving path lengths
-        stepped = (
-            propagated.join(
-                labels.select(
-                    F.col("id").alias("__jid"), F.col("label").alias("__jlabel")
-                ),
-                propagated["__mid"] == F.col("__jid"),
-                "left",
+        else:
+            nbr = (
+                sym.join(
+                    labels.select(
+                        F.col("id").alias("__nid"),
+                        F.col("label").alias("__nlabel"),
+                    ),
+                    F.col("dst") == F.col("__nid"),
+                )
+                .groupBy("src")
+                .agg(F.min("__nlabel").alias("__nbr_label"))
             )
-            .select(
+            propagated = labels.join(
+                nbr, labels["id"] == nbr["src"], "left"
+            ).select(
                 "id",
+                F.col("label").alias("__old"),
                 F.least(
-                    F.col("__mid"), F.coalesce(F.col("__jlabel"), F.col("__mid"))
-                ).alias("__new_label"),
-                F.col("__old"),
+                    F.col("label"),
+                    F.coalesce(F.col("__nbr_label"), F.col("label")),
+                ).alias("__mid"),
             )
-            .select(
-                "id",
-                "__new_label",
-                (F.col("__new_label") < F.col("__old")).alias("__chg"),
+            # pointer jump: chase __mid one hop (its owner's label);
+            # any label is an id in the same component, so the jump
+            # target is too — min keeps the invariant while halving
+            # path lengths
+            stepped = (
+                propagated.join(
+                    labels.select(
+                        F.col("id").alias("__jid"), F.col("label").alias("__jlabel")
+                    ),
+                    propagated["__mid"] == F.col("__jid"),
+                    "left",
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("__mid"), F.coalesce(F.col("__jlabel"), F.col("__mid"))
+                    ).alias("__new_label"),
+                    F.col("__old"),
+                )
+                .select(
+                    "id",
+                    "__new_label",
+                    (F.col("__new_label") < F.col("__old")).alias("__chg"),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
         labels = stepped.select("id", F.col("__new_label").alias("label"))
-        if stepped.where(F.col("__chg")).limit(1).count() == 0:
+        # round 0 always changes something when any edge exists (the
+        # larger endpoint of every edge lowers its label), so the
+        # convergence probe is pure overhead there — skip its job;
+        # an empty edge set exits via round 1's empty probe
+        if rnd > 0 and stepped.where(F.col("__chg")).limit(1).count() == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
 

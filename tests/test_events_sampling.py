@@ -137,6 +137,14 @@ def test_connected_components_deep_chain(spark):
     assert got == {i: 0 for i in range(101)}
 
 
+def test_connected_components_empty_pairs(spark):
+    """No edges → no labels, and the loop still terminates promptly
+    (the round-0 convergence probe is skipped — round-12 job-count
+    optimization — so the empty case must exit via round 1)."""
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(pairs).collect() == []
+
+
 def test_cluster_survivors_keeps_min_and_unclustered(spark):
     df = spark.createDataFrame(
         [(i, f"doc{i}") for i in (1, 2, 3, 99)], ["doc_id", "text"]
