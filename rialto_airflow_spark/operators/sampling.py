@@ -139,31 +139,6 @@ def _gram_buckets(
     )
 
 
-def _bucket_probs(
-    df: DataFrame,
-    text_col: str,
-    n_buckets: int,
-    smoothing: float,
-    gram_hash: str = "xxhash64",
-) -> list[float]:
-    """Smoothed hashed-ngram bucket distribution, collected to the
-    driver — EXACTLY ``n_buckets`` floats by contract (the point of
-    hashing: the feature space is fixed-size no matter the corpus).
-    One explode + map-side-combinable count shuffle whose output is
-    ≤ n_buckets rows."""
-    counts = dict(
-        df.select(
-            F.explode(_gram_buckets(text_col, n_buckets, gram_hash)).alias("b")
-        )
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    raw = [counts.get(b, 0) + smoothing for b in range(n_buckets)]
-    tot = sum(raw)
-    return [x / tot for x in raw]
-
-
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -194,8 +169,37 @@ def dsir_weights(
     """
     import math
 
-    p = _bucket_probs(target, text_col, n_buckets, smoothing, gram_hash)
-    q = _bucket_probs(raw, text_col, n_buckets, smoothing, gram_hash)
+    # both bucket-count aggregations in ONE job: tag each corpus's
+    # exploded buckets with a side marker and group once — the same
+    # two scans run (raw + target), but as one action instead of two
+    # sequential collect round-trips (the job-count fix measured in
+    # OPTIMIZATION_r12; counts, and so probabilities, are identical)
+    def tagged(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.lit(side).alias("__side"),
+            F.explode(
+                _gram_buckets(text_col, n_buckets, gram_hash)
+            ).alias("b"),
+        )
+
+    counts: dict[tuple[str, int], int] = {
+        (r["__side"], r["b"]): r["n"]
+        for r in tagged(target, "t")
+        .unionByName(tagged(raw, "r"))
+        .groupBy("__side", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    def probs(side: str) -> list[float]:
+        raw_counts = [
+            counts.get((side, b), 0) + smoothing for b in range(n_buckets)
+        ]
+        tot = sum(raw_counts)
+        return [x / tot for x in raw_counts]
+
+    p = probs("t")
+    q = probs("r")
     logratio = [math.log(pi / qi) for pi, qi in zip(p, q)]
     arr = F.lit(logratio)
     score = F.aggregate(
