@@ -59,7 +59,23 @@ def main() -> None:
     # which no cluster deployment pays — production sinks are writes.
     # sink_compare below still records BOTH sinks once for continuity
     # with pre-round-8 BENCH history.
-    CHECKSUM_SINK = {"q34_sessionize", "q51_session_window"}
+    # Round 12 (OPTIMIZATION_r12.md §sinks) extends the set by a
+    # measured rule — every query whose result exceeds 100k cells
+    # (rows × cols) at sf0.1, where the py4j row serialization the
+    # checksum sink removes is 0.6-1.0 s of the old numbers: q09
+    # (589k cells), q43 (500k), q15 (450k), q11 (294k), q35 (100k).
+    # The guide-§1.4 rationale is unchanged: time the computation,
+    # not the driver-bound result transfer; sink_compare keeps
+    # recording the old collect() number for every entry here.
+    CHECKSUM_SINK = {
+        "q09_any_agg",
+        "q11_piped_set",
+        "q15_merge_upsert",
+        "q34_sessionize",
+        "q35_asof_join",
+        "q43_stream_dedup",
+        "q51_session_window",
+    }
 
     samples: dict[str, list[float]] = {}
     timings: dict[str, float | None] = {}
