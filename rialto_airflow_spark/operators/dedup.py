@@ -316,26 +316,33 @@ def connected_components(
                 .localCheckpoint()
             )
         else:
-            nbr = (
-                sym.join(
-                    labels.select(
-                        F.col("id").alias("__nid"),
-                        F.col("label").alias("__nlabel"),
-                    ),
-                    F.col("dst") == F.col("__nid"),
-                )
-                .groupBy("src")
-                .agg(F.min("__nlabel").alias("__nbr_label"))
-            )
-            propagated = labels.join(
-                nbr, labels["id"] == nbr["src"], "left"
+            # neighbor-min and self term in ONE join + ONE aggregation
+            # (round-12: the old three-join round paid a separate
+            # labels⨝nbr join just to re-attach the self label; the
+            # labels table IS the self contribution, so union it into
+            # the aggregation input tagged __self and recover the old
+            # label as max(label where __self) — one row per id by
+            # construction, so max picks exactly it)
+            contrib = sym.join(
+                labels.select(
+                    F.col("id").alias("__nid"),
+                    F.col("label").alias("__nlabel"),
+                ),
+                F.col("dst") == F.col("__nid"),
             ).select(
-                "id",
-                F.col("label").alias("__old"),
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("__nbr_label"), F.col("label")),
-                ).alias("__mid"),
+                F.col("src").alias("id"),
+                F.col("__nlabel").alias("__l"),
+                F.lit(False).alias("__self"),
+            ).unionByName(
+                labels.select(
+                    "id",
+                    F.col("label").alias("__l"),
+                    F.lit(True).alias("__self"),
+                )
+            )
+            propagated = contrib.groupBy("id").agg(
+                F.min("__l").alias("__mid"),
+                F.max(F.when(F.col("__self"), F.col("__l"))).alias("__old"),
             )
             # pointer jump: chase __mid one hop (its owner's label);
             # any label is an id in the same component, so the jump
