@@ -1032,6 +1032,39 @@ def test_file_cow_point_reads_prune_to_files(spark, tmp_path):
     assert len(info["manifest"][str(b[0])]["files"]) > 1
 
 
+def test_point_probe_fast_path_matches_join_path(spark, tmp_path):
+    """The literal-array point-probe fast path (round-12) returns the
+    EXACT hit set of the general _rewrite_files join path for the
+    same probe, and declines (None) for oversized probes so the
+    caller falls back."""
+    st, df, v1 = _cow_table(spark, tmp_path)
+    info = st.current_info("t")
+    st_schema = st._schema_of(info)
+    ktype = st_schema["id"].dataType
+    n = info["n_buckets"]
+    entries = [
+        (int(b), e["files"]) for b, e in info["manifest"].items()
+    ]
+    for probe in ([7], [5, 900, 1999], [123456789], list(range(50))):
+        fast = st._probe_files_point(spark, probe, "id", ktype, n, entries)
+        probe_df = spark.createDataFrame(
+            [(v,) for v in probe], schema="`id` bigint"
+        )
+        slow = st._rewrite_files(spark, probe_df, "id", ktype, n, entries)
+        assert fast == slow, probe
+    # oversized probe → decline (caller falls back to the join path)
+    assert (
+        st._probe_files_point(
+            spark, list(range(1001)), "id", ktype, n, entries
+        )
+        is None
+    )
+    # the public API end-to-end on the fast path: same rows, 1 file
+    got = st.read_keys(spark, "t", [7])
+    assert {r["v"] for r in got.collect()} == {14}
+    assert len(got.inputFiles()) == 1
+
+
 def test_file_cow_replace_and_emptied_buckets(spark, tmp_path):
     """Keyed REPLACE under file COW: affected keys' files rewrite,
     fragment rows land as new files, an entry whose rows all vanish
