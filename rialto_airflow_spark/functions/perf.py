@@ -27,6 +27,24 @@ def bind_once(expensive: Column, body) -> Column:
     return F.transform(F.array(expensive), body)[0]
 
 
+def local_df(spark, data, schema: str, slices: int = 1) -> DataFrame:
+    """``createDataFrame`` for DRIVER-SMALL data without the
+    defaultParallelism fan-out.
+
+    ``spark.createDataFrame(list, ...)`` parallelizes the rows into
+    ``defaultParallelism`` slices — 32 on this engine's sessions — so
+    every downstream scan of a 4-row dimension or probe frame
+    schedules 32 tasks (31 of them empty). Measured round 12: two
+    such scans cost ~0.6 s of pure task-scheduling overhead in q52
+    alone. A driver-small frame belongs in ONE slice (or a handful,
+    when the caller immediately fans per-row work out of it — pass
+    ``slices``). ``schema`` must be a DDL string: a bare column-name
+    list would trigger a type-inference job over the RDD."""
+    sc = spark.sparkContext
+    n = max(1, min(slices, len(data))) if data else 1
+    return spark.createDataFrame(sc.parallelize(data, n), schema)
+
+
 PARALLELISM_CHECK_CONF = "spark.rialto.ensureParallelism.check"
 
 

@@ -194,6 +194,16 @@ def lsh_candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
     from pyspark import StorageLevel
 
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize the cache EAGERLY: the self-join's two sides are
+    # independent subtrees, and AQE submits their stages concurrently
+    # — against a lazy persist BOTH sides race to compute the full
+    # signature pipeline before either populates the cache (round-12
+    # jstack/UI evidence: two identical full-compute jobs side by
+    # side). One count() builds the cache once; the join then reads
+    # it from storage on both sides. At cluster scale this is the
+    # difference between one and two full corpus signature passes
+    # whenever the planner picks a broadcast for one side.
+    banded.count()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -293,89 +303,109 @@ def connected_components(
     )
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
-    labels = None
-    for rnd in range(max_iter):
-        if rnd == 0:
-            # Round 0 collapses to ONE aggregation, join-free
-            # (round-12 job-count optimization): the initial label map
-            # is the identity, so the neighbor-min is just min(dst)
-            # per src (every vertex IS a src — sym is symmetrized),
-            # the self term is src, and the pointer jump is provably
-            # a no-op (label(__mid) == __mid under identity labels).
-            # This also drops the separate identity-labels
-            # localCheckpoint the loop no longer needs.
-            m = F.least(F.col("src"), F.col("__m"))
-            stepped = (
-                sym.groupBy("src")
-                .agg(F.min("dst").alias("__m"))
-                .select(
-                    F.col("src").alias("id"),
-                    m.alias("__new_label"),
-                    (m < F.col("src")).alias("__chg"),
-                )
-                .localCheckpoint()
+
+    def one_step(labels: DataFrame) -> DataFrame:
+        # neighbor-min and self term in ONE join + ONE aggregation
+        # (round-12: the old three-join round paid a separate
+        # labels⨝nbr join just to re-attach the self label; the
+        # labels table IS the self contribution, so union it into
+        # the aggregation input tagged __self and recover the old
+        # label as max(label where __self) — one row per id by
+        # construction, so max picks exactly it)
+        contrib = sym.join(
+            labels.select(
+                F.col("id").alias("__nid"),
+                F.col("label").alias("__nlabel"),
+            ),
+            F.col("dst") == F.col("__nid"),
+        ).select(
+            F.col("src").alias("id"),
+            F.col("__nlabel").alias("__l"),
+            F.lit(False).alias("__self"),
+        ).unionByName(
+            labels.select(
+                "id",
+                F.col("label").alias("__l"),
+                F.lit(True).alias("__self"),
             )
-        else:
-            # neighbor-min and self term in ONE join + ONE aggregation
-            # (round-12: the old three-join round paid a separate
-            # labels⨝nbr join just to re-attach the self label; the
-            # labels table IS the self contribution, so union it into
-            # the aggregation input tagged __self and recover the old
-            # label as max(label where __self) — one row per id by
-            # construction, so max picks exactly it)
-            contrib = sym.join(
+        )
+        propagated = contrib.groupBy("id").agg(
+            F.min("__l").alias("__mid"),
+            F.max(F.when(F.col("__self"), F.col("__l"))).alias("__old"),
+        )
+        # pointer jump: chase __mid one hop (its owner's label);
+        # any label is an id in the same component, so the jump
+        # target is too — min keeps the invariant while halving
+        # path lengths
+        return (
+            propagated.join(
                 labels.select(
-                    F.col("id").alias("__nid"),
-                    F.col("label").alias("__nlabel"),
+                    F.col("id").alias("__jid"), F.col("label").alias("__jlabel")
                 ),
-                F.col("dst") == F.col("__nid"),
-            ).select(
-                F.col("src").alias("id"),
-                F.col("__nlabel").alias("__l"),
-                F.lit(False).alias("__self"),
-            ).unionByName(
-                labels.select(
-                    "id",
-                    F.col("label").alias("__l"),
-                    F.lit(True).alias("__self"),
-                )
+                propagated["__mid"] == F.col("__jid"),
+                "left",
             )
-            propagated = contrib.groupBy("id").agg(
-                F.min("__l").alias("__mid"),
-                F.max(F.when(F.col("__self"), F.col("__l"))).alias("__old"),
+            .select(
+                "id",
+                F.least(
+                    F.col("__mid"), F.coalesce(F.col("__jlabel"), F.col("__mid"))
+                ).alias("__new_label"),
+                F.col("__old"),
             )
-            # pointer jump: chase __mid one hop (its owner's label);
-            # any label is an id in the same component, so the jump
-            # target is too — min keeps the invariant while halving
-            # path lengths
-            stepped = (
-                propagated.join(
-                    labels.select(
-                        F.col("id").alias("__jid"), F.col("label").alias("__jlabel")
-                    ),
-                    propagated["__mid"] == F.col("__jid"),
-                    "left",
-                )
-                .select(
-                    "id",
-                    F.least(
-                        F.col("__mid"), F.coalesce(F.col("__jlabel"), F.col("__mid"))
-                    ).alias("__new_label"),
-                    F.col("__old"),
-                )
-                .select(
-                    "id",
-                    "__new_label",
-                    (F.col("__new_label") < F.col("__old")).alias("__chg"),
-                )
-                .localCheckpoint()
+            .select(
+                "id",
+                "__new_label",
+                (F.col("__new_label") < F.col("__old")).alias("__chg"),
             )
+        )
+
+    # Step 1 collapses to ONE aggregation, join-free (round-12
+    # job-count optimization): the initial label map is the identity,
+    # so the neighbor-min is just min(dst) per src (every vertex IS a
+    # src — sym is symmetrized), the self term is src, and the
+    # pointer jump is provably a no-op (label(__mid) == __mid under
+    # identity labels). This also drops the separate identity-labels
+    # localCheckpoint the loop no longer needs. Its convergence probe
+    # is skipped too: step 1 always changes something when any edge
+    # exists (the larger endpoint of every edge lowers its label);
+    # an empty edge set exits via the next barrier's empty probe.
+    m = F.least(F.col("src"), F.col("__m"))
+    stepped = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("__m"))
+        .select(
+            F.col("src").alias("id"),
+            m.alias("__new_label"),
+            (m < F.col("src")).alias("__chg"),
+        )
+        .localCheckpoint()
+    )
+    labels = stepped.select("id", F.col("__new_label").alias("label"))
+    # Remaining steps run TWO propagation steps per materialization
+    # barrier (round-12): each barrier costs a localCheckpoint job, a
+    # probe job and ~0.2-0.5 s of driver planning/AQE orchestration
+    # BETWEEN jobs — at any data scale, barrier count is sequential
+    # wall-clock the data size cannot amortize. Convergence detection
+    # on the SECOND step of a pair is sufficient: if step B changed
+    # nothing, its input (step A's output) was already the fixed
+    # point. Running one step past the fixed point is a no-op (min
+    # propagation is monotone and idempotent at the fixed point), so
+    # results are bit-identical to the one-step-per-barrier loop; the
+    # worst case spends one extra step's work. The lazily-stacked
+    # first step is referenced three times by the second (both joins
+    # + the self union) — its shuffles dedupe via exchange reuse, and
+    # the checkpointed inputs keep the doubled logical plan bounded.
+    steps = 1
+    while steps < max_iter:
+        take = min(2, max_iter - steps)
+        cur = labels
+        for _ in range(take):
+            stepped = one_step(cur)
+            cur = stepped.select("id", F.col("__new_label").alias("label"))
+        stepped = stepped.localCheckpoint()
         labels = stepped.select("id", F.col("__new_label").alias("label"))
-        # round 0 always changes something when any edge exists (the
-        # larger endpoint of every edge lowers its label), so the
-        # convergence probe is pure overhead there — skip its job;
-        # an empty edge set exits via round 1's empty probe
-        if rnd > 0 and stepped.where(F.col("__chg")).limit(1).count() == 0:
+        steps += take
+        if stepped.where(F.col("__chg")).limit(1).count() == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
 
@@ -1404,7 +1434,10 @@ def lsh_parameter_sweep(
                 m["f1"],
             )
         )
-    return spark.createDataFrame(
+    from rialto_airflow_spark.functions.perf import local_df
+
+    return local_df(
+        spark,
         rows,
         "num_perm int, bands int, threshold double, n_candidates long, "
         "n_truth long, n_hit long, precision double, recall double, f1 double",

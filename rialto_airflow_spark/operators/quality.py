@@ -150,6 +150,25 @@ def profile_columns(df: DataFrame, rsd: float = 0.02) -> DataFrame:
     Use it for ingest drift review (yesterday's profile vs today's),
     picking broadcast candidates (approx_distinct · row size), and
     choosing range-partition/Z-order columns (min/max spread)."""
+    from rialto_airflow_spark.functions.perf import local_df
+
+    return local_df(df.sparkSession, profile_rows(df, rsd), PROFILE_SCHEMA)
+
+
+PROFILE_SCHEMA = (
+    "column string, dtype string, n_rows long, n_nulls long, "
+    "null_frac double, approx_distinct long, "
+    "min_value string, max_value string"
+)
+
+
+def profile_rows(df: DataFrame, rsd: float = 0.02) -> list[tuple]:
+    """The driver-side rows behind :func:`profile_columns` (schema
+    ``PROFILE_SCHEMA``): ONE distributed aggregation pass, then a
+    metadata-sized unpivot in the driver. Exposed so callers composing
+    the profile with other driver-small frames (q52's exact-distinct
+    gate) can assemble the final rows without paying extra Spark jobs
+    for joins of a handful of metadata rows."""
     simple = {
         c: t
         for c, t in df.dtypes
@@ -167,7 +186,7 @@ def profile_columns(df: DataFrame, rsd: float = 0.02) -> DataFrame:
     row = df.agg(*aggs).collect()[0]  # ONE row: #columns · 4 cells
 
     dtypes = dict(df.dtypes)
-    out = [
+    return [
         (
             c,
             dtypes[c],
@@ -180,9 +199,3 @@ def profile_columns(df: DataFrame, rsd: float = 0.02) -> DataFrame:
         )
         for c in df.columns
     ]
-    return df.sparkSession.createDataFrame(
-        out,
-        "column string, dtype string, n_rows long, n_nulls long, "
-        "null_frac double, approx_distinct long, "
-        "min_value string, max_value string",
-    )

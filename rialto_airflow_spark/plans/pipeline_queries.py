@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rialto_airflow_spark.functions.perf import release_on_gc
+from rialto_airflow_spark.functions.perf import local_df, release_on_gc
 from rialto_airflow_spark.operators import curation as CUR
 from rialto_airflow_spark.operators import dedup as D
 from rialto_airflow_spark.operators import events as E
@@ -338,8 +338,18 @@ def q37_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbing cross-libm ln jitter) — ``sum_wsample_ids`` sums the
     SELECTED doc ids per group, so a single membership difference in
     the draw breaks the hash."""
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
-    target = docs.where(F.col("doc_id") < 50)
+    from rialto_airflow_spark.functions.perf import ensure_parallelism
+
+    # the documents table scans as 1-2 parquet splits at bench scale,
+    # which serializes the per-row md5-gram hashing (the dominant CPU
+    # here) on 2 of 32 cores; spread it before the heavy map work —
+    # a no-op at real scale where the file layout already provides
+    # parallelism (round-12: the DSIR count job was 2 tasks, 984 ms)
+    raw_docs = load_tables(spark, sf_dir, "documents")["documents"]
+    docs = ensure_parallelism(raw_docs)
+    # target keeps the pushed-down scan (50 rows — too small to be
+    # worth a shuffle); the bucket counts are partitioning-invariant
+    target = raw_docs.where(F.col("doc_id") < 50)
     scored = SA.dsir_weights(
         docs, target, n_buckets=256, gram_hash="md5"
     )
@@ -1022,7 +1032,8 @@ def q46_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rialto_airflow_spark.operators.skew import salted_join
 
     ev = load_tables(spark, sf_dir, "events")["events"]
-    dim = ev.sparkSession.createDataFrame(
+    dim = local_df(
+        ev.sparkSession,
         [
             ("click", 1.0),
             ("view", 0.5),
@@ -1030,7 +1041,7 @@ def q46_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("signup", 5.0),
             ("error", 0.0),
         ],
-        ["event_type", "weight"],
+        "event_type string, weight double",
     )
     joined = salted_join(ev, dim, "event_type", buckets=8)
     return joined.groupBy("event_type").agg(
@@ -1234,6 +1245,12 @@ def q47_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anti join) and everything upstream of it is the MinHash+CC
     # pipeline — persist so the expensive prefix evaluates once
     survivors = D.cluster_survivors(corpus, clusters, "doc_id").persist()
+    # eager cache builds (here and for gated/span below): each of
+    # these persists has 2+ consumers whose stages AQE submits
+    # concurrently inside the one final action; a lazy persist lets
+    # the consumers race and re-run the expensive prefix per side
+    # (round-12 finding, first seen on the banded-rows cache)
+    survivors.count()
 
     # decontaminate against a held-out benchmark sample; the bench
     # shingle set broadcasts, only hit ids shuffle
@@ -1280,6 +1297,7 @@ def q47_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = scrubbed.where(
         F.round(T.quality_score("text"), 4) >= 0.5
     ).persist()
+    gated.count()
 
     # cross-corpus boilerplate strip at token granularity: drop tokens
     # present in >= 40% of the base corpus size. boilerplate_lines
@@ -1299,6 +1317,7 @@ def q47_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-gated output. Persisted because it feeds BOTH the
     # boilerplate strip and the n_removed report column.
     span = CUR.remove_duplicate_spans(gated, "doc_id", "text", window=10).persist()
+    span.count()
     clean = CUR.boilerplate_lines(
         span, "doc_id", "clean_text", min_docs=max(2, int(n_total * 0.4)), sep=" "
     )
@@ -1425,6 +1444,12 @@ def q50_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.winnow_fingerprint("text", n=3, window=4, k=8).alias("wfp"),
     ).persist()
+    # eager cache build: the three consumers (fp output + both
+    # self-join sides) are independent subtrees whose stages AQE
+    # submits concurrently — a lazy persist lets them race and
+    # re-run the fingerprint map per consumer (round-12 finding on
+    # the banded-rows cache; same shape here)
+    fp.count()
     pairs = D.winnow_near_dups(
         None, "doc_id", min_shared=2, fingerprints=fp
     )
@@ -1537,35 +1562,55 @@ def q52_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle expects the assertion to hold. Profiled columns
     avoid double/timestamp on purpose: min/max cast to string must
     match BYTE-wise across engines, and float formatting does not."""
-    from rialto_airflow_spark.operators.quality import profile_columns
+    from concurrent.futures import ThreadPoolExecutor
+
+    from rialto_airflow_spark.operators.quality import profile_rows
 
     sub = load_tables(spark, sf_dir, "orders")["orders"].select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
     )
-    prof = profile_columns(sub)
-    exact_row = sub.agg(
-        *[F.countDistinct(c).alias(c) for c in sub.columns]
-    ).collect()[0]  # ONE row, #columns cells — metadata-sized
-    exact = spark.createDataFrame(
-        [(c, int(exact_row[c])) for c in sub.columns],
-        "column string, __exact long",
-    )
-    return (
-        prof.join(F.broadcast(exact), "column")
-        .select(
-            "column",
-            "dtype",
-            "n_rows",
-            "n_nulls",
-            "null_frac",
-            "min_value",
-            "max_value",
-            (
-                F.abs(F.col("approx_distinct") - F.col("__exact"))
-                / F.col("__exact")
-                < 0.15
-            ).alias("distinct_ok"),
+    # The profile pass and the exact-distinct gate are independent
+    # single-action scans (merging them into ONE agg was measured
+    # 11.5× slower — the Expand multi-distinct plan multiplies every
+    # profile buffer; see OPTIMIZATION_r12.md). Running the two jobs
+    # from a 2-thread pool overlaps them instead (guide §2.6): the
+    # second scan back-fills executors the first one's tail frees,
+    # and the results — two driver-side metadata rows — are
+    # byte-identical to the sequential schedule. The final 4-row
+    # report then assembles in the driver (both inputs are already
+    # collected one-row aggregates; a distributed join of 4 metadata
+    # rows would cost two more scheduler round-trips for nothing).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        prof_f = pool.submit(profile_rows, sub)
+        exact_f = pool.submit(
+            sub.agg(
+                *[F.countDistinct(c).alias(c) for c in sub.columns]
+            ).collect
         )
+        prof = prof_f.result()
+        exact_row = exact_f.result()[0]  # ONE row — metadata-sized
+    out = [
+        # profile_rows order: column, dtype, n_rows, n_nulls,
+        # null_frac, approx_distinct, min_value, max_value
+        (
+            c,
+            dtype,
+            n_rows,
+            n_nulls,
+            null_frac,
+            min_v,
+            max_v,
+            abs(approx - int(exact_row[c])) / int(exact_row[c]) < 0.15,
+        )
+        for c, dtype, n_rows, n_nulls, null_frac, approx, min_v, max_v
+        in prof
+    ]
+    return local_df(
+        spark,
+        out,
+        "column string, dtype string, n_rows long, n_nulls long, "
+        "null_frac double, min_value string, max_value string, "
+        "distinct_ok boolean",
     )
 
 

@@ -46,6 +46,22 @@ def get_spark(
         .config("spark.sql.jsonGenerator.ignoreNullFields", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # The codegen compile cache defaults to 100 entries — far
+        # below what a session running this engine's full pipeline
+        # holds (q47 alone spans dozens of generated classes; the
+        # 50-query bench churns hundreds), so executors were observed
+        # re-Janino-compiling projections on EVERY task (130 of ~960
+        # sampled executor frames inside CodeGenerator.compile,
+        # round-12 jstack evidence). Static conf: takes effect at
+        # first session creation. Scale note: this is per-JVM CPU
+        # waste on a real cluster too — any long-lived app with more
+        # than 100 distinct codegen units wins; entries are softly
+        # referenced compiled classes, so memory pressure stays
+        # bounded.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
     )
     if master is not None:
         builder = builder.master(master)

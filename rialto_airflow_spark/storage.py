@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .commitlog import CommitBackend, VersionedStore, _canon, default_backend
+from .functions.perf import local_df as _local_df
 
 
 def local_path_from_file_uri(path: str) -> str | None:
@@ -844,8 +845,8 @@ class TableStore:
         ]
         if not rngs:
             return set()
-        rdf = spark.createDataFrame(
-            rngs, "f string, b int, mn string, mx string"
+        rdf = _local_df(
+            spark, rngs, "f string, b int, mn string, mx string"
         )
         probe = keys_df.where(F.col(key).isNotNull()).select(
             F.col(key).alias("k"),
@@ -1139,8 +1140,8 @@ class TableStore:
         if st is None or key not in st.fieldNames():
             return self._filter_keys(self.read(spark, name), key, vals)
         ktype = st[key].dataType
-        probe = spark.createDataFrame(
-            [(v,) for v in vals], schema=f"`{key}` {ktype.simpleString()}"
+        probe = _local_df(
+            spark, [(v,) for v in vals], f"`{key}` {ktype.simpleString()}"
         )
         # map-only bucket hashing: vals are driver-small by contract,
         # so collect the per-value buckets and dedupe here instead of
@@ -1189,9 +1190,10 @@ class TableStore:
                     spark, nn, key, ktype, n, file_entries
                 )
                 if hit is None:
-                    probe_vals = spark.createDataFrame(
+                    probe_vals = _local_df(
+                        spark,
                         [(v,) for v in nn],
-                        schema=f"`{key}` {ktype.simpleString()}",
+                        f"`{key}` {ktype.simpleString()}",
                     )
                     hit = self._rewrite_files(
                         spark, probe_vals, key, ktype, n, file_entries
@@ -1245,9 +1247,28 @@ class TableStore:
         ]
         if not rngs:
             return set()
-        probe_arr = F.array(*[F.lit(v).cast(ktype) for v in nn])
-        rdf = spark.createDataFrame(
-            rngs, "f string, b int, mn string, mx string"
+        # Build the probe-array literal in as few py4j round-trips as
+        # possible: the old per-value F.lit(v).cast(...) chain cost
+        # two driver↔JVM calls per probe value (~90 values ≈ a few
+        # hundred ms of py4j chatter per point read). A 1-D numpy
+        # array ships through ONE lit() call; strings (no numpy
+        # literal path) keep the array(*lits) form, still one call
+        # per value fewer. The element cast semantics are unchanged.
+        import numpy as _np
+
+        from pyspark.sql.types import ArrayType
+
+        if dtype == "string":
+            probe_arr = F.array(*[F.lit(v) for v in nn]).cast(
+                ArrayType(ktype)
+            )
+        else:
+            np_t = _np.bool_ if dtype == "boolean" else _np.int64
+            probe_arr = F.lit(_np.array(nn, dtype=np_t)).cast(
+                ArrayType(ktype)
+            )
+        rdf = _local_df(
+            spark, rngs, "f string, b int, mn string, mx string"
         )
 
         def hits_row(v):
