@@ -97,17 +97,17 @@ def _cut_lineage(df):
     downstream consumer was going to execute (repeatedly) anyway.
 
     Local mode: ``localCheckpoint`` (executor-local blocks are safe
-    there) replaces the logical plan outright. Cluster: ``persist`` —
-    consumers swap the cached subtree for InMemoryRelation before the
-    optimizer runs, bounding planner cost per consumer while keeping
-    recoverable lineage (same trade-off as the distill task, which
-    pioneered this guard)."""
-    sc = df.sparkSession.sparkContext
-    if sc.master.startswith("local"):
-        return df.localCheckpoint()
-    from pyspark import StorageLevel
+    there) replaces the logical plan outright. Cluster: ``persist`` +
+    eager count — consumers swap the cached subtree for
+    InMemoryRelation before the optimizer runs, bounding planner cost
+    per consumer while keeping recoverable lineage, and the eager
+    build stops AQE's concurrently-submitted consumer stages from
+    racing to compute the uncached prefix twice (round-12 finding;
+    shared with the query-side multi-consumer persists via
+    functions.perf.materialize_cut)."""
+    from rialto_airflow_spark.functions.perf import materialize_cut
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return materialize_cut(df)
 
 
 def build_harvest_dag() -> Dag:

@@ -27,6 +27,33 @@ def bind_once(expensive: Column, body) -> Column:
     return F.transform(F.array(expensive), body)[0]
 
 
+def materialize_cut(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a multi-consumer frame AND bound the
+    planner at it.
+
+    Two driver costs meet at a frame consumed more than once inside
+    one action: (1) AQE submits the consumers' stages concurrently,
+    so a LAZY persist lets them race and each recompute the full
+    prefix before the cache exists; (2) every later action that plans
+    on top of the frame re-runs Catalyst analysis/optimization over
+    its whole logical lineage (measured round 12: q47 paid 0.4-0.8 s
+    of planning gap per pipeline section). Local mode:
+    ``localCheckpoint`` — one job, lineage replaced by materialized
+    blocks, both costs gone (executor-local blocks are safe where
+    executors can't be lost). Cluster: ``persist`` + an eager
+    ``count()`` — recoverable lineage, cache built once before any
+    consumer races, and consumers plan against InMemoryRelation
+    (bounded) after cache substitution."""
+    sc = df.sparkSession.sparkContext
+    if sc.master.startswith("local"):
+        return df.localCheckpoint()
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+
 def local_df(spark, data, schema: str, slices: int = 1) -> DataFrame:
     """``createDataFrame`` for DRIVER-SMALL data without the
     defaultParallelism fan-out.

@@ -472,6 +472,12 @@ def extract_features(
     PIL/ffmpeg/soundfile callable (serialized to executors with the
     closure) without touching any plan code."""
     decode = decode or decode_media
+    # NOT ensure_parallelism'd (measured round 12, interleaved A/B):
+    # repartitioning would shuffle the payload bytes — at bench scale
+    # the probe+exchange overhead doubled q30, and at real scale
+    # moving media bytes to gain parallelism is exactly the guide-§8
+    # anti-pattern; a production media table's file layout already
+    # spreads the scan
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -337,7 +337,12 @@ def bm25_scores(
         return F.size(F.filter(toks, lambda x: x == F.lit(term)))
 
     tf_cols = [_tf(t).alias(f"__tf{i}") for i, t in enumerate(terms)]
-    base = docs.select(
+    # both passes (stats + score) pay the per-row token filters; a
+    # single-split scan would run them on one core (round-12) — a
+    # no-op at real scale where the file layout spreads the scan
+    from rialto_airflow_spark.functions.perf import ensure_parallelism
+
+    base = ensure_parallelism(docs).select(
         F.col(id_col), dl.cast("long").alias("doc_len"), *tf_cols
     )
     stats = base.agg(

@@ -1244,13 +1244,27 @@ def q47_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivors feeds decontaminate twice (hit derivation + the final
     # anti join) and everything upstream of it is the MinHash+CC
     # pipeline — persist so the expensive prefix evaluates once
-    survivors = D.cluster_survivors(corpus, clusters, "doc_id").persist()
-    # eager cache builds (here and for gated/span below): each of
-    # these persists has 2+ consumers whose stages AQE submits
-    # concurrently inside the one final action; a lazy persist lets
-    # the consumers race and re-run the expensive prefix per side
-    # (round-12 finding, first seen on the banded-rows cache)
-    survivors.count()
+    # materialize_cut (here and for gated/span below), round 12: each
+    # of these frames has 2+ consumers whose stages AQE submits
+    # concurrently — a lazy persist let the consumers race and re-run
+    # the expensive prefix per side — and each later section re-paid
+    # Catalyst over the whole upstream lineage (0.4-0.8 s of planning
+    # gap per section in the job trace). One eager materialization
+    # per section removes both; results are byte-identical.
+    from rialto_airflow_spark.functions.perf import (
+        ensure_parallelism,
+        materialize_cut,
+    )
+
+    # ensure_parallelism after each cut: AQE coalesces these small
+    # join/agg outputs to 1 partition, so the checkpointed blocks
+    # would serialize every downstream per-row pass (the PII regex
+    # cascade, quality score, span hashing) onto one core — measured:
+    # survivors materialized as ONE partition at sf0.1. At real scale
+    # the probe sees an already-spread frame and is a no-op.
+    survivors = ensure_parallelism(
+        materialize_cut(D.cluster_survivors(corpus, clusters, "doc_id"))
+    )
 
     # decontaminate against a held-out benchmark sample; the bench
     # shingle set broadcasts, only hit ids shuffle
@@ -1294,10 +1308,11 @@ def q47_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gated feeds the boilerplate explode (twice, inside
     # boilerplate_lines) plus the label join — persist the post-scrub
     # cut so the regex cascade and everything above runs once
-    gated = scrubbed.where(
-        F.round(T.quality_score("text"), 4) >= 0.5
-    ).persist()
-    gated.count()
+    gated = ensure_parallelism(
+        materialize_cut(
+            scrubbed.where(F.round(T.quality_score("text"), 4) >= 0.5)
+        )
+    )
 
     # cross-corpus boilerplate strip at token granularity: drop tokens
     # present in >= 40% of the base corpus size. boilerplate_lines
@@ -1316,8 +1331,11 @@ def q47_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sums the tokens cut so the stage's work is visible in the
     # driver-gated output. Persisted because it feeds BOTH the
     # boilerplate strip and the n_removed report column.
-    span = CUR.remove_duplicate_spans(gated, "doc_id", "text", window=10).persist()
-    span.count()
+    span = ensure_parallelism(
+        materialize_cut(
+            CUR.remove_duplicate_spans(gated, "doc_id", "text", window=10)
+        )
+    )
     clean = CUR.boilerplate_lines(
         span, "doc_id", "clean_text", min_docs=max(2, int(n_total * 0.4)), sep=" "
     )
@@ -1730,6 +1748,11 @@ def q54_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way)."""
     from rialto_airflow_spark.operators.sketches import heavy_hitters
 
+    # measured round 12 (interleaved A/B via the ensureParallelism
+    # kill-switch): repartitioning docs before the explode COSTS more
+    # than the parallel MG summaries save — the per-partition Python
+    # work is light and the round-robin repartition pays a local sort
+    # of the corpus; left single-split deliberately
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     words = (
         docs.where(F.col("text").isNotNull())
