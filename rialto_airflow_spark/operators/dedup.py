@@ -194,16 +194,15 @@ def lsh_candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
     from pyspark import StorageLevel
 
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    # Materialize the cache EAGERLY: the self-join's two sides are
-    # independent subtrees, and AQE submits their stages concurrently
-    # — against a lazy persist BOTH sides race to compute the full
-    # signature pipeline before either populates the cache (round-12
-    # jstack/UI evidence: two identical full-compute jobs side by
-    # side). One count() builds the cache once; the join then reads
-    # it from storage on both sides. At cluster scale this is the
-    # difference between one and two full corpus signature passes
-    # whenever the planner picks a broadcast for one side.
-    banded.count()
+    # The persist stays LAZY. A previous round added an eager count()
+    # here on the theory that AQE races the self-join's two sides into
+    # a double compute of the signature pipeline — but the two sides
+    # are canonically IDENTICAL exchange subtrees, so ReuseExchange
+    # dedupes them into one exchange computed once (verified in the
+    # explain: a single Exchange feeding both join inputs); there is
+    # no race to beat, and the count() was a pure extra job. Measured
+    # (interleaved in-session A/B, low-steal samples): q36 2.20 s lazy
+    # vs 2.49 s eager; q50 1.83 vs 1.89; q21 3.10 vs 3.21.
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -288,6 +287,12 @@ def connected_components(
     # projection of the checkpointed canonical list — self-loops
     # excluded from the swap so the union stays exactly the old
     # distinct symmetric set.
+    # (examined round 12: pre-partitioning sym by dst so the per-round
+    # join could reuse the layout does NOT work — under AQE a
+    # localCheckpoint records UnknownPartitioning, so the layout is
+    # invisible to later plans, and at bench scale the labels side is
+    # broadcast anyway, so the per-round join has no sym-side exchange
+    # to remove. Left as-is.)
     canon = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("src"),
@@ -381,30 +386,23 @@ def connected_components(
         .localCheckpoint()
     )
     labels = stepped.select("id", F.col("__new_label").alias("label"))
-    # Remaining steps run TWO propagation steps per materialization
-    # barrier (round-12): each barrier costs a localCheckpoint job, a
-    # probe job and ~0.2-0.5 s of driver planning/AQE orchestration
-    # BETWEEN jobs — at any data scale, barrier count is sequential
-    # wall-clock the data size cannot amortize. Convergence detection
-    # on the SECOND step of a pair is sufficient: if step B changed
-    # nothing, its input (step A's output) was already the fixed
-    # point. Running one step past the fixed point is a no-op (min
-    # propagation is monotone and idempotent at the fixed point), so
-    # results are bit-identical to the one-step-per-barrier loop; the
-    # worst case spends one extra step's work. The lazily-stacked
-    # first step is referenced three times by the second (both joins
-    # + the self union) — its shuffles dedupe via exchange reuse, and
-    # the checkpointed inputs keep the doubled logical plan bounded.
+    # Remaining steps run ONE propagation step per materialization
+    # barrier. A previous round tried TWO lazily-stacked steps per
+    # barrier (fewer checkpoint+probe jobs), but the second step
+    # references the first THREE times (two joins + the self union)
+    # and those references are NOT all exchange-reusable — the
+    # neighbor join keys on dst, the jump join on __mid, the self
+    # union has no exchange at all — so the un-materialized first
+    # step recomputes per reference. Measured (interleaved in-session
+    # A/B, low-steal samples): q36 2.26 s at one step per barrier vs
+    # 2.59 s at two; the original 62-s-box measurement that motivated
+    # the change was taken under heavy hypervisor steal and did not
+    # replicate.
     steps = 1
     while steps < max_iter:
-        take = min(2, max_iter - steps)
-        cur = labels
-        for _ in range(take):
-            stepped = one_step(cur)
-            cur = stepped.select("id", F.col("__new_label").alias("label"))
-        stepped = stepped.localCheckpoint()
+        stepped = one_step(labels).localCheckpoint()
         labels = stepped.select("id", F.col("__new_label").alias("label"))
-        steps += take
+        steps += 1
         if stepped.where(F.col("__chg")).limit(1).count() == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))

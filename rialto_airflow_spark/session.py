@@ -70,44 +70,21 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def _tune_scan_splits(spark: SparkSession, sf_dir: str) -> None:
-    """Scale-adaptive scan splitting (guide §2.2/§6): size
-    ``spark.sql.files.maxPartitionBytes`` from the DATASET, not a
-    constant. With the 128 MB default, a small benchmark dataset scans
-    as 1-2 splits, serializing every map-side-heavy stage (percentile
-    partials, signature hashing, array algebra) onto 1-2 of the
-    session's cores — round-12 job traces showed exactly that on
-    q37/q40/q54/q55. Target ~3 tasks per core over the directory's
-    total parquet bytes, clamped to [1 MB, 128 MB]: at 100 TB the
-    clamp lands on the 128 MB default (unchanged cluster behavior),
-    at benchmark scale scans split small enough to use the machine.
-    Runtime conf — re-derived per directory, picked up at each scan's
-    planning; split size never affects results, only parallelism."""
-    total = 0
-    try:
-        for entry in os.scandir(sf_dir):
-            if entry.is_dir():
-                for sub in os.scandir(entry.path):
-                    if sub.is_file():
-                        total += sub.stat().st_size
-            elif entry.is_file():
-                total += entry.stat().st_size
-    except OSError:
-        return  # non-local paths keep the session default
-    if not total:
-        return
-    cores = spark.sparkContext.defaultParallelism
-    target = max(1 << 20, min(128 << 20, total // (3 * cores)))
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
-
-
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Read the driver-generated parquet tables and register temp views.
 
     Returns a dict name -> DataFrame. Column pruning / predicate
     pushdown reach the parquet scan because we never materialize here.
     """
-    _tune_scan_splits(spark, sf_dir)
+    # (round 12, session 2: a scale-adaptive maxPartitionBytes tuner
+    # lived here briefly — removed after inspection showed every test
+    # table is ONE file with ONE parquet row group, which a byte-range
+    # split cannot divide: the 1 MB splits it picked at bench scale
+    # produced ~10 EMPTY tasks per lineitem scan and zero extra
+    # parallelism (interleaved A/B: q01 0.87 s without vs 1.33 s
+    # with). CPU-heavy per-row stages that need spreading use explicit
+    # ensure_parallelism repartitions instead — q37's DSIR scoring,
+    # BM25's tf passes, q47's cut re-spreads.)
     if not names:
         names = (
             "region",
