@@ -194,15 +194,17 @@ def lsh_candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
     from pyspark import StorageLevel
 
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    # The persist stays LAZY. A previous round added an eager count()
-    # here on the theory that AQE races the self-join's two sides into
-    # a double compute of the signature pipeline — but the two sides
-    # are canonically IDENTICAL exchange subtrees, so ReuseExchange
-    # dedupes them into one exchange computed once (verified in the
-    # explain: a single Exchange feeding both join inputs); there is
-    # no race to beat, and the count() was a pure extra job. Measured
-    # (interleaved in-session A/B, low-steal samples): q36 2.20 s lazy
-    # vs 2.49 s eager; q50 1.83 vs 1.89; q21 3.10 vs 3.21.
+    # The persist is REQUIRED (A/B: dropping it is ~0.2-0.5 s slower
+    # on q21 and the no-persist plan shows ZERO ReusedExchange and 8
+    # parquet scans — Catalyst does not dedupe the self-join's two
+    # subtrees) and stays LAZY: with the cache in place both sides
+    # plan as InMemoryTableScan over ONE InMemoryRelation, so the
+    # signature pipeline evaluates once regardless of which side's
+    # stage touches a block first (block-level cache locking), and
+    # the eager count() a previous round added here was a pure extra
+    # job. Measured (interleaved in-session A/B, low-steal samples):
+    # q36 2.20 s lazy vs 2.49 s eager; q50 1.83 vs 1.89; q21 3.10 vs
+    # 3.21; q21 persist 1.48 vs no-persist 1.72.
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -1462,10 +1462,12 @@ def q50_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.winnow_fingerprint("text", n=3, window=4, k=8).alias("wfp"),
     ).persist()
-    # lazy persist: the self-join's two sides are identical exchange
-    # subtrees (ReuseExchange computes them once), so an eager count()
-    # here was a pure extra job — measured 1.83 s lazy vs 1.89 s eager
-    # (interleaved in-session A/B, low-steal samples)
+    # lazy persist: both self-join sides plan as InMemoryTableScan
+    # over this ONE cache (block-level locking keeps the fingerprint
+    # map single-evaluated even when both sides' stages run
+    # concurrently), so an eager count() here was a pure extra job —
+    # measured 1.83 s lazy vs 1.89 s eager (interleaved in-session
+    # A/B, low-steal samples)
     pairs = D.winnow_near_dups(
         None, "doc_id", min_shared=2, fingerprints=fp
     )
