@@ -20,6 +20,20 @@ from rialto_airflow_spark.session import get_spark  # noqa: E402
 queries()  # load extension registries
 
 
+def _steal_ticks() -> int:
+    """Cumulative hypervisor steal ticks (/proc/stat cpu line, field 8
+    after the 'cpu' tag). This box takes multi-minute steal bursts
+    (round-12 verdict: a whole driver bench was contaminated and
+    unidentifiable after the fact) — recording the per-run delta makes
+    a burst visible IN the artifact. Returns 0 where unavailable."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8])
+    except Exception:  # noqa: BLE001 — non-Linux / sandboxed
+        return 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
@@ -78,8 +92,10 @@ def main() -> None:
     }
 
     samples: dict[str, list[float]] = {}
+    steal_samples: dict[str, list[int]] = {}
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
+    steal_bench_start = _steal_ticks()
     for _ in range(runs):
         for name in sorted(REGISTRY):
             if name in errors:
@@ -91,6 +107,7 @@ def main() -> None:
                 else {}
             )
             sink = checksum_sink if name in CHECKSUM_SINK else collect_sink
+            s0 = _steal_ticks()
             t0 = time.perf_counter()
             try:
                 sink(fn(spark, sf_dir, **kwargs))
@@ -102,6 +119,7 @@ def main() -> None:
                 continue
             dt = round(time.perf_counter() - t0, 3)
             samples.setdefault(name, []).append(dt)
+            steal_samples.setdefault(name, []).append(_steal_ticks() - s0)
             if timings.get(name) is None or dt < timings[name]:
                 timings[name] = dt
 
@@ -114,6 +132,11 @@ def main() -> None:
             "min": min(ts),
             "median": round(statistics.median(ts), 3),
             "spread": round(max(ts) - min(ts), 3),
+            # host steal ticks consumed during each run, in run order
+            # (aligned with the successful samples): a run whose ticks
+            # are high was measured inside a hypervisor burst and its
+            # time is environment, not code
+            "steal_ticks": steal_samples.get(name, []),
         }
         for name, ts in samples.items()
     }
@@ -145,6 +168,7 @@ def main() -> None:
             pass
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
+    steal_total = _steal_ticks() - steal_bench_start
     # The driver's BENCH artifact keeps only a bounded TAIL of stdout,
     # and round 8's single fat line (query_stats + sink_compare +
     # embedded scaling) overflowed it — the committed artifact
@@ -161,6 +185,7 @@ def main() -> None:
         "sink_compare": sink_compare,
         "sf": sf,
         "runs": runs,
+        "steal_ticks_total": steal_total,
     }
     if errors:
         detail["errors"] = errors
@@ -181,6 +206,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs": runs,
+        "steal_ticks_total": steal_total,
     }
     if errors:
         out["errors"] = {k: v[:80] for k, v in errors.items()}
