@@ -169,6 +169,35 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
     steal_total = _steal_ticks() - steal_bench_start
+
+    # q38 build-vs-probe split (round-12 verdict item 5): the main
+    # q38 number amortizes the persisted IVF index across runs (the
+    # production shape — the index write is a one-off layout job), so
+    # record the two components separately: a FRESH index build into a
+    # throwaway dir, and the probe+rerank against it. Additions-only;
+    # outside the per-query timed loop.
+    aux_timings: dict[str, float] = {}
+    try:
+        import shutil
+        import tempfile
+
+        from rialto_airflow_spark.operators import similarity as S
+        from rialto_airflow_spark.session import load_tables
+
+        emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+        ivf_dir = tempfile.mkdtemp(prefix="rspark_bench_ivf_")
+        t0 = time.perf_counter()
+        S.write_ivf_index(emb, ivf_dir, "vec_id", "embedding", n_centroids=8)
+        aux_timings["q38_ivf_index_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        S.ivf_topk_indexed(
+            spark, ivf_dir, emb.where(F.col("vec_id") < 20),
+            "vec_id", "embedding", k=10, nprobe=2,
+        ).collect()
+        aux_timings["q38_ivf_probe_only"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+    except Exception:  # noqa: BLE001 — aux detail must never fail the bench
+        pass
     # The driver's BENCH artifact keeps only a bounded TAIL of stdout,
     # and round 8's single fat line (query_stats + sink_compare +
     # embedded scaling) overflowed it — the committed artifact
@@ -186,6 +215,7 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
         "steal_ticks_total": steal_total,
+        "aux_timings": aux_timings,
     }
     if errors:
         detail["errors"] = errors

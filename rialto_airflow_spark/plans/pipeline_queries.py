@@ -595,25 +595,38 @@ def q40_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL++ is deterministic per dataset) and the oracle expects the
     assertion to hold."""
     ev = load_tables(spark, sf_dir, "events")["events"]
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.round(F.percentile("value", 0.5), 4).alias("p50"),
-            F.round(F.percentile("value", 0.9), 4).alias("p90"),
-            F.round(F.percentile("value", 0.99), 4).alias("p99"),
-            F.countDistinct("user_id").alias("n_exact"),
-            F.approx_count_distinct("user_id").alias("__a"),
-        )
-        .select(
-            "event_type",
-            "p50",
-            "p90",
-            "p99",
-            "n_exact",
-            (
-                F.abs(F.col("__a") - F.col("n_exact")) / F.col("n_exact") < 0.15
-            ).alias("approx_ok"),
-        )
+    # The one-agg countDistinct form plans as Spark's two-phase
+    # distinct rewrite: EVERY percentile buffer (the full value
+    # payload) crosses BOTH exchanges, re-keyed (event_type, user_id)
+    # then event_type. Splitting the exact distinct into its own
+    # two-level aggregation ships the values through ONE exchange and
+    # the distinct branch dedups (event_type, user_id) map-side before
+    # its (tiny) exchange; the 5-row results broadcast-join back.
+    # Round-13 interleaved A/B: 0.58 s split vs 1.06 s combined, and
+    # at scale the value payload crossing the network once instead of
+    # twice is the dominant term (guide §2.3). n_exact and approx_ok
+    # are value-identical (exact distinct count, same arithmetic).
+    pcts = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+        F.approx_count_distinct("user_id").alias("__a"),
+    )
+    dist = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return pcts.join(dist, "event_type").select(
+        "event_type",
+        "p50",
+        "p90",
+        "p99",
+        "n_exact",
+        (
+            F.abs(F.col("__a") - F.col("n_exact")) / F.col("n_exact") < 0.15
+        ).alias("approx_ok"),
     )
 
 

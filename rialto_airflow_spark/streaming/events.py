@@ -70,11 +70,13 @@ def stage_events_input(spark: SparkSession, sf_dir: str, copies: int = 1) -> str
 
 
 @contextlib.contextmanager
-def few_state_partitions(spark: SparkSession, n: int = 8):
+def few_state_partitions(spark: SparkSession, n: int | None = None):
     """Bound streaming state-store partitions: the state store creates
     one instance (+ checkpoint files) per shuffle partition, a fixed
     per-query cost that dwarfs the data at test scale and is pinned
-    into the checkpoint at first batch. 8 keeps the drain parallel
+    into the checkpoint at first batch. The default (8, overridable
+    via ``RIALTO_STREAM_STATE_PARTITIONS`` for deployments whose key
+    cardinality warrants more or fewer) keeps the drain parallel
     while cutting the per-query setup ~4x vs the session's 32.
 
     NOT concurrency-safe: this mutates the session-global
@@ -84,6 +86,10 @@ def few_state_partitions(spark: SparkSession, n: int = 8):
     store's partition count — it is captured from this conf at
     checkpoint creation). Callers are the single-threaded bench/driver
     paths; hold the block only around starting the stream."""
+    if n is None:
+        import os
+
+        n = int(os.environ.get("RIALTO_STREAM_STATE_PARTITIONS", "8"))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

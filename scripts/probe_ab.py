@@ -5,7 +5,16 @@
 
 Alternates the two env settings rep by rep inside ONE session, so box
 noise (steal bursts) hits both arms alike; prints per-arm samples with
-steal ticks and the per-arm min over low-steal samples.
+steal ticks and the per-arm min over low-steal samples (cutoff ticks
+from $PROBE_AB_STEAL_MAX, default 100). Arm order alternates per rep
+(ABBA) so within-rep warm-up drift cannot favor one arm.
+
+REQUIREMENT on the toggle variable: the code path under test must
+read the env var AT CALL TIME (inside the operator/query function),
+not at import or session build — os.environ.update here happens after
+the SparkSession exists, so a var consumed only by session.py
+compares two identical arms. Add a call-time read (the
+RIALTO_*-style knobs) before probing.
 """
 
 from __future__ import annotations
@@ -49,9 +58,17 @@ def main() -> None:
         if "self_check" in inspect.signature(fn).parameters
         else {}
     )
+    # low-steal cutoff is env-tunable (PROBE_AB_STEAL_MAX, ticks):
+    # 100 suits this box's HZ/burst profile; a box where every sample
+    # exceeds it would otherwise print nan for lowsteal_min
+    steal_max = int(os.environ.get("PROBE_AB_STEAL_MAX", "100"))
     samples: list[list[tuple[float, int]]] = [[], []]
     for i in range(reps):
-        for arm in (0, 1):
+        # ABBA ordering: alternate which arm runs first each rep, so
+        # warm-cache/JIT drift inside a rep cannot systematically
+        # favor the second arm (round-12 ADVICE)
+        order = (0, 1) if i % 2 == 0 else (1, 0)
+        for arm in order:
             os.environ.update(arms[arm])
             s0, t0 = steal_ticks(), time.perf_counter()
             fn(spark, sf_dir, **kwargs).collect()
@@ -60,11 +77,11 @@ def main() -> None:
             print(f"rep {i} arm{arm} {arms[arm]}: {dt:.3f}s steal={ds}", flush=True)
     for arm in (0, 1):
         xs = samples[arm]
-        lo = [d for d, s in xs if s <= 100]
+        lo = [d for d, s in xs if s <= steal_max]
         print(
             f"ARM{arm} {arms[arm]} min={min(d for d, _ in xs):.3f} "
             f"lowsteal_min={min(lo) if lo else float('nan'):.3f} "
-            f"n_lowsteal={len(lo)}"
+            f"n_lowsteal={len(lo)} steal_max={steal_max}"
         )
     spark.stop()
 
