@@ -114,7 +114,7 @@ def build_curation_dag() -> Dag:
     def near(ctx):
         docs = ctx["store"].read(ctx["spark"], "docs_exact")
         pairs = D.minhash_near_dups(docs, "doc_id", "text")
-        comps = D.connected_components(pairs)
+        comps = D.connected_components(pairs, assume_canonical=True)
         survivors = D.cluster_survivors(docs, comps, "doc_id")
         ctx["store"].write(survivors, "docs_dedup")
 

@@ -248,6 +248,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     (id, cluster_id) where cluster_id is the smallest id in the
@@ -295,14 +296,33 @@ def connected_components(
     # invisible to later plans, and at bench scale the labels side is
     # broadcast anyway, so the per-round join has no sym-side exchange
     # to remove. Left as-is.)
-    canon = (
-        pairs.select(
-            F.least(F.col(id_a), F.col(id_b)).alias("src"),
-            F.greatest(F.col(id_a), F.col(id_b)).alias("dst"),
+    # assume_canonical (round 13): ``lsh_candidate_pairs`` (and thus
+    # minhash_near_dups) already emits DISTINCT pairs with strict
+    # id_a < id_b — re-canonicalizing and re-deduping them here was a
+    # second full exchange+aggregate of the edge list inside the entry
+    # materialization job. Callers whose producer guarantees that
+    # contract pass True and the edge list checkpoints as-is; the
+    # default keeps the general path for arbitrary pair sources
+    # (reversed duplicates, self-loops).
+    import os as _os
+
+    # call-time A/B escape hatch (scripts/probe_ab.py): =0 forces the
+    # general re-canonicalize path even for canonical callers
+    if _os.environ.get("RIALTO_CC_ASSUME_CANON") == "0":
+        assume_canonical = False
+    if assume_canonical:
+        canon = pairs.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+        ).localCheckpoint()
+    else:
+        canon = (
+            pairs.select(
+                F.least(F.col(id_a), F.col(id_b)).alias("src"),
+                F.greatest(F.col(id_a), F.col(id_b)).alias("dst"),
+            )
+            .distinct()
+            .localCheckpoint()
         )
-        .distinct()
-        .localCheckpoint()
-    )
     sym = canon.unionByName(
         canon.where(F.col("src") != F.col("dst")).select(
             F.col("dst").alias("src"), F.col("src").alias("dst")

@@ -197,7 +197,8 @@ def q36_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_near_dups(
         corpus, "doc_id", "text", num_perm=NUM_PERM, bands=BANDS, shingle_n=3
     )
-    return D.connected_components(pairs)
+    # pairs come from minhash_near_dups: distinct, strict id_a < id_b
+    return D.connected_components(pairs, assume_canonical=True)
 
 
 @register(
@@ -1216,7 +1217,8 @@ def q47_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_near_dups(
         corpus, "doc_id", "text", num_perm=NUM_PERM, bands=BANDS, shingle_n=3
     )
-    clusters = D.connected_components(pairs)
+    # pairs come from minhash_near_dups: distinct, strict id_a < id_b
+    clusters = D.connected_components(pairs, assume_canonical=True)
     # survivors feeds decontaminate twice (hit derivation + the final
     # anti join) and everything upstream of it is the MinHash+CC
     # pipeline — persist so the expensive prefix evaluates once

@@ -1377,7 +1377,10 @@ def stream_minhash_dedup(
         # call, so plain persist + finally-unpersist is correct here
         # (unlike the registry queries, which return plans)
         survivors = cluster_survivors(
-            batch, connected_components(pairs_in), id_col
+            batch,
+            # minhash pairs: distinct, strict id_a < id_b
+            connected_components(pairs_in, assume_canonical=True),
+            id_col,
         ).persist()
         try:
             if cur is not None:

@@ -14,6 +14,11 @@ from rialto_airflow_spark.dag import build_harvest_dag, build_publish_dag
 from rialto_airflow_spark.plans.marts import write_download_csv, zip_downloads
 from rialto_airflow_spark.sources.dims import federal_funders
 from tests.test_harvest_marts import PUB_SCHEMA, mkpub, ts
+import pytest
+
+# slow integration battery — excluded from the default lane (see
+# pyproject.toml); run with: pytest tests/ -m slowlane
+pytestmark = pytest.mark.slowlane
 
 
 def test_dag_end_to_end(spark, tmp_path):

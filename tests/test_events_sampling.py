@@ -145,6 +145,45 @@ def test_connected_components_empty_pairs(spark):
     assert D.connected_components(pairs).collect() == []
 
 
+def test_connected_components_assume_canonical_matches_general(spark):
+    """assume_canonical=True (round 13: skips the re-canonicalize +
+    distinct exchange for producers that guarantee distinct strict
+    id_a < id_b pairs — the lsh_candidate_pairs contract) must label
+    identically to the general path on a canonical pair set, and on
+    REAL minhash pairs both paths must agree."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    general = {
+        r.id: r.cluster_id for r in D.connected_components(pairs).collect()
+    }
+    canon = {
+        r.id: r.cluster_id
+        for r in D.connected_components(
+            pairs, assume_canonical=True
+        ).collect()
+    }
+    assert canon == general
+
+    docs = spark.createDataFrame(
+        [
+            (i, "alpha beta gamma delta epsilon zeta eta theta " + tail)
+            for i, tail in [
+                (1, "one"), (2, "one"), (3, "three"), (4, "four xx yy zz"),
+            ]
+        ],
+        ["doc_id", "text"],
+    )
+    mh = D.minhash_near_dups(docs, "doc_id", "text")
+    g2 = {r.id: r.cluster_id for r in D.connected_components(mh).collect()}
+    c2 = {
+        r.id: r.cluster_id
+        for r in D.connected_components(mh, assume_canonical=True).collect()
+    }
+    assert c2 == g2
+
+
 def test_cluster_survivors_keeps_min_and_unclustered(spark):
     df = spark.createDataFrame(
         [(i, f"doc{i}") for i in (1, 2, 3, 99)], ["doc_id", "text"]

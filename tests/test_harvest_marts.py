@@ -16,6 +16,10 @@ from rialto_airflow_spark.plans import marts as M
 from rialto_airflow_spark.plans.cli import publications_for_author
 from rialto_airflow_spark.sources.dims import federal_funders
 
+# slow integration battery — excluded from the default lane (see
+# pyproject.toml); run with: pytest tests/ -m slowlane
+pytestmark = pytest.mark.slowlane
+
 TS = datetime.datetime
 
 

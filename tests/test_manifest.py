@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 
 from rialto_airflow_spark.storage import TableStore
 
+# slow integration battery — excluded from the default lane (see
+# pyproject.toml); run with: pytest tests/ -m slowlane
+pytestmark = pytest.mark.slowlane
+
 
 def _bytes(vdir: str) -> int:
     return sum(

@@ -14,6 +14,11 @@ from pyspark.sql import functions as F
 
 from rialto_airflow_spark.operators import dedup as D
 from rialto_airflow_spark.session import load_tables
+import pytest
+
+# slow integration battery — excluded from the default lane (see
+# pyproject.toml); run with: pytest tests/ -m slowlane
+pytestmark = pytest.mark.slowlane
 
 
 def _corpus(spark, sf_dir):

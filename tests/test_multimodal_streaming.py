@@ -14,6 +14,10 @@ from rialto_airflow_spark.operators import multimodal as MM
 from rialto_airflow_spark.session import load_tables
 from rialto_airflow_spark.streaming import events as SE
 
+# slow integration battery — excluded from the default lane (see
+# pyproject.toml); run with: pytest tests/ -m slowlane
+pytestmark = pytest.mark.slowlane
+
 
 def test_attach_and_extract_features(spark, sf_dir):
     docs = load_tables(spark, sf_dir, "documents")["documents"].limit(50)
