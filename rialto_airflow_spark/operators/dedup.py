@@ -363,7 +363,11 @@ def connected_components(
         # pointer jump: chase __mid one hop (its owner's label);
         # any label is an id in the same component, so the jump
         # target is too — min keeps the invariant while halving
-        # path lengths
+        # path lengths. (Round 13 also A/B'd jumping through the
+        # round's OWN partial labels — a deeper chase via a lazily
+        # persisted self-reference of `propagated`; it measured
+        # ~+0.7 s WORSE on q36: the per-round cache write costs more
+        # than the barrier the deeper chase saves on these graphs.)
         return (
             propagated.join(
                 labels.select(
